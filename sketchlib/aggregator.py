@@ -1,0 +1,52 @@
+"""The shared mergeable-Aggregator interface (north rule: "under one Aggregator
+interface").
+
+Every sketch in this library — t-digest, HLL++, count-min, KLL, Bloom — is a
+commutative mergeable summary exposing the same lifecycle, which is exactly
+the contract Spark's two-phase aggregation needs:
+
+    zero() → update_batch(values) ...    (map side, per Arrow batch)
+    serialize() → shuffle →              (16B/centroid binary etc.)
+    deserialize() / merge() ...          (reduce side, per key)
+    finish()                             (final compress / estimate)
+
+``sketchlib.spark.agg`` lifts any Aggregator into a DataFrame-level
+partial/merge plan (mapInPandas partials + applyInPandas merge).
+"""
+
+from __future__ import annotations
+
+import abc
+from typing import Any
+
+import numpy as np
+
+
+class Aggregator(abc.ABC):
+    """A mergeable sketch aggregator: a commutative monoid with batch updates."""
+
+    @classmethod
+    @abc.abstractmethod
+    def zero(cls, **params: Any) -> "Aggregator":
+        """The monoid identity under the given parameters."""
+
+    @abc.abstractmethod
+    def update_batch(self, values: np.ndarray) -> None:
+        """Absorb a vector of values (Arrow batch column → numpy). Vectorized."""
+
+    @abc.abstractmethod
+    def merge(self, other: "Aggregator") -> "Aggregator":
+        """In-place merge with another aggregator of identical parameters."""
+
+    @abc.abstractmethod
+    def serialize(self) -> bytes:
+        """Stable wire format; concat/merge-safe per sketch's documented law."""
+
+    @classmethod
+    @abc.abstractmethod
+    def deserialize(cls, data: bytes, **params: Any) -> "Aggregator":
+        """Inverse of serialize under the same parameters."""
+
+    @abc.abstractmethod
+    def finish(self) -> Any:
+        """Final answer (estimate, digest bytes, bitset...) for this sketch."""

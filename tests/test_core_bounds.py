@@ -1,0 +1,101 @@
+"""Accuracy-bound properties (reference: test_tdigest.ml:137-154,193-211) and
+sequential-vs-batched agreement (SURVEY.md §7.3.3).
+
+The reference's golden error value (0.00383) depends on OCaml's RNG; the
+published invariant is max |p_rank error| < delta (= 0.01).  We assert the
+invariant with a fixed numpy seed for both execution paths.
+"""
+
+import numpy as np
+
+from sketchlib.tdigest.core import MergingDigest, TDigest
+
+
+def _max_rank_error(cdf_fn, n_probes=100):
+    errs = []
+    for i in range(1, n_probes + 1):
+        p = i / n_probes
+        q = cdf_fn(p)
+        errs.append(abs(p - q))
+    return max(errs)
+
+
+def test_batched_uniform_100k_rank_error_below_delta():
+    rng = np.random.default_rng(42)
+    xs = rng.random(100_000)
+    d = MergingDigest(delta=0.01)
+    d.update_batch(xs)
+    d.compress()
+    err = _max_rank_error(lambda p: float(d.cdf([p])[0]))
+    assert err < 0.01, err
+    assert d.size <= 2500
+
+
+def test_sequential_uniform_50k_rank_error_below_delta():
+    rng = np.random.default_rng(42)
+    xs = rng.random(50_000)
+    td = TDigest()
+    for x in xs:
+        td.add(float(x))
+    td.compress()
+    err = _max_rank_error(lambda p: td.p_rank(p))
+    assert err < 0.01, err
+
+
+def test_batched_quantile_error_uniform():
+    rng = np.random.default_rng(7)
+    xs = rng.random(200_000)
+    d = MergingDigest(delta=0.01)
+    # feed in chunks to exercise multi-flush ingest
+    for chunk in np.array_split(xs, 13):
+        d.update_batch(chunk)
+    d.compress()
+    ps = np.array([0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99, 0.999])
+    est = d.quantile(ps)
+    exact = np.quantile(xs, ps)
+    # rank error < delta → uniform value error < delta too (identity CDF)
+    assert np.max(np.abs(est - exact)) < 0.01
+
+
+def test_batched_heavy_tail_rank_error():
+    rng = np.random.default_rng(11)
+    xs = rng.lognormal(mean=5.0, sigma=2.0, size=100_000)
+    d = MergingDigest(delta=0.01)
+    d.update_batch(xs)
+    d.compress()
+    sx = np.sort(xs)
+    for p in [0.01, 0.25, 0.5, 0.9, 0.99, 0.999]:
+        est = float(d.quantile([p])[0])
+        # measure achieved rank of the estimated value
+        rank = np.searchsorted(sx, est) / len(sx)
+        assert abs(rank - p) < 0.01, (p, rank)
+
+
+def test_sequential_and_batched_agree_within_bound():
+    rng = np.random.default_rng(3)
+    xs = rng.normal(size=20_000)
+    td = TDigest()
+    for x in xs:
+        td.add(float(x))
+    td.compress()
+    d = MergingDigest(delta=0.01)
+    d.update_batch(xs)
+    d.compress()
+    sx = np.sort(xs)
+    for p in [0.05, 0.25, 0.5, 0.75, 0.95]:
+        q_seq = td.percentile(p)
+        q_bat = float(d.quantile([p])[0])
+        r_seq = np.searchsorted(sx, q_seq) / len(sx)
+        r_bat = np.searchsorted(sx, q_bat) / len(sx)
+        assert abs(r_seq - p) < 0.01
+        assert abs(r_bat - p) < 0.01
+
+
+def test_weighted_ingest_matches_repeated_values():
+    xs = np.array([1.0, 5.0, 5.0, 5.0, 9.0, 9.0])
+    a = MergingDigest(delta=0.0)  # never merge: exact
+    a.update_batch(xs)
+    b = MergingDigest(delta=0.0)
+    b.update_batch(np.array([1.0, 5.0, 9.0]), weights=np.array([1.0, 3.0, 2.0]))
+    assert a.centroids() == b.centroids()
+    assert a.serialize() == b.serialize()

