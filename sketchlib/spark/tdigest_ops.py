@@ -1,0 +1,253 @@
+"""DataFrame-level t-digest operators: the scalable two-phase aggregation plan.
+
+Why two explicit phases (SURVEY.md §4.5): Catalyst gives partial+final
+aggregation automatically only to built-in aggregates; a pandas GROUPED_AGG
+UDF shuffles *all group rows* to one reducer — unacceptable at 10^12 rows
+and under key skew.  So we make the reference's partial/final split
+(reference README.md:31-41 delegates it to SQL ``STRING_AGG`` + ``of_string``)
+explicit:
+
+  phase 1 — ``tdigest_partials``: ``mapInPandas`` over a narrow projection;
+            one partial digest per (input partition × key).  Pure map side,
+            no shuffle; the Arrow batches feed ``MergingDigest.update_batch``
+            (vectorized numpy, no per-row Python).
+  phase 2 — ``tdigest_merge``: ``groupBy(keys).applyInPandas``; each group
+            merges its ≤ P partial digests by byte-concatenation (a concat of
+            serialized digests IS a valid digest) + one deterministic
+            compress.  Shuffle volume is P × |keys| × ≤40 KB — independent of
+            row count.
+
+Skew: the shuffle carries one small row per (partition, key), so a hot key
+costs its reducer P×40 KB, not its row share of 100 TB.  For extreme P,
+``sketchlib.spark.plan.tree_merge`` adds salted intermediate merge levels.
+
+Exactness: with ``delta=0.0`` (never merge) or ``discrete=True`` the whole
+pipeline is lossless, so the final digest is byte-identical under any
+repartitioning — the oracle mode used by the correctness gate.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    StructField,
+    StructType,
+)
+
+from sketchlib.tdigest.core import (
+    MergingDigest,
+    bytes_to_centroids,
+    cdf_of_centroids,
+    quantiles_of_centroids,
+)
+
+
+def _norm_key(key) -> tuple:
+    return key if isinstance(key, tuple) else (key,)
+
+
+def tdigest_partials(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    delta: float = 0.01,
+    discrete: bool = False,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Phase 1: one partial digest row per (input partition × key).
+
+    Narrow-projects first so parquet column pruning happens before the
+    Python stage.
+    """
+    from sketchlib.spark.shipping import ensure_on_workers
+
+    ensure_on_workers(df.sparkSession)
+    cols = keys + [value_col] + ([weight_col] if weight_col else [])
+    narrow = df.select(*cols)
+    key_fields = [narrow.schema[k] for k in keys]
+    out_schema = StructType(
+        [StructField(f.name, f.dataType, True) for f in key_fields]
+        + [StructField("digest", BinaryType(), True)]
+    )
+
+    def build(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        aggs: dict[tuple, MergingDigest] = {}
+        for pdf in batches:
+            vals = pdf[value_col].to_numpy(dtype="float64", na_value=np.nan)
+            wts = (
+                pdf[weight_col].to_numpy(dtype="float64", na_value=np.nan)
+                if weight_col
+                else None
+            )
+            if keys:
+                for key, idx in pdf.groupby(keys, dropna=False, sort=False).indices.items():
+                    key = _norm_key(key)
+                    agg = aggs.get(key)
+                    if agg is None:
+                        agg = aggs[key] = MergingDigest(delta=delta, discrete=discrete)
+                    agg.update_batch(vals[idx], wts[idx] if wts is not None else None)
+            else:
+                agg = aggs.get(())
+                if agg is None:
+                    agg = aggs[()] = MergingDigest(delta=delta, discrete=discrete)
+                agg.update_batch(vals, wts)
+        if aggs:
+            rows = {
+                name: [k[i] for k in aggs] for i, name in enumerate(keys)
+            }
+            rows["digest"] = [a.serialize() for a in aggs.values()]
+            yield pd.DataFrame(rows, columns=keys + ["digest"])
+
+    return narrow.mapInPandas(build, schema=out_schema)
+
+
+def tdigest_merge(
+    partials: DataFrame,
+    keys: list[str],
+    delta: float = 0.01,
+    discrete: bool = False,
+    compress: bool = True,
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Phase 2: merge partial digests per key (byte-concat union + one
+    deterministic compress).  Empty-digest partials are the monoid identity."""
+    from sketchlib.spark.shipping import ensure_on_workers
+
+    ensure_on_workers(partials.sparkSession)
+    key_fields = [partials.schema[k] for k in keys]
+    out_schema = StructType(
+        [StructField(f.name, f.dataType, True) for f in key_fields]
+        + [StructField("digest", BinaryType(), True)]
+    )
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        blob = b"".join(bytes(b) for b in pdf[digest_col] if b is not None)
+        d = MergingDigest.deserialize(blob, delta=delta, discrete=discrete)
+        if compress:
+            d.compress()
+        out = {k: [pdf[k].iloc[0]] for k in keys}
+        out["digest"] = [d.serialize()]
+        return pd.DataFrame(out, columns=keys + ["digest"])
+
+    if keys:
+        return partials.groupBy(*keys).applyInPandas(merge_group, schema=out_schema)
+    return partials.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        lambda pdf: merge_group(pdf), schema=out_schema
+    )
+
+
+def tdigest_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    delta: float = 0.01,
+    discrete: bool = False,
+    weight_col: str | None = None,
+    compress: bool = True,
+) -> DataFrame:
+    """The full two-phase plan: keys + a final ``digest`` binary column."""
+    partials = tdigest_partials(df, keys, value_col, delta, discrete, weight_col)
+    return tdigest_merge(partials, keys, delta, discrete, compress)
+
+
+# ---------------------------------------------------------------------------
+# Scalar query UDFs over digest columns (post-aggregation: tiny row counts)
+# ---------------------------------------------------------------------------
+
+
+def tdigest_quantiles_udf(ps: list[float], discrete: bool = False):
+    """Returns array<double> of the requested quantiles per digest row."""
+    ps_arr = np.asarray(ps, dtype=np.float64)
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def f(dig: pd.Series) -> pd.Series:
+        out = []
+        for b in dig:
+            if b is None or len(b) == 0:
+                out.append(None)
+            else:
+                m, n = bytes_to_centroids(bytes(b))
+                out.append(quantiles_of_centroids(m, n, ps_arr, discrete).tolist())
+        return pd.Series(out)
+
+    return f
+
+
+def tdigest_cdf_udf(qs: list[float], discrete: bool = False):
+    """Returns array<double> of p_rank (fraction of mass ≤ q) per digest row."""
+    qs_arr = np.asarray(qs, dtype=np.float64)
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def f(dig: pd.Series) -> pd.Series:
+        out = []
+        for b in dig:
+            if b is None or len(b) == 0:
+                out.append(None)
+            else:
+                m, n = bytes_to_centroids(bytes(b))
+                out.append(cdf_of_centroids(m, n, qs_arr, discrete).tolist())
+        return pd.Series(out)
+
+    return f
+
+
+@pandas_udf(IntegerType())
+def tdigest_size_udf(dig: pd.Series) -> pd.Series:
+    """Number of centroids (reference info.size)."""
+    return pd.Series([0 if b is None else len(b) // 16 for b in dig], dtype="int32")
+
+
+@pandas_udf(DoubleType())
+def tdigest_count_udf(dig: pd.Series) -> pd.Series:
+    """Total ingested weight (reference info.count)."""
+    out = []
+    for b in dig:
+        if b is None or len(b) == 0:
+            out.append(0.0)
+        else:
+            _, n = bytes_to_centroids(bytes(b))
+            out.append(float(n.sum()))
+    return pd.Series(out)
+
+
+@pandas_udf(ArrayType(StructType([
+    StructField("mean", DoubleType()), StructField("n", DoubleType()),
+])))
+def tdigest_centroids_udf(dig: pd.Series) -> pd.Series:
+    """Relational view of a digest (reference Private.centroids)."""
+    out = []
+    for b in dig:
+        if b is None:
+            out.append(None)
+        else:
+            m, n = bytes_to_centroids(bytes(b))
+            out.append([{"mean": float(a), "n": float(c)} for a, c in zip(m, n)])
+    return pd.Series(out)
+
+
+def tdigest_compress_udf(delta: float, discrete: bool = False):
+    """binary→binary recompression under a (possibly different) delta
+    (reference compress with one-shot delta override)."""
+
+    @pandas_udf(BinaryType())
+    def f(dig: pd.Series) -> pd.Series:
+        out = []
+        for b in dig:
+            if b is None:
+                out.append(None)
+            else:
+                d = MergingDigest.deserialize(bytes(b), delta=delta, discrete=discrete)
+                d.compress()
+                out.append(d.serialize())
+        return pd.Series(out)
+
+    return f
