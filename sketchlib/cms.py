@@ -1,0 +1,119 @@
+"""Count-min sketch (Cormode & Muthukrishnan 2005), from scratch.
+
+w = ceil(e/eps) columns, d = ceil(ln(1/δ)) rows; each row uses a derived
+hash from the Kirsch–Mitzenmacher double-hashing family over one 64-bit
+base hash.  Point estimate = min over rows — always ≥ true count, and
+≤ true + eps·N with probability ≥ 1−δ.
+
+Merge = element-wise counter addition (commutative monoid; requires equal
+(w, d, seed)).
+
+Oracle in tests: exact groupBy counts; Spark/DuckDB also ship a built-in
+``count_min_sketch`` (same published algorithm) used as a cross-check only.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+from sketchlib.aggregator import Aggregator
+from sketchlib.hashing import double_hash, hash64
+
+_MAGIC = b"CMS1"
+
+
+class CMS(Aggregator):
+    __slots__ = ("width", "depth", "seed", "table", "total")
+
+    def __init__(
+        self,
+        eps: float | None = None,
+        confidence: float | None = None,
+        width: int | None = None,
+        depth: int | None = None,
+        seed: int = 1,
+    ) -> None:
+        if width is None:
+            width = int(math.ceil(math.e / (eps if eps else 0.001)))
+        if depth is None:
+            depth = int(math.ceil(math.log(1.0 / (1.0 - (confidence or 0.99)))))
+            depth = max(depth, 1)
+        self.width = width
+        self.depth = depth
+        self.seed = seed
+        self.table = np.zeros((depth, width), dtype=np.int64)
+        self.total = 0
+
+    @classmethod
+    def zero(cls, **params) -> "CMS":
+        return cls(**params)
+
+    @property
+    def eps(self) -> float:
+        return math.e / self.width
+
+    def _update_base(self, base: np.ndarray, counts: np.ndarray | None) -> None:
+        if len(base) == 0:
+            return
+        c = (
+            np.asarray(counts, dtype=np.int64)
+            if counts is not None
+            else np.ones(len(base), dtype=np.int64)
+        )
+        for r in range(self.depth):
+            cols = double_hash(base, r, self.width)
+            np.add.at(self.table[r], cols, c)
+        self.total += int(np.sum(c))
+
+    def update_hashed(self, h: np.ndarray, counts: np.ndarray | None = None) -> None:
+        """Ingest pre-hashed uint64 values; remixed with the sketch seed so
+        update/query agree (query_hashed uses the same base)."""
+        self._update_base(hash64(h, seed=self.seed), counts)
+
+    def update_batch(self, values: np.ndarray) -> None:
+        self._update_base(hash64(values, seed=self.seed), None)
+
+    def update_batch_weighted(self, values, counts: np.ndarray) -> None:
+        self._update_base(hash64(values, seed=self.seed), counts)
+
+    def query_hashed(self, h: np.ndarray) -> np.ndarray:
+        return self._query_base(hash64(h, seed=self.seed))
+
+    def query(self, values) -> np.ndarray:
+        """Vectorized point estimates (min over rows)."""
+        return self._query_base(hash64(values, seed=self.seed))
+
+    def _query_base(self, base: np.ndarray) -> np.ndarray:
+        est = np.full(len(base), np.iinfo(np.int64).max, dtype=np.int64)
+        for r in range(self.depth):
+            cols = double_hash(base, r, self.width)
+            np.minimum(est, self.table[r][cols], out=est)
+        return est
+
+    def merge(self, other: "CMS") -> "CMS":
+        if (self.width, self.depth, self.seed) != (other.width, other.depth, other.seed):
+            raise ValueError("CMS merge shape/seed mismatch")
+        self.table += other.table
+        self.total += other.total
+        return self
+
+    def serialize(self) -> bytes:
+        head = _MAGIC + struct.pack("<IIQq", self.width, self.depth, self.seed, self.total)
+        return head + self.table.astype("<i8").tobytes()
+
+    @classmethod
+    def deserialize(cls, data: bytes, **_: object) -> "CMS":
+        if data[:4] != _MAGIC:
+            raise ValueError("CMS: bad magic")
+        width, depth, seed, total = struct.unpack_from("<IIQq", data, 4)
+        out = cls(width=width, depth=depth, seed=seed)
+        body = np.frombuffer(data[4 + 24 :], dtype="<i8")
+        out.table = body.reshape(depth, width).copy()
+        out.total = total
+        return out
+
+    def finish(self) -> "CMS":
+        return self

@@ -1,0 +1,129 @@
+"""HyperLogLog++ distinct-count sketch (from scratch; Heule/Nunkesser/Hall 2013).
+
+Design:
+- 64-bit hashes (no large-range correction needed, unlike classic HLL).
+- m = 2^p registers (p defaults to 14 → σ ≈ 1.04/√m ≈ 0.81%).
+- Sparse representation on the wire when few registers are set (the "++"
+  memory optimization that matters when millions of group sketches shuffle).
+- Small-range correction via linear counting while any register is zero.
+  The empirical bias-correction tables of the paper are omitted; the
+  affected band (E between 2.5m and 5m) retains classic-HLL bias ≤ ~1.5%,
+  reflected in test tolerances.
+
+Merge = register-wise max — associative, commutative, idempotent (a
+semilattice, even stronger than the t-digest monoid).
+
+Oracle in tests: exact ``count(distinct)`` and Spark's built-in
+``approx_count_distinct`` (same published algorithm family).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from sketchlib.aggregator import Aggregator
+from sketchlib.hashing import hash64
+
+_MAGIC_DENSE = b"HLD1"
+_MAGIC_SPARSE = b"HLS1"
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+class HLL(Aggregator):
+    __slots__ = ("p", "m", "registers")
+
+    def __init__(self, p: int = 14) -> None:
+        if not 4 <= p <= 18:
+            raise ValueError(f"HLL precision p must be in [4,18], got {p}")
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    @classmethod
+    def zero(cls, p: int = 14) -> "HLL":
+        return cls(p=p)
+
+    def update_hashed(self, h: np.ndarray) -> None:
+        """Ingest pre-hashed uint64 values (e.g. Spark's xxhash64 column)."""
+        h = h.astype(np.uint64, copy=False)
+        if len(h) == 0:
+            return
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        w = h & np.uint64((1 << (64 - self.p)) - 1)
+        # rho = leading-zero count of the (64-p)-bit suffix + 1
+        #     = (64-p) + 1 - bit_length(w); frexp exponent == bit_length
+        # exact because w < 2^50 ≤ 2^53 for p ≥ 14; for p < 14 the top bits
+        # still dominate bit_length (float rounding can't cross a power of 2
+        # upward for values below 2^63 except at all-ones mantissa overflow,
+        # which we guard by clipping rho to its max).
+        bl = np.frexp(w.astype(np.float64))[1]
+        rho = np.clip((64 - self.p) + 1 - bl, 1, 64 - self.p + 1).astype(np.uint8)
+        rho[w == 0] = 64 - self.p + 1
+        np.maximum.at(self.registers, idx, rho)
+
+    def update_batch(self, values: np.ndarray) -> None:
+        self.update_hashed(hash64(values))
+
+    def merge(self, other: "HLL") -> "HLL":
+        if other.p != self.p:
+            raise ValueError(f"HLL merge precision mismatch: {self.p} vs {other.p}")
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        regs = self.registers
+        m = float(self.m)
+        est = _alpha(self.m) * m * m / float(np.sum(np.exp2(-regs.astype(np.float64))))
+        zeros = int(np.count_nonzero(regs == 0))
+        if est <= 2.5 * m and zeros > 0:
+            return m * float(np.log(m / zeros))  # linear counting
+        return est
+
+    def finish(self) -> float:
+        return self.estimate()
+
+    # -- serde: sparse when profitable ----------------------------------------
+
+    def serialize(self) -> bytes:
+        nz = np.flatnonzero(self.registers)
+        header = struct.pack("<B", self.p)
+        if len(nz) * 3 < self.m:  # sparse: (idx u16/u32, rho u8) pairs
+            if self.p <= 16:
+                idx_bytes = nz.astype("<u2").tobytes()
+            else:
+                idx_bytes = nz.astype("<u4").tobytes()
+            return (
+                _MAGIC_SPARSE + header + struct.pack("<I", len(nz))
+                + idx_bytes + self.registers[nz].tobytes()
+            )
+        return _MAGIC_DENSE + header + self.registers.tobytes()
+
+    @classmethod
+    def deserialize(cls, data: bytes, **_: object) -> "HLL":
+        magic, p = data[:4], data[4]
+        out = cls(p=p)
+        if magic == _MAGIC_DENSE:
+            out.registers = np.frombuffer(data[5:], dtype=np.uint8).copy()
+            if len(out.registers) != out.m:
+                raise ValueError("HLL dense payload length mismatch")
+        elif magic == _MAGIC_SPARSE:
+            (n,) = struct.unpack_from("<I", data, 5)
+            off = 9
+            itype, isize = ("<u2", 2) if p <= 16 else ("<u4", 4)
+            idx = np.frombuffer(data[off : off + n * isize], dtype=itype).astype(np.int64)
+            rho = np.frombuffer(data[off + n * isize : off + n * isize + n], dtype=np.uint8)
+            out.registers[idx] = rho
+        else:
+            raise ValueError(f"HLL: bad magic {magic!r}")
+        return out

@@ -200,6 +200,122 @@ def q_td_compressed_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _explode_quantiles(dig, "lang", PS_FLAGSHIP, discrete=False)
 
 
+# ---------------------------------------------------------------------------
+# Sibling sketches (HLL / CMS / Bloom / KLL)
+# ---------------------------------------------------------------------------
+
+
+def q_bloom_membership_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a per-source Bloom filter over doc_ids (distributed two-phase),
+    broadcast the filters, and probe every doc_id — zero false negatives
+    means the matched count equals the row count exactly."""
+    import pandas as pd
+
+    from sketchlib.bloom import Bloom
+    from sketchlib.spark.sketch_ops import sketch_aggregate
+
+    docs = load(spark, sf_dir, "documents")
+    params = {"expected_n": max(docs.count(), 1000), "fpr": 0.01}
+    filters = {
+        r["source"]: bytes(r["sketch"])
+        for r in sketch_aggregate(docs, ["source"], "doc_id", "bloom", params).collect()
+    }
+    bc = spark.sparkContext.broadcast(filters)
+
+    probe = docs.select("source", F.xxhash64("doc_id").alias("h"))
+    schema = "source string, matched long, total long"
+
+    def check(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for src, idx in pdf.groupby("source", sort=False).indices.items():
+                b = Bloom.deserialize(bc.value[src])
+                hits = b.contains_hashed(
+                    pdf["h"].to_numpy(dtype="int64")[idx].view(np.uint64)
+                )
+                rows.append((src, int(hits.sum()), len(idx)))
+            yield pd.DataFrame(rows, columns=["source", "matched", "total"])
+
+    per_batch = probe.mapInPandas(check, schema=schema)
+    return per_batch.groupBy("source").agg(
+        F.sum("matched").alias("n_members"), F.sum("total").alias("n_docs")
+    )
+
+
+def q_cms_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global count-min over the source column; point-query each distinct
+    source.  With w≫#keys the min over 5 rows is collision-free, so the
+    estimates equal the exact counts (CMS never undercounts)."""
+    import numpy as np
+
+    from sketchlib.cms import CMS
+    from sketchlib.spark.sketch_ops import sketch_aggregate
+
+    docs = load(spark, sf_dir, "documents")
+    blob = bytes(
+        sketch_aggregate(docs, [], "source", "cms", {"width": 16384, "depth": 5})
+        .collect()[0]["sketch"]
+    )
+    cms = CMS.deserialize(blob)
+    keys = (
+        docs.select("source", F.xxhash64("source").alias("h")).distinct().collect()
+    )
+    est = cms.query_hashed(np.array([r["h"] for r in keys], dtype=np.int64).view(np.uint64))
+    return spark.createDataFrame(
+        [(r["source"], int(e)) for r, e in zip(keys, est)],
+        "source string, est_count long",
+    )
+
+
+def q_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct user_id per event_type — approximate estimate, no SQL
+    oracle (tolerance checked in tests/test_spark_sketches.py)."""
+    from sketchlib.hll import HLL
+    from sketchlib.spark.sketch_ops import sketch_aggregate
+
+    ev = load(spark, sf_dir, "events")
+    sk = sketch_aggregate(ev, ["event_type"], "user_id", "hll", {"p": 14})
+
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def est(s):
+        import pandas as pd
+
+        return pd.Series([HLL.deserialize(bytes(b)).estimate() for b in s])
+
+    return sk.select("event_type", est("sketch").alias("approx_users"))
+
+
+def q_kll_nearest_rank_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL in oracle mode (k large enough that no compaction triggers at
+    test scale): weighted nearest-rank quantiles, exactly SQL-checkable."""
+    from sketchlib.kll import KLL
+    from sketchlib.spark.sketch_ops import sketch_aggregate
+
+    docs = load(spark, sf_dir, "documents")
+    sk = sketch_aggregate(docs, ["lang"], "n_chars", "kll", {"k": 32768})
+
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    ps = list(PS_DISCRETE.values())
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def quant(s):
+        import pandas as pd
+
+        return pd.Series([KLL.deserialize(bytes(b)).quantile(ps).tolist() for b in s])
+
+    out = sk.withColumn("_q", quant("sketch"))
+    for i, alias in enumerate(PS_DISCRETE):
+        out = out.withColumn(alias, F.col("_q")[i])
+    return out.select("lang", *PS_DISCRETE.keys())
+
+
 QUERIES = {
     "td_quantiles_by_lang": q_td_quantiles_by_lang,
     "td_discrete_quantiles_by_lang": q_td_discrete_quantiles_by_lang,
@@ -208,6 +324,10 @@ QUERIES = {
     "td_events_by_type": q_td_events_by_type,
     "td_lineitem_price": q_td_lineitem_price,
     "td_compressed_by_lang": q_td_compressed_by_lang,
+    "bloom_membership_by_source": q_bloom_membership_by_source,
+    "cms_source_counts": q_cms_source_counts,
+    "hll_users_by_type": q_hll_users_by_type,
+    "kll_nearest_rank_by_lang": q_kll_nearest_rank_by_lang,
 }
 
 ORACLES = {
@@ -235,4 +355,15 @@ FROM documents GROUP BY lang
     ),
     # td_compressed_by_lang: intentionally no oracle (approximate estimate;
     # bounded-error check lives in tests/test_spark_agg.py)
+    "bloom_membership_by_source": """
+SELECT source, count(*) AS n_members, count(*) AS n_docs
+FROM documents GROUP BY source
+""",
+    "cms_source_counts": """
+SELECT source, count(*) AS est_count FROM documents GROUP BY source
+""",
+    # hll_users_by_type: no oracle (approximate; tolerance in tests)
+    "kll_nearest_rank_by_lang": _nearest_rank_sql(
+        "documents", "lang", "n_chars", PS_DISCRETE
+    ),
 }

@@ -1,0 +1,132 @@
+"""Generic DataFrame-level plan for any sketchlib Aggregator (HLL, CMS,
+Bloom, KLL — and t-digest, though tdigest_ops has a specialized path).
+
+Same two-phase shape as tdigest_ops (mapInPandas partials → applyInPandas
+merge) — the shuffle carries one serialized sketch per (partition × key),
+never raw rows.
+
+Hashing stays JVM-side: for hash-based sketches the plan projects
+``xxhash64(value)`` (whole-stage-codegen, no Python string hashing) and the
+Python worker ingests int64 via ``update_hashed`` — the pre-hash is remixed
+with the sketch seed so query paths agree (``query_hashed``/
+``contains_hashed``).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import BinaryType, StructField, StructType
+
+from sketchlib.bloom import Bloom
+from sketchlib.cms import CMS
+from sketchlib.hll import HLL
+from sketchlib.kll import KLL
+
+SKETCHES = {"hll": HLL, "cms": CMS, "bloom": Bloom, "kll": KLL}
+_HASHED = {"hll", "cms", "bloom"}  # ingest xxhash64 int64; kll ingests doubles
+
+
+def _norm_key(key) -> tuple:
+    return key if isinstance(key, tuple) else (key,)
+
+
+def sketch_partials(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    sketch: str,
+    params: dict | None = None,
+) -> DataFrame:
+    from sketchlib.spark.shipping import ensure_on_workers
+
+    ensure_on_workers(df.sparkSession)
+    cls = SKETCHES[sketch]
+    params = dict(params or {})
+    hashed = sketch in _HASHED
+    if hashed:
+        narrow = df.select(*keys, F.xxhash64(value_col).alias("_v"))
+    else:
+        narrow = df.select(*keys, F.col(value_col).cast("double").alias("_v"))
+    key_fields = [narrow.schema[k] for k in keys]
+    out_schema = StructType(
+        [StructField(f.name, f.dataType, True) for f in key_fields]
+        + [StructField("sketch", BinaryType(), True)]
+    )
+
+    def build(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        aggs: dict[tuple, object] = {}
+        for pdf in batches:
+            if hashed:
+                vals = pdf["_v"].to_numpy(dtype="int64").view(np.uint64)
+            else:
+                vals = pdf["_v"].to_numpy(dtype="float64", na_value=np.nan)
+            groups = (
+                pdf.groupby(keys, dropna=False, sort=False).indices.items()
+                if keys
+                else [((), np.arange(len(pdf)))]
+            )
+            for key, idx in groups:
+                key = _norm_key(key)
+                agg = aggs.get(key)
+                if agg is None:
+                    agg = aggs[key] = cls(**params)
+                if hashed:
+                    agg.update_hashed(vals[idx])
+                else:
+                    agg.update_batch(vals[idx])
+        if aggs:
+            rows = {name: [k[i] for k in aggs] for i, name in enumerate(keys)}
+            rows["sketch"] = [a.serialize() for a in aggs.values()]
+            yield pd.DataFrame(rows, columns=keys + ["sketch"])
+
+    return narrow.mapInPandas(build, schema=out_schema)
+
+
+def sketch_merge(
+    partials: DataFrame,
+    keys: list[str],
+    sketch: str,
+    params: dict | None = None,
+) -> DataFrame:
+    from sketchlib.spark.shipping import ensure_on_workers
+
+    ensure_on_workers(partials.sparkSession)
+    cls = SKETCHES[sketch]
+    params = dict(params or {})
+    key_fields = [partials.schema[k] for k in keys]
+    out_schema = StructType(
+        [StructField(f.name, f.dataType, True) for f in key_fields]
+        + [StructField("sketch", BinaryType(), True)]
+    )
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        it = (bytes(b) for b in pdf["sketch"] if b is not None)
+        acc = None
+        for b in it:
+            s = cls.deserialize(b, **params)
+            acc = s if acc is None else acc.merge(s)
+        if acc is None:
+            acc = cls(**params)
+        out = {k: [pdf[k].iloc[0]] for k in keys}
+        out["sketch"] = [acc.serialize()]
+        return pd.DataFrame(out, columns=keys + ["sketch"])
+
+    if keys:
+        return partials.groupBy(*keys).applyInPandas(merge_group, schema=out_schema)
+    return partials.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        lambda pdf: merge_group(pdf), schema=out_schema
+    )
+
+
+def sketch_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    sketch: str,
+    params: dict | None = None,
+) -> DataFrame:
+    return sketch_merge(sketch_partials(df, keys, value_col, sketch, params), keys, sketch, params)

@@ -1,0 +1,176 @@
+"""Sibling-sketch correctness vs exact oracles (SURVEY.md §5 item 7).
+
+HLL vs exact distinct; CMS point queries (≥ truth, ≤ truth + eps·N);
+Bloom (zero false negatives, FPR ≤ bound); KLL vs exact quantiles.
+All through serde round-trips and partition-split merges to exercise the
+distributed paths.
+"""
+
+import numpy as np
+import pytest
+
+from sketchlib.bloom import Bloom
+from sketchlib.cms import CMS
+from sketchlib.hll import HLL
+from sketchlib.kll import KLL
+
+
+def _split_build(cls_kwargs, cls, values, n_parts, update="update_batch"):
+    """Build via n_parts partial sketches + serde + merge (distributed path)."""
+    parts = np.array_split(values, n_parts)
+    sks = []
+    for p in parts:
+        s = cls(**cls_kwargs)
+        getattr(s, update)(p)
+        sks.append(cls.deserialize(s.serialize()))
+    out = sks[0]
+    for s in sks[1:]:
+        out.merge(s)
+    return out
+
+
+# --- HLL ----------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("true_n", [100, 5_000, 200_000])
+def test_hll_estimate_within_tolerance(true_n):
+    rng = np.random.default_rng(42)
+    vals = rng.choice(10 * true_n, size=true_n, replace=False)
+    h = _split_build({"p": 14}, HLL, vals, 8)
+    est = h.estimate()
+    assert abs(est - true_n) / true_n < 0.03, (true_n, est)
+
+
+def test_hll_merge_is_union():
+    rng = np.random.default_rng(1)
+    a_vals = rng.integers(0, 100_000, 50_000)
+    b_vals = rng.integers(50_000, 150_000, 50_000)
+    a = HLL()
+    a.update_batch(a_vals)
+    b = HLL()
+    b.update_batch(b_vals)
+    true_union = len(set(a_vals.tolist()) | set(b_vals.tolist()))
+    merged = a.merge(b)
+    assert abs(merged.estimate() - true_union) / true_union < 0.03
+
+
+def test_hll_merge_idempotent_and_commutative():
+    rng = np.random.default_rng(2)
+    xs = rng.integers(0, 10_000, 20_000)
+    a = HLL()
+    a.update_batch(xs)
+    b = HLL.deserialize(a.serialize())
+    assert a.merge(b).serialize() == b.serialize()  # idempotent
+
+
+def test_hll_sparse_serde():
+    h = HLL()
+    h.update_batch(np.arange(50))
+    data = h.serialize()
+    assert data[:4] == b"HLS1"  # sparse encoding for small cardinality
+    assert len(data) < 1000
+    h2 = HLL.deserialize(data)
+    assert np.array_equal(h2.registers, h.registers)
+    big = HLL()
+    big.update_batch(np.arange(100_000))
+    assert big.serialize()[:4] == b"HLD1"  # dense when registers are full
+    assert np.array_equal(HLL.deserialize(big.serialize()).registers, big.registers)
+
+
+def test_hll_small_exact_range():
+    h = HLL()
+    h.update_batch(np.arange(300))
+    assert abs(h.estimate() - 300) / 300 < 0.02  # linear-counting regime
+
+
+# --- CMS ----------------------------------------------------------------------
+
+
+def test_cms_bounds_on_zipf():
+    rng = np.random.default_rng(42)
+    vals = rng.zipf(1.3, 100_000) % 5000
+    c = _split_build({"eps": 0.001, "confidence": 0.99}, CMS, vals, 8)
+    uniq, true_counts = np.unique(vals, return_counts=True)
+    est = c.query(uniq)
+    assert np.all(est >= true_counts)  # never undercounts
+    assert np.all(est <= true_counts + c.eps * c.total)  # w.h.p. bound
+
+
+def test_cms_merge_additive():
+    xs = np.array([1, 1, 2, 3])
+    ys = np.array([1, 4])
+    a = CMS(width=1024, depth=4)
+    a.update_batch(xs)
+    b = CMS(width=1024, depth=4)
+    b.update_batch(ys)
+    a.merge(b)
+    assert a.query(np.array([1]))[0] >= 3
+    assert a.total == 6
+
+
+def test_cms_weighted_update():
+    a = CMS(width=2048, depth=5)
+    a.update_batch_weighted(np.array([10, 20]), np.array([7, 3]))
+    assert a.query(np.array([10]))[0] >= 7
+    assert a.total == 10
+
+
+def test_cms_mismatch_raises():
+    with pytest.raises(ValueError):
+        CMS(width=64, depth=2).merge(CMS(width=128, depth=2))
+
+
+# --- Bloom ----------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_fpr():
+    rng = np.random.default_rng(42)
+    members = rng.choice(2_000_000, size=50_000, replace=False)
+    held_out = np.setdiff1d(rng.choice(4_000_000, size=60_000, replace=False), members)
+    b = _split_build({"expected_n": 50_000, "fpr": 0.01}, Bloom, members, 8)
+    assert bool(np.all(b.contains(members)))  # zero false negatives
+    fpr = float(np.mean(b.contains(held_out)))
+    assert fpr <= 0.02, fpr  # 2x margin over configured 1%
+
+
+def test_bloom_serde_roundtrip():
+    b = Bloom(expected_n=1000, fpr=0.01)
+    b.update_batch(np.arange(500))
+    b2 = Bloom.deserialize(b.serialize())
+    assert np.array_equal(b2.bits, b.bits)
+    assert b2.n_added == 500
+    assert bool(np.all(b2.contains(np.arange(500))))
+
+
+# --- KLL ----------------------------------------------------------------------
+
+
+def test_kll_rank_error_bound():
+    rng = np.random.default_rng(42)
+    xs = rng.random(200_000)
+    k = _split_build({"k": 200}, KLL, xs, 16)
+    assert k.n == 200_000
+    for p in [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]:
+        est = float(k.quantile([p])[0])
+        rank = np.searchsorted(np.sort(xs), est) / len(xs)
+        assert abs(rank - p) < 0.015, (p, rank)
+
+
+def test_kll_serde_and_merge_preserve_weight():
+    rng = np.random.default_rng(3)
+    a = KLL()
+    a.update_batch(rng.random(10_000))
+    b = KLL.deserialize(a.serialize())
+    assert b.n == a.n
+    assert float(b.quantile([0.5])[0]) == float(a.quantile([0.5])[0])
+    total_w = sum(2 ** h * len(buf) for h, buf in enumerate(b.levels))
+    assert total_w == b.n  # compaction conserves total weight
+
+
+def test_kll_bounded_size():
+    rng = np.random.default_rng(4)
+    k = KLL(k=200)
+    for chunk in np.array_split(rng.random(500_000), 50):
+        k.update_batch(chunk)
+    stored = sum(len(b) for b in k.levels)
+    assert stored < 1200, stored  # O(k log(n/k)) items retained
