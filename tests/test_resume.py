@@ -1,0 +1,114 @@
+"""Checkpoint/resume (north rule): a killed run resumes without recomputing
+finished partitions, and the final digest is byte-identical to an
+uninterrupted run.  Plus salted tree-merge equivalence."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_MED
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_MED}/documents.parquet")
+
+
+def _final_digests(ck):
+    return {r["key"]: bytes(r["digest"]) for r in ck.finalize().collect()}
+
+
+def test_resume_after_kill_byte_identical(spark, docs, tmp_path):
+    from sketchlib.spark.checkpoint import TDigestCheckpointer
+
+    kw = dict(
+        spark=spark, keys=["lang"], value_col="n_chars", id_col="doc_id",
+        n_parts=16, delta=0.0,
+    )
+    # uninterrupted run
+    clean = TDigestCheckpointer(ckpt_path=str(tmp_path / "clean"), **kw)
+    assert clean.run(docs) == 16
+    want = _final_digests(clean)
+
+    # killed after 5 partitions, then resumed
+    ck = TDigestCheckpointer(ckpt_path=str(tmp_path / "crash"), **kw)
+    assert ck.run(docs, fail_after_parts=5) == 5
+    # resume processes only the remaining 11
+    resumed = TDigestCheckpointer(ckpt_path=str(tmp_path / "crash"), **kw)
+    assert resumed.run(docs) == 11
+    # third run: nothing left
+    assert TDigestCheckpointer(ckpt_path=str(tmp_path / "crash"), **kw).run(docs) == 0
+    assert _final_digests(resumed) == want
+
+
+def test_checkpoint_rows_carry_lineage_and_metrics(spark, docs, tmp_path):
+    from sketchlib.spark.checkpoint import TDigestCheckpointer
+
+    ck = TDigestCheckpointer(
+        spark=spark, ckpt_path=str(tmp_path / "ck"), keys=["lang"],
+        value_col="n_chars", id_col="doc_id", n_parts=8, delta=0.01,
+    )
+    ck.run(docs)
+    rows = spark.read.parquet(str(tmp_path / "ck"))
+    assert rows.where(F.col("rows") <= 0).count() == 0
+    assert rows.where(F.col("wall_ms") < 0).count() == 0
+    r = rows.first()
+    assert "tdigest(delta=0.01" in r["lineage"]
+    assert r["input_snapshot"].startswith("files=")
+    # every (part, key) pair appears exactly once
+    assert (
+        rows.groupBy("part_id", "key").count().where(F.col("count") > 1).count() == 0
+    )
+    # metrics: total checkpointed rows == input rows
+    per_part = rows.dropDuplicates(["part_id"]).agg(F.sum("rows")).collect()[0][0]
+    assert per_part == docs.count()
+
+
+def test_tree_merge_equals_flat_merge_exact_mode(spark, docs):
+    from sketchlib.spark.plan import tdigest_aggregate_skewed, tree_merge_tdigest
+    from sketchlib.spark.tdigest_ops import tdigest_aggregate, tdigest_partials
+
+    flat = {
+        r["lang"]: bytes(r["digest"])
+        for r in tdigest_aggregate(docs, ["lang"], "n_chars", delta=0.0).collect()
+    }
+    partials = tdigest_partials(docs.repartition(32), ["lang"], "n_chars", delta=0.0)
+    tree = {
+        r["lang"]: bytes(r["digest"])
+        for r in tree_merge_tdigest(partials, ["lang"], delta=0.0, fanin=4).collect()
+    }
+    assert tree == flat
+    skewed = {
+        r["lang"]: bytes(r["digest"])
+        for r in tdigest_aggregate_skewed(
+            docs.repartition(32), ["lang"], "n_chars", delta=0.0, fanin=4
+        ).collect()
+    }
+    assert skewed == flat
+
+
+def test_tree_merge_compressed_within_bound(spark, docs):
+    import numpy as np
+
+    import duckdb
+    from sketchlib.spark.plan import tdigest_aggregate_skewed
+    from sketchlib.spark.tdigest_ops import tdigest_quantiles_udf
+
+    dig = tdigest_aggregate_skewed(
+        docs.repartition(32), ["lang"], "n_chars", delta=0.01, fanin=4
+    )
+    q = tdigest_quantiles_udf([0.5, 0.99])
+    rows = dig.withColumn("qs", q("digest")).collect()
+    for r in rows:
+        vals = np.sort(
+            duckdb.sql(
+                f"SELECT CAST(n_chars AS DOUBLE) v FROM "
+                f"read_parquet('{SF_MED}/documents.parquet') WHERE lang='{r['lang']}'"
+            ).fetchnumpy()["v"]
+        )
+        for p, est in zip([0.5, 0.99], r["qs"]):
+            rank = np.searchsorted(vals, est) / len(vals)
+            assert abs(rank - p) < 0.02, (r["lang"], p, rank)
