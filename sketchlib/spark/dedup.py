@@ -1,0 +1,286 @@
+"""Deduplication operators for training-data pipelines (task mandate: exact,
+MinHash+LSH, SimHash, n-gram Jaccard).
+
+Scale design (100 TB / 10^12 docs):
+
+- **exact**: groupBy(md5(text)) — the hash is 16 bytes, so the shuffle
+  carries hashes + ids, never text.  Keeper = min(doc_id) per hash group.
+- **n-gram Jaccard (exact pairs)**: shingle self-join.  Inherently
+  O(sum of shingle-bucket^2); it is the *verification* oracle, not the
+  discovery path — at scale it only ever runs on LSH candidate subsets.
+- **MinHash+LSH (discovery path)**: signatures are computed entirely
+  JVM-side — xxhash64 per shingle, then 64 universal-hash permutations as 64
+  ``min()`` aggregate expressions (no Python worker in the signature scan).
+  Banding (16 bands x 4 rows) turns near-dup search into an equi-join on
+  (band, band_hash): shuffle volume is docs x 16 tiny rows.  Candidates are
+  then exactly verified with true Jaccard, so false positives are impossible
+  and the only approximation is recall (P[miss | J=0.9] ~= 4e-8 at these
+  parameters).
+- **SimHash**: 60-bit signature from md5-derived token hashes (md5 so the
+  DuckDB oracle can reproduce it bit-for-bit; xxhash64 would be faster but
+  is Spark-only).  Hamming-distance<=d pair search uses (d+1)-band blocking,
+  which is *complete* by pigeonhole — a pair within d bit flips must agree
+  on at least one of d+1 disjoint bands — so blocked search equals the
+  brute-force cross join exactly, at equi-join cost.
+
+Everything is built-in ``pyspark.sql.functions`` — JVM-side codegen, no
+Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from sketchlib.spark.textops import with_tokens
+
+# deterministic multipliers/offsets for the 64 minhash permutations
+# h_i(x) = (A[i]*x + B[i]) mod 2^31-1 — the 31-bit Mersenne prime keeps every
+# intermediate product < 2^62, inside int64 (Spark ANSI overflow-safe); a
+# 31-bit hash space is ample for minhash collision rates (P[collision] ~ n/2^31
+# per shingle pair)
+_MERSENNE = (1 << 31) - 1
+
+
+def _perm_consts(num_perm: int) -> list[tuple[int, int]]:
+    consts = []
+    a, b = 0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F
+    for i in range(num_perm):
+        a = (a * 6364136223846793005 + 1442695040888963407) % _MERSENNE
+        b = (b * 6364136223846793005 + 1442695040888963407) % _MERSENNE
+        consts.append(((a | 1) % _MERSENNE, b))
+    return consts
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_keepers(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Exact duplicate grouping by content hash: every doc is assigned the
+    minimum doc_id of its identical-text group (its own id when unique).
+    ``filter(doc_id != keeper_id)`` is the drop set."""
+    h = F.md5(F.encode(F.col(text_col), "UTF-8"))
+    w = Window.partitionBy("content_hash")
+    return (
+        df.select(F.col(id_col), h.alias("content_hash"))
+        .withColumn("keeper_id", F.min(id_col).over(w))
+        .withColumn("group_size", F.count("*").over(w).cast("long"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingles + exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def shingle_sets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                 ngram: int = 3) -> DataFrame:
+    """(id, shingle) distinct pairs; shingles are word n-grams joined by a
+    single space.  Documents with fewer than ``ngram`` tokens contribute one
+    whole-text shingle."""
+    d = with_tokens(df.select(id_col, text_col), text_col)
+    sh = F.when(
+        F.size("tokens") >= ngram,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tokens") - (ngram - 1)),
+                lambda i: F.concat_ws(" ", F.slice("tokens", i, ngram)),
+            )
+        ),
+    ).otherwise(F.array(F.col(text_col)))
+    return d.select(F.col(id_col), F.explode(sh).alias("shingle"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard >= threshold via shingle self-join.
+
+    ``candidates``: optional (a_id, b_id) frame restricting the pair space —
+    the LSH verification mode.  Jaccard is emitted as one division of exact
+    integer counts (bit-identical across engines).
+    """
+    sh = shingle_sets(df, id_col, text_col, ngram).cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("a_id"), "shingle")
+    b = sh.select(F.col(id_col).alias("b_id"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    if candidates is not None:
+        common = common.join(candidates, ["a_id", "b_id"], "left_semi")
+    out = (
+        common.join(sizes.withColumnRenamed(id_col, "a_id")
+                    .withColumnRenamed("n_sh", "n_a"), "a_id")
+        .join(sizes.withColumnRenamed(id_col, "b_id")
+              .withColumnRenamed("n_sh", "n_b"), "b_id")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "n_common", "n_a", "n_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", ngram: int = 3,
+                       num_perm: int = 64) -> DataFrame:
+    """MinHash signatures computed entirely JVM-side: xxhash64 per distinct
+    shingle, then ``num_perm`` universal-hash mins as aggregate expressions.
+    Output: (id, sig array<long> of length num_perm)."""
+    sh = shingle_sets(df, id_col, text_col, ngram)
+    h = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE)).alias("h")
+    hashed = sh.select(F.col(id_col), h)
+    mins = [
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"m{i}")
+        for i, (a, b) in enumerate(_perm_consts(num_perm))
+    ]
+    agg = hashed.groupBy(id_col).agg(*mins)
+    return agg.select(
+        F.col(id_col), F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                        bands: int = 16, rows_per_band: int = 4) -> DataFrame:
+    """Band the signatures and emit distinct (a_id, b_id) candidate pairs
+    (a < b) that collide in at least one band.  The band join shuffles only
+    (band, hash, id) rows."""
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bnd: F.struct(
+                    bnd.alias("band"),
+                    F.xxhash64(
+                        bnd, F.slice("sig", bnd * rows_per_band + 1, rows_per_band)
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.bh")
+    l = banded.select(F.col(id_col).alias("a_id"), "band", "bh")
+    r = banded.select(F.col(id_col).alias("b_id"), "band", "bh")
+    return (
+        l.join(r, ["band", "bh"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """The full discovery path: MinHash -> LSH banding -> exact Jaccard
+    verification of candidates.  No false positives; recall loss bounded by
+    the banding curve (1-(1-t^r)^b)."""
+    sigs = minhash_signatures(df, id_col, text_col, ngram, num_perm)
+    cand = lsh_candidate_pairs(sigs, id_col, bands, num_perm // bands)
+    return ngram_jaccard_pairs(df, threshold, id_col, text_col, ngram,
+                               candidates=cand)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # fits a signed 64-bit int; 15 hex chars of md5
+
+
+def _token_hash60(col):
+    """First 60 bits of md5 of the token, as bigint — reproducible in any
+    engine with md5 + hex parsing (DuckDB: ('0x'||substr(md5(w),1,15))::BIGINT)."""
+    return F.conv(F.substring(F.md5(F.encode(col, "UTF-8")), 1, 15), 16, 10).cast("long")
+
+
+def simhash_docs(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """60-bit SimHash over the token multiset: bit j of the signature is set
+    iff the occurrence-weighted sum of (+1 / -1) for bit j over all token
+    hashes is >= 0.  Pure built-ins: explode -> 60 conditional integer sums.
+    """
+    toks = (
+        with_tokens(df.select(id_col, text_col), text_col)
+        .select(F.col(id_col), F.explode("tokens").alias("word"))
+        .select(id_col, _token_hash60(F.col("word")).alias("h"))
+    )
+    sums = [
+        F.sum(
+            F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy(id_col).agg(*sums)
+    sig = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{j}") >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ) * F.lit(1 << j).cast("long")
+        sig = bit if sig is None else sig + bit
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_hamming_pairs(df: DataFrame, max_dist: int = 3,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """All pairs within Hamming distance ``max_dist`` of their SimHash.
+
+    Blocking: split the 60-bit signature into ``max_dist+1`` disjoint bands;
+    any pair within max_dist flips agrees exactly on >=1 band (pigeonhole),
+    so the band equi-join is lossless and the final bit_count filter makes
+    the result identical to the brute-force cross join."""
+    sigs = simhash_docs(df, id_col, text_col).cache()
+    nb = max_dist + 1
+    width = SIMHASH_BITS // nb
+    mask = (1 << width) - 1
+    banded = sigs.select(
+        F.col(id_col).alias("id"),
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(k).alias("band"),
+                    F.shiftright("simhash", k * width).bitwiseAND(F.lit(mask))
+                    .alias("bh"),
+                )
+                for k in range(nb)
+            ])
+        ).alias("bk"),
+    ).select("id", "simhash", "bk.band", "bk.bh")
+    l = banded.select(F.col("id").alias("a_id"), F.col("simhash").alias("sa"),
+                      "band", "bh")
+    r = banded.select(F.col("id").alias("b_id"), F.col("simhash").alias("sb"),
+                      "band", "bh")
+    return (
+        l.join(r, ["band", "bh"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id",
+                F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_dist)
+    )

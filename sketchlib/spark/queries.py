@@ -316,6 +316,220 @@ def q_kll_nearest_rank_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("lang", *PS_DISCRETE.keys())
 
 
+# ---------------------------------------------------------------------------
+# Training-data pipeline ops: text analysis, dedup, similarity search
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = "['a','the','and','of','to','in']"
+_TOKS = "list_filter(string_split(text, ' '), w -> w != '')"
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sketchlib.spark.textops import token_stats
+
+    return token_stats(load(spark, sf_dir, "documents"))
+
+
+def q_text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sketchlib.spark.textops import quality_by_lang
+
+    return quality_by_lang(load(spark, sf_dir, "documents"))
+
+
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sketchlib.spark.textops import lang_id_confusion
+
+    return lang_id_confusion(load(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sketchlib.spark.textops import fingerprint_docs
+
+    return fingerprint_docs(load(spark, sf_dir, "documents"))
+
+
+def q_dedup_exact_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sketchlib.spark.dedup import exact_dedup_keepers
+
+    return exact_dedup_keepers(load(spark, sf_dir, "documents"))
+
+
+def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sketchlib.spark.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH discovery + exact verification; oracle is the exact-Jaccard pair
+    SQL — equality holds because candidate recall is 1.0 at these params on
+    well-separated planted near-dups (P[miss | J=0.9] ~= 4e-8)."""
+    from sketchlib.spark.dedup import minhash_lsh_dedup_pairs
+
+    return minhash_lsh_dedup_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sketchlib.spark.dedup import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(load(spark, sf_dir, "documents"), max_dist=3).select(
+        "a_id", "b_id", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sketchlib.spark.ann import topk_neighbors
+
+    emb = load(spark, sf_dir, "embeddings")
+    return topk_neighbors(emb, query_ids=list(range(8)), k=10)
+
+
+def q_emb_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sketchlib.spark.ann import cosine_pairs_exact
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_pairs_exact(emb, threshold=0.45)
+
+
+def _token_stats_sql() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents)
+SELECT doc_id,
+  len(tk)::BIGINT AS n_tokens,
+  len(list_distinct(tk))::BIGINT AS n_uniq_tokens,
+  len(list_filter(tk, w -> list_contains({_STOP_SQL}, w)))::BIGINT AS n_stopwords,
+  list_max(list_transform(tk, w -> length(w)))::BIGINT AS max_token_len,
+  list_sum(list_transform(tk, w -> length(w)))::BIGINT AS n_chars_nospace
+FROM t
+"""
+
+
+def _quality_sql() -> str:
+    return f"""
+WITH t AS (SELECT lang, {_TOKS} AS tk FROM documents),
+per AS (
+  SELECT lang,
+    len(tk)::BIGINT AS n_tokens,
+    len(list_distinct(tk))::BIGINT AS n_uniq,
+    len(list_filter(tk, w -> list_contains({_STOP_SQL}, w)))::BIGINT AS n_stop,
+    list_sum(list_transform(tk, w -> length(w)))::BIGINT AS n_chars
+  FROM t
+)
+SELECT lang, count(*) AS n_docs, sum(n_tokens)::BIGINT AS sum_tokens,
+  sum(n_stop)::DOUBLE / sum(n_tokens)::DOUBLE AS stopword_ratio,
+  sum(n_uniq)::DOUBLE / sum(n_tokens)::DOUBLE AS uniq_ratio,
+  sum(n_chars)::DOUBLE / sum(n_tokens)::DOUBLE AS mean_token_len
+FROM per GROUP BY lang
+"""
+
+
+def _lang_id_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest({_TOKS}) AS word FROM documents
+), profile AS (
+  SELECT lang AS cand, word, count(*) AS cnt FROM toks GROUP BY 1, 2
+), scores AS (
+  SELECT t.doc_id, p.cand, sum(p.cnt) AS score
+  FROM toks t JOIN profile p USING (word) GROUP BY 1, 2
+), pred AS (
+  SELECT doc_id, cand AS predicted FROM (
+    SELECT doc_id, cand,
+           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
+    FROM scores) WHERE rn = 1
+)
+SELECT d.lang, p.predicted, count(*) AS n_docs
+FROM documents d JOIN pred p USING (doc_id) GROUP BY 1, 2
+"""
+
+
+def _fingerprint_sql() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS tk FROM documents)
+SELECT doc_id,
+  CASE WHEN len(tk) >= 5 THEN
+    list_min(list_transform(range(1, len(tk) - 3),
+                            i -> substr(md5(array_to_string(tk[i:i+4], ' ')), 1, 16)))
+  ELSE substr(md5(text), 1, 16) END AS fingerprint,
+  len(tk)::BIGINT AS n_tokens
+FROM t
+"""
+
+
+def _jaccard_pairs_sql(threshold: float = 0.8) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS tk FROM documents),
+sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(tk) >= 3 THEN
+      list_distinct(list_transform(range(1, len(tk) - 1),
+                                   i -> array_to_string(tk[i:i+2], ' ')))
+    ELSE [text] END) AS shingle
+  FROM t
+), sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT a_id, b_id, n_common, x.n_sh AS n_a, y.n_sh AS n_b,
+       n_common / (x.n_sh + y.n_sh - n_common) AS jaccard
+FROM common JOIN sz x ON x.doc_id = a_id JOIN sz y ON y.doc_id = b_id
+WHERE n_common / (x.n_sh + y.n_sh - n_common) >= {threshold}
+"""
+
+
+def _simhash_pairs_sql(max_dist: int = 3) -> str:
+    from sketchlib.spark.dedup import SIMHASH_BITS
+
+    sums = ",\n    ".join(
+        f"sum(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s{j} >= 0 THEN {1 << j}::BIGINT ELSE 0::BIGINT END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS word FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS hv FROM toks
+), bits AS (
+  SELECT doc_id,
+    {sums}
+  FROM h GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, {sig} AS simhash FROM bits
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_dist}
+"""
+
+
+_ANN_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8
+), s AS (
+  SELECT q.qid, e.vec_id AS nid,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS sim
+  FROM embeddings e, q WHERE e.vec_id != q.qid
+)
+SELECT qid AS query_id,
+       row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid)::INT AS rank,
+       nid AS neighbor_id
+FROM s
+QUALIFY rank <= 10
+"""
+
+_COSINE_PAIRS_SQL = """
+SELECT a.vec_id AS a_id, b.vec_id AS b_id
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+"""
+
+
 QUERIES = {
     "td_quantiles_by_lang": q_td_quantiles_by_lang,
     "td_discrete_quantiles_by_lang": q_td_discrete_quantiles_by_lang,
@@ -328,6 +542,16 @@ QUERIES = {
     "cms_source_counts": q_cms_source_counts,
     "hll_users_by_type": q_hll_users_by_type,
     "kll_nearest_rank_by_lang": q_kll_nearest_rank_by_lang,
+    "text_token_stats": q_text_token_stats,
+    "text_quality_by_lang": q_text_quality_by_lang,
+    "lang_id_confusion": q_lang_id_confusion,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_exact_keepers": q_dedup_exact_keepers,
+    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+    "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
+    "dedup_simhash_hamming": q_dedup_simhash_hamming,
+    "ann_topk_cosine": q_ann_topk_cosine,
+    "emb_cosine_pairs": q_emb_cosine_pairs,
 }
 
 ORACLES = {
@@ -366,4 +590,19 @@ SELECT source, count(*) AS est_count FROM documents GROUP BY source
     "kll_nearest_rank_by_lang": _nearest_rank_sql(
         "documents", "lang", "n_chars", PS_DISCRETE
     ),
+    "text_token_stats": _token_stats_sql(),
+    "text_quality_by_lang": _quality_sql(),
+    "lang_id_confusion": _lang_id_sql(),
+    "doc_fingerprint": _fingerprint_sql(),
+    "dedup_exact_keepers": """
+SELECT doc_id, md5(text) AS content_hash,
+       min(doc_id) OVER (PARTITION BY text) AS keeper_id,
+       count(*) OVER (PARTITION BY text)::BIGINT AS group_size
+FROM documents
+""",
+    "dedup_jaccard_pairs": _jaccard_pairs_sql(0.8),
+    "dedup_minhash_lsh_pairs": _jaccard_pairs_sql(0.8),
+    "dedup_simhash_hamming": _simhash_pairs_sql(3),
+    "ann_topk_cosine": _ANN_TOPK_SQL,
+    "emb_cosine_pairs": _COSINE_PAIRS_SQL,
 }

@@ -1,0 +1,146 @@
+"""Text-analysis operators for training-data pipelines (task mandate:
+language-ID, quality scoring, token counting, document fingerprinting).
+
+Everything here is pure ``pyspark.sql.functions`` — JVM-side, inside
+whole-stage codegen, no Python workers.  At 100 TB these run at parquet-scan
+speed with full predicate pushdown / column pruning; the only shuffles are
+the final small aggregations (per-lang / per-source rows) and the tiny
+broadcast profile join in language-ID.
+
+Determinism discipline (driver gate hashes values): every floating-point
+output is a single division of two exactly-aggregated integer sums, so Spark
+and the DuckDB oracle produce bit-identical doubles regardless of
+partitioning / aggregation order.  No float is ever summed across rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+#: tiny fixed "function word" list used for the stopword-ratio quality
+#: signal (the synthetic corpus vocabulary includes these fillers).
+STOPWORDS = ["a", "the", "and", "of", "to", "in"]
+
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokenization (split + drop empties) — the shared front-end
+    of every operator in this module."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    return df.withColumn("tokens", toks)
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document token counting + quality counters (all exact integers):
+
+    n_tokens, n_uniq_tokens, n_stopwords, max_token_len, n_chars_nospace.
+    """
+    d = with_tokens(df, text_col)
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    return d.select(
+        F.col(id_col),
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("tokens")).cast("long").alias("n_uniq_tokens"),
+        F.size(F.filter("tokens", lambda w: F.array_contains(stop, w)))
+        .cast("long")
+        .alias("n_stopwords"),
+        F.array_max(F.transform("tokens", lambda w: F.length(w)))
+        .cast("long")
+        .alias("max_token_len"),
+        F.aggregate(
+            F.transform("tokens", lambda w: F.length(w).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n_chars_nospace"),
+    )
+
+
+def quality_by_lang(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus quality scoring per lang.  Ratios are one division of two
+    exact BIGINT sums — deterministic under any partitioning."""
+    stats = token_stats(with_tokens(df, text_col).select("lang", "doc_id", text_col), "doc_id")
+    joined = df.select("doc_id", "lang").join(stats, "doc_id")
+    agg = joined.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.sum("n_uniq_tokens").alias("sum_uniq_tokens"),
+        F.sum("n_stopwords").alias("sum_stopwords"),
+        F.sum("n_chars_nospace").alias("sum_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "sum_tokens",
+        (F.col("sum_stopwords") / F.col("sum_tokens")).alias("stopword_ratio"),
+        (F.col("sum_uniq_tokens") / F.col("sum_tokens")).alias("uniq_ratio"),
+        (F.col("sum_chars") / F.col("sum_tokens")).alias("mean_token_len"),
+    )
+
+
+def lang_id_confusion(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID by unigram frequency profile (the n-gram heuristic with
+    n=1 over a closed vocabulary), evaluated as a confusion matrix against
+    the labeled ``lang`` column.
+
+    Profile = occurrence count per (lang, word) over the corpus (a tiny
+    langs x vocab table — broadcast).  A document's score for candidate
+    language L is the integer sum of profile counts of its tokens; the
+    prediction is the max-score language, ties broken lexicographically.
+    At scale: tokens explode is map-side; the profile join is a broadcast
+    hash join; the only wide shuffle is groupBy(doc_id, cand) on integer
+    rows.
+    """
+    toks = (
+        with_tokens(df.select("doc_id", "lang", text_col), text_col)
+        .select("doc_id", "lang", F.explode("tokens").alias("word"))
+    )
+    profile = toks.groupBy(F.col("lang").alias("cand"), "word").agg(
+        F.count("*").alias("cnt")
+    )
+    scores = (
+        toks.select("doc_id", "word")
+        .join(F.broadcast(profile), "word")
+        .groupBy("doc_id", "cand")
+        .agg(F.sum("cnt").alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand"))
+    pred = (
+        scores.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", F.col("cand").alias("predicted"))
+    )
+    return (
+        df.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def fingerprint_docs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", ngram: int = 5
+) -> DataFrame:
+    """Document fingerprinting: winnowing-style — the minimum hash over the
+    document's word ``ngram``-shingles, where the shingle hash is the first
+    16 hex chars of md5 (engine-portable, unlike xxhash64 which DuckDB
+    lacks).  Documents shorter than ``ngram`` tokens hash the whole text.
+
+    A fingerprint collision is a strong near-duplicate containment signal
+    (it is MinHash with one permutation); groupBy(fingerprint) is the
+    cheapest first-pass near-dup blocking key at 100 TB scale.
+    """
+    d = with_tokens(df.select(id_col, text_col), text_col)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size("tokens") - (ngram - 1)),
+        lambda i: F.substring(
+            F.md5(F.encode(F.concat_ws(" ", F.slice("tokens", i, ngram)), "UTF-8")),
+            1,
+            16,
+        ),
+    )
+    return d.select(
+        F.col(id_col),
+        F.when(F.size("tokens") >= ngram, F.array_min(sh))
+        .otherwise(F.substring(F.md5(F.encode(F.col(text_col), "UTF-8")), 1, 16))
+        .alias("fingerprint"),
+        F.size("tokens").cast("long").alias("n_tokens"),
+    )

@@ -156,6 +156,50 @@ def compress_centroids(
     return np.asarray(out_means), np.asarray(out_ns)
 
 
+def compress_centroids_vec(
+    means: np.ndarray,
+    ns: np.ndarray,
+    delta: float,
+    discrete: bool = False,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fully-vectorized deterministic compression on the logit grid — the
+    closed form of the same k1-family capacity rule.
+
+    The reference caps a centroid at midpoint quantile q at
+    ``4·N·δ·q·(1−q)`` weight (src/tdigest.ml:254-256).  A cluster of that
+    weight spans Δq ≈ 4δ·q(1−q) of rank space, and since
+    d(logit q)/dq = 1/(q(1−q)), clusters of exactly that width are the cells
+    of a *fixed uniform grid in logit space* with cell size 4δ.  So instead
+    of a sequential greedy pass, assign every input centroid to bucket
+    ``floor(logit(q_mid)/(4δ))`` and merge within buckets — one vectorized
+    pass (cumsum → log → reduceat), no Python loop.  Same error class as the
+    greedy rule (interpolation rank error ≤ 2δ·q(1−q) ≤ δ/2); the logit
+    grid's blow-up at q→0/1 gives automatic tail protection, and the first/
+    last centroids are additionally forced to be singletons so digest
+    min/max stay exact (reference invariant, test/test_tdigest.ml:58-65).
+
+    Deterministic: output is a pure function of the (sorted, unique-mean)
+    input multiset.  Used by the production ``MergingDigest``; the
+    sequential ``TDigest`` keeps the per-centroid greedy pass for
+    reference-insertion parity.
+    """
+    m = len(means)
+    if discrete or delta <= 0.0 or m <= 3:
+        return means, ns
+    W = np.cumsum(ns)
+    total = W[-1]
+    q_mid = (W - ns * 0.5) / total
+    bucket = np.floor(np.log(q_mid / (1.0 - q_mid)) / (4.0 * delta))
+    starts = np.flatnonzero(np.r_[True, bucket[1:] != bucket[:-1]])
+    # min/max centroids always own clusters
+    starts = np.union1d(starts, [1, m - 1])
+    seg_n = np.add.reduceat(ns, starts)
+    seg_mean = np.add.reduceat(means * ns, starts) / seg_n
+    seg_mean[0] = means[0]
+    seg_mean[-1] = means[-1]
+    return seg_mean, seg_n
+
+
 # ---------------------------------------------------------------------------
 # Queries (vectorized; shared by both paths)
 # Reference: percentile src/tdigest.ml:437-456, p_rank src/tdigest.ml:460-485
@@ -588,7 +632,7 @@ class MergingDigest:
         self,
         delta: float = DEFAULT_DELTA,
         discrete: bool = False,
-        buffer_size: int = 32768,
+        buffer_size: int = 131072,
         max_size: int | None = None,
     ) -> None:
         self.delta = float(delta)
@@ -633,7 +677,7 @@ class MergingDigest:
             return
         means, ns = merge_centroid_arrays(parts)
         if compress and not self.discrete and self.max_size is not None and len(means) > self.max_size:
-            means, ns = compress_centroids(means, ns, self.delta, self.discrete)
+            means, ns = compress_centroids_vec(means, ns, self.delta, self.discrete)
         self._means, self._ns = means, ns
         self._buf_v, self._buf_w, self._buf_len = [], [], 0
 
@@ -657,14 +701,14 @@ class MergingDigest:
         """Deterministic final compression (idempotent for a fixed multiset)."""
         self._flush(compress=False)
         d = self.delta if delta is None else delta
-        self._means, self._ns = compress_centroids(self._means, self._ns, d, self.discrete)
+        self._means, self._ns = compress_centroids_vec(self._means, self._ns, d, self.discrete)
         return self
 
     def serialize(self) -> bytes:
         self._flush(compress=False)
         if self.max_size is not None and len(self._means) > 4 * self.max_size:
             # hard cap for partials at scale; documented bound-level equality
-            self._means, self._ns = compress_centroids(
+            self._means, self._ns = compress_centroids_vec(
                 self._means, self._ns, self.delta, self.discrete
             )
         return centroids_to_bytes(self._means, self._ns)

@@ -1,0 +1,97 @@
+"""Similarity search: brute-force top-k, cosine pairs, sign-LSH scale path."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+
+
+def _matrix(spark):
+    rows = _emb(spark).orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    return ids, mat
+
+
+def test_topk_matches_bruteforce(spark):
+    from sketchlib.spark.ann import topk_neighbors
+
+    ids, mat = _matrix(spark)
+    qids = [int(i) for i in ids[:5]]
+    got = {}
+    for r in topk_neighbors(_emb(spark), qids, k=8).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    for qid in qids:
+        qv = mat[ids == qid][0]
+        sims = mat @ qv
+        order = [
+            int(ids[j])
+            for j in sorted(range(len(ids)), key=lambda j: (-sims[j], ids[j]))
+            if ids[j] != qid
+        ][:8]
+        assert [n for _, n in sorted(got[qid])] == order, qid
+
+
+def test_cosine_pairs_match_bruteforce(spark):
+    from sketchlib.spark.ann import cosine_pairs_exact
+
+    ids, mat = _matrix(spark)
+    S = mat @ mat.T
+    want = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if S[i, j] >= 0.45
+    }
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in cosine_pairs_exact(_emb(spark), threshold=0.45).collect()
+    }
+    assert got == want
+
+
+def test_signlsh_finds_planted_neardups(spark):
+    """Plant 10 near-duplicate vectors (tiny perturbations); sign-LSH must
+    recover them with perfect precision and near-perfect recall."""
+    from sketchlib.spark.ann import signrandom_lsh_pairs
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((200, 64))
+    planted = []
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, v.astype(float).tolist()))
+    for k in range(10):
+        twin_id = 1000 + k
+        noisy = base[k] + 0.01 * rng.standard_normal(64)
+        rows.append((twin_id, noisy.astype(float).tolist()))
+        planted.append((k, twin_id))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in signrandom_lsh_pairs(df, threshold=0.98, bands=16).collect()
+    }
+    # precision: every reported pair really is >= 0.98 cosine
+    mat = {i: np.array(v) / np.linalg.norm(v) for i, v in rows}
+    for a, b in got:
+        assert float(mat[a] @ mat[b]) >= 0.98
+    # recall on planted twins
+    found = sum(1 for p in planted if p in got)
+    assert found >= 9, f"recall too low: {found}/10"
+
+
+def test_signatures_deterministic(spark):
+    from sketchlib.spark.ann import signrandom_signatures
+
+    a = {r["id"]: r["sig"] for r in signrandom_signatures(_emb(spark)).collect()}
+    b = {
+        r["id"]: r["sig"]
+        for r in signrandom_signatures(_emb(spark).repartition(7)).collect()
+    }
+    assert a == b

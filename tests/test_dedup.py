@@ -1,0 +1,118 @@
+"""Dedup operators: exact, n-gram Jaccard, MinHash+LSH, SimHash."""
+
+import itertools
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+
+
+def _jaccard(a: str, b: str, n: int = 3) -> float:
+    def sh(t):
+        toks = [w for w in t.split(" ") if w]
+        if len(toks) < n:
+            return {t}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_dedup_keepers(spark):
+    from sketchlib.spark.dedup import exact_dedup_keepers
+
+    df = spark.createDataFrame(
+        [(1, "x y z"), (2, "x y z"), (5, "a b c"), (3, "x y z"), (9, "q")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["keeper_id"], r["group_size"])
+           for r in exact_dedup_keepers(df).collect()}
+    assert got == {1: (1, 3), 2: (1, 3), 3: (1, 3), 5: (5, 1), 9: (9, 1)}
+
+
+def test_jaccard_pairs_match_bruteforce(spark):
+    from sketchlib.spark.dedup import ngram_jaccard_pairs
+
+    rows = {r["doc_id"]: r["text"] for r in _docs(spark).collect()}
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(rows), 2)
+        if _jaccard(rows[a], rows[b]) >= 0.8
+    }
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in ngram_jaccard_pairs(_docs(spark), threshold=0.8).collect()
+    }
+    assert got == want
+    assert len(got) > 0  # the corpus plants near-duplicates
+
+
+def test_minhash_lsh_equals_exact_pairs(spark):
+    """Discovery path (LSH) must find every planted near-dup: its verified
+    output equals the exact-Jaccard pair set."""
+    from sketchlib.spark.dedup import minhash_lsh_dedup_pairs, ngram_jaccard_pairs
+
+    exact = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(_docs(spark), threshold=0.8).collect()
+    }
+    lsh = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in minhash_lsh_dedup_pairs(_docs(spark), threshold=0.8).collect()
+    }
+    assert lsh == exact
+
+
+def test_minhash_signature_partition_invariant(spark):
+    from sketchlib.spark.dedup import minhash_signatures
+
+    a = {r["doc_id"]: r["sig"] for r in minhash_signatures(_docs(spark)).collect()}
+    b = {
+        r["doc_id"]: r["sig"]
+        for r in minhash_signatures(_docs(spark).repartition(17)).collect()
+    }
+    assert a == b
+
+
+def test_simhash_hamming_pairs_complete(spark):
+    """Banded blocking must equal the brute-force cross join (pigeonhole
+    completeness for hamming <= 3 over 4 bands)."""
+    from sketchlib.spark.dedup import simhash_docs, simhash_hamming_pairs
+
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_docs(_docs(spark)).collect()}
+    want = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for a, b in itertools.combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in simhash_hamming_pairs(_docs(spark), max_dist=3).collect()
+    }
+    assert got == want
+
+
+def test_simhash_matches_python(spark):
+    """Spark simhash == pure-Python simhash (same md5-derived token hash)."""
+    import hashlib
+
+    from sketchlib.spark.dedup import SIMHASH_BITS, simhash_docs
+
+    from pyspark.sql import functions as F
+
+    rows = {r["doc_id"]: r["text"] for r in _docs(spark).limit(50).collect()}
+    sub = _docs(spark).filter(F.col("doc_id").isin(list(rows)))
+    got = {r["doc_id"]: r["simhash"] for r in simhash_docs(sub).collect()}
+
+    for doc_id, text in rows.items():
+        sums = [0] * SIMHASH_BITS
+        for w in (w for w in text.split(" ") if w):
+            hv = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+            for j in range(SIMHASH_BITS):
+                sums[j] += 1 if (hv >> j) & 1 else -1
+        sig = sum(1 << j for j in range(SIMHASH_BITS) if sums[j] >= 0)
+        assert got[doc_id] == sig, doc_id

@@ -1,0 +1,73 @@
+"""Text-analysis operators: token stats, quality, lang-ID, fingerprints."""
+
+import hashlib
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+
+
+def test_token_stats_matches_python(spark):
+    from sketchlib.spark.textops import STOPWORDS, token_stats
+
+    rows = {r["doc_id"]: r["text"] for r in _docs(spark).collect()}
+    got = {r["doc_id"]: r.asDict() for r in token_stats(_docs(spark)).collect()}
+    assert set(got) == set(rows)
+    for doc_id, text in rows.items():
+        toks = [w for w in text.split(" ") if w]
+        g = got[doc_id]
+        assert g["n_tokens"] == len(toks)
+        assert g["n_uniq_tokens"] == len(set(toks))
+        assert g["n_stopwords"] == sum(1 for w in toks if w in STOPWORDS)
+        assert g["max_token_len"] == max(len(w) for w in toks)
+        assert g["n_chars_nospace"] == sum(len(w) for w in toks)
+
+
+def test_quality_partition_invariant(spark):
+    from sketchlib.spark.textops import quality_by_lang
+
+    a = {r["lang"]: r.asDict() for r in quality_by_lang(_docs(spark)).collect()}
+    b = {
+        r["lang"]: r.asDict()
+        for r in quality_by_lang(_docs(spark).repartition(13)).collect()
+    }
+    assert a == b  # exact (integer-sum-derived) doubles, order-independent
+
+
+def test_lang_id_total_preserved(spark):
+    from sketchlib.spark.textops import lang_id_confusion
+
+    conf = lang_id_confusion(_docs(spark)).collect()
+    assert sum(r["n_docs"] for r in conf) == _docs(spark).count()
+
+
+def test_fingerprint_matches_python(spark):
+    from sketchlib.spark.textops import fingerprint_docs
+
+    rows = {r["doc_id"]: r["text"] for r in _docs(spark).collect()}
+    got = {r["doc_id"]: r["fingerprint"] for r in fingerprint_docs(_docs(spark)).collect()}
+
+    def fp(text: str, ngram: int = 5) -> str:
+        toks = [w for w in text.split(" ") if w]
+        if len(toks) < ngram:
+            return hashlib.md5(text.encode()).hexdigest()[:16]
+        return min(
+            hashlib.md5(" ".join(toks[i : i + ngram]).encode()).hexdigest()[:16]
+            for i in range(len(toks) - ngram + 1)
+        )
+
+    for doc_id, text in rows.items():
+        assert got[doc_id] == fp(text), doc_id
+
+
+def test_fingerprint_short_doc(spark):
+    from sketchlib.spark.textops import fingerprint_docs
+
+    df = spark.createDataFrame([(1, "tiny doc")], "doc_id long, text string")
+    [r] = fingerprint_docs(df).collect()
+    assert r["fingerprint"] == hashlib.md5(b"tiny doc").hexdigest()[:16]
+    assert r["n_tokens"] == 2
