@@ -391,6 +391,46 @@ def q_emb_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs_exact(emb, threshold=0.45)
 
 
+def q_media_sniff_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: build deterministic binary media
+    payloads from documents, then parse the typed header back out of the
+    opaque binary column.  The oracle recomputes the metadata arithmetically
+    — any encode/decode drift breaks the match."""
+    from sketchlib.spark.media import sniff_media_meta, synth_media_from_docs
+
+    docs = load(spark, sf_dir, "documents")
+    return sniff_media_meta(synth_media_from_docs(docs))
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (1 row per sampled ts) over the synthetic
+    media payloads — the UDTF-style explosion that schedules decode work."""
+    from sketchlib.spark.media import sample_frames, synth_media_from_docs
+
+    docs = load(spark, sf_dir, "documents")
+    return sample_frames(synth_media_from_docs(docs), every_ms=7000)
+
+
+_MEDIA_META_SQL = """
+SELECT doc_id AS media_id,
+  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+  CASE WHEN doc_id % 3 = 1 THEN 0 ELSE (16 + (doc_id * 7919) % 1024) END::INT AS width,
+  CASE WHEN doc_id % 3 = 1 THEN 0 ELSE (16 + (doc_id * 104729) % 768) END::INT AS height,
+  CASE WHEN doc_id % 3 = 0 THEN 0 ELSE (1000 + (doc_id * 31) % 60000) END::INT AS duration_ms,
+  (16 + strlen(text))::BIGINT AS payload_bytes
+FROM documents
+"""
+
+_MEDIA_FRAMES_SQL = """
+WITH v AS (
+  SELECT doc_id AS media_id, (1000 + (doc_id * 31) % 60000) AS dur
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT media_id, i::INT AS frame_idx, (i * 7000)::INT AS ts_ms
+FROM v, unnest(range(0, (dur + 6999) // 7000)) AS u(i)
+"""
+
+
 def _token_stats_sql() -> str:
     return f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents)
@@ -552,6 +592,8 @@ QUERIES = {
     "dedup_simhash_hamming": q_dedup_simhash_hamming,
     "ann_topk_cosine": q_ann_topk_cosine,
     "emb_cosine_pairs": q_emb_cosine_pairs,
+    "media_sniff_meta": q_media_sniff_meta,
+    "media_frame_sample": q_media_frame_sample,
 }
 
 ORACLES = {
@@ -605,4 +647,6 @@ FROM documents
     "dedup_simhash_hamming": _simhash_pairs_sql(3),
     "ann_topk_cosine": _ANN_TOPK_SQL,
     "emb_cosine_pairs": _COSINE_PAIRS_SQL,
+    "media_sniff_meta": _MEDIA_META_SQL,
+    "media_frame_sample": _MEDIA_FRAMES_SQL,
 }

@@ -1,0 +1,103 @@
+"""Structured Streaming sketch aggregation (SURVEY.md §2.9 / §7 step 10).
+
+The t-digest is a one-pass bounded-memory stream summary (reference
+README.md:19-21) with no time semantics of its own; Spark supplies the time
+axis.  ``streaming_tdigest`` keys a stateful aggregation by
+(group keys × event-time window) and holds exactly one serialized digest as
+per-key state:
+
+  readStream -> withWatermark(ts) -> groupBy(keys, window)
+             -> applyInPandasWithState(update digest state) -> writeStream
+
+State per key is the ≤40 KB serialized digest, so a million live windows
+cost ~40 GB of state across the cluster — bounded, spillable via RocksDB
+state store.  Late rows inside the watermark merge losslessly into the
+window's digest (mergeability is what makes out-of-order ingest exact);
+rows later than the watermark are dropped by Spark upstream.
+
+In exact mode (delta=0.0 / discrete) the emitted digest for a window is
+byte-identical to the batch build over the same rows, regardless of trigger
+boundaries or arrival order — asserted in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BinaryType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from sketchlib.tdigest.core import MergingDigest
+
+
+def streaming_tdigest(
+    stream: DataFrame,
+    keys: list[str],
+    value_col: str,
+    ts_col: str = "warc_ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    delta: float = 0.01,
+    discrete: bool = False,
+) -> DataFrame:
+    """Per-(keys × time-window) t-digest over a streaming DataFrame.
+
+    Emits on every trigger (Update mode) one row per touched window:
+    (keys..., window_start, window_end, digest).  The digest column is the
+    same wire format as the batch path, so downstream quantile/CDF UDFs and
+    merges apply unchanged.
+    """
+    win = F.window(F.col(ts_col), window)
+    keyed = (
+        stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .withColumn("_win", win)
+        .select(
+            *keys,
+            F.col("_win.start").alias("window_start"),
+            F.col("_win.end").alias("window_end"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+    )
+
+    key_fields = [keyed.schema[k] for k in keys]
+    out_schema = StructType(
+        [StructField(f.name, f.dataType, True) for f in key_fields]
+        + [
+            StructField("window_start", TimestampType(), True),
+            StructField("window_end", TimestampType(), True),
+            StructField("digest", BinaryType(), True),
+        ]
+    )
+    state_schema = StructType([StructField("digest", BinaryType(), True)])
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        d = MergingDigest(delta=delta, discrete=discrete)
+        if state.exists:
+            (blob,) = state.get
+            if blob:
+                d.merge_bytes(bytes(blob))
+        for pdf in pdfs:
+            d.update_batch(pdf["_v"].to_numpy(dtype="float64"))
+        blob = d.serialize()
+        state.update((blob,))
+        out = {name: [key[i]] for i, name in enumerate(keys)}
+        out["window_start"] = [key[len(keys)]]
+        out["window_end"] = [key[len(keys) + 1]]
+        out["digest"] = [blob]
+        yield pd.DataFrame(out)
+
+    return keyed.groupBy(*keys, "window_start", "window_end").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

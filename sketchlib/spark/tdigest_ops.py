@@ -58,20 +58,30 @@ def _norm_key(key) -> tuple:
 def tdigest_partials(
     df: DataFrame,
     keys: list[str],
-    value_col: str,
+    value_col: str | None,
     delta: float = 0.01,
     discrete: bool = False,
     weight_col: str | None = None,
+    value_fn=None,
+    input_cols: list[str] | None = None,
 ) -> DataFrame:
     """Phase 1: one partial digest row per (input partition × key).
 
     Narrow-projects first so parquet column pruning happens before the
     Python stage.
+
+    ``value_fn``: optional ``pd.DataFrame -> np.ndarray`` computing the
+    values inside the same Python stage (reads ``input_cols``).  This fuses
+    upstream vectorized work — e.g. html→text extraction — with sketch
+    ingest in ONE JVM↔Python Arrow hop instead of two.
     """
     from sketchlib.spark.shipping import ensure_on_workers
 
     ensure_on_workers(df.sparkSession)
-    cols = keys + [value_col] + ([weight_col] if weight_col else [])
+    if value_fn is None:
+        cols = keys + [value_col] + ([weight_col] if weight_col else [])
+    else:
+        cols = keys + list(input_cols or []) + ([weight_col] if weight_col else [])
     narrow = df.select(*cols)
     key_fields = [narrow.schema[k] for k in keys]
     out_schema = StructType(
@@ -82,7 +92,10 @@ def tdigest_partials(
     def build(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         aggs: dict[tuple, MergingDigest] = {}
         for pdf in batches:
-            vals = pdf[value_col].to_numpy(dtype="float64", na_value=np.nan)
+            if value_fn is not None:
+                vals = np.asarray(value_fn(pdf), dtype="float64")
+            else:
+                vals = pdf[value_col].to_numpy(dtype="float64", na_value=np.nan)
             wts = (
                 pdf[weight_col].to_numpy(dtype="float64", na_value=np.nan)
                 if weight_col
