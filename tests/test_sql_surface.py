@@ -1,0 +1,76 @@
+"""SQL registration: sketch functions usable from plain spark.sql."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+def test_sql_tdigest_agg_and_quantile(spark):
+    from sketchlib.spark.sql import register_sql_functions
+
+    register_sql_functions(spark)
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    docs.createOrReplaceTempView("docs_sql")
+
+    rows = spark.sql("""
+        SELECT lang,
+               tdigest_quantile(tdigest_agg(CAST(n_chars AS DOUBLE)), 0.5) AS p50,
+               tdigest_count(tdigest_agg(CAST(n_chars AS DOUBLE))) AS cnt,
+               tdigest_size(tdigest_agg(CAST(n_chars AS DOUBLE))) AS sz
+        FROM docs_sql GROUP BY lang
+    """).collect()
+    assert len(rows) > 0
+    exact = {
+        r["lang"]: ([x["n_chars"] for x in
+                     docs.filter(docs.lang == r["lang"]).collect()])
+        for r in rows
+    }
+    for r in rows:
+        vals = np.sort(np.array(exact[r["lang"]], dtype=float))
+        # p50 within t-digest rank bound
+        rank = np.searchsorted(vals, r["p50"], side="right") / len(vals)
+        assert abs(rank - 0.5) < 0.02, (r["lang"], rank)
+        assert r["cnt"] == len(vals)
+        assert 0 < r["sz"] <= 2500
+
+
+def test_sql_merge_agg_interchangeable_with_two_phase(spark):
+    """Digests built via the SQL GROUPED_AGG path merge-agg to the same
+    answers as the explicit two-phase plan (shared wire format)."""
+    from sketchlib.spark.sql import register_sql_functions
+    from sketchlib.spark.tdigest_ops import tdigest_aggregate, tdigest_quantiles_udf
+
+    register_sql_functions(spark)
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    docs.createOrReplaceTempView("docs_sql2")
+
+    # build per-source digests in SQL, then merge them per lang in SQL
+    sql_q = spark.sql("""
+        WITH per_src AS (
+          SELECT lang, source, tdigest_agg(CAST(n_chars AS DOUBLE)) AS d
+          FROM docs_sql2 GROUP BY lang, source
+        )
+        SELECT lang, tdigest_quantile(tdigest_merge_agg(d), 0.9) AS p90
+        FROM per_src GROUP BY lang
+    """).collect()
+    got = {r["lang"]: r["p90"] for r in sql_q}
+
+    two_phase = tdigest_aggregate(docs, ["lang"], "n_chars", delta=0.01)
+    ref = {
+        r["lang"]: r["qs"][0]
+        for r in two_phase.select(
+            "lang", tdigest_quantiles_udf([0.9])("digest").alias("qs")
+        ).collect()
+    }
+    # both are delta=0.01 digests of the same data; estimates must agree
+    # within the combined rank-error bound in value space — compare achieved
+    # ranks instead of raw values
+    vals = {lang: np.sort(np.array(
+        [x["n_chars"] for x in docs.filter(docs.lang == lang).collect()],
+        dtype=float)) for lang in got}
+    for lang in got:
+        v = vals[lang]
+        r1 = np.searchsorted(v, got[lang], side="right") / len(v)
+        r2 = np.searchsorted(v, ref[lang], side="right") / len(v)
+        assert abs(r1 - 0.9) < 0.02 and abs(r2 - 0.9) < 0.02, (lang, r1, r2)
