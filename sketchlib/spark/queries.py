@@ -391,6 +391,83 @@ def q_emb_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs_exact(emb, threshold=0.45)
 
 
+def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite training-data pipeline, end-to-end in one plan:
+    quality filter (token count >= 10, stopword share <= 30%) -> exact
+    dedup (keep min doc_id per identical text) -> per-lang corpus stats +
+    discrete-mode t-digest quantiles of n_chars over the surviving docs.
+    Every stage is deterministic, so the whole pipeline has an exact SQL
+    oracle."""
+    from sketchlib.spark.dedup import exact_dedup_keepers
+    from sketchlib.spark.textops import token_stats
+
+    docs = load(spark, sf_dir, "documents")
+    stats = token_stats(docs)
+    quality = stats.filter(
+        (F.col("n_tokens") >= 10)
+        & (F.col("n_stopwords") * 10 <= F.col("n_tokens") * 3)
+    ).select("doc_id")
+    filtered = docs.join(quality, "doc_id", "left_semi")
+    keepers = exact_dedup_keepers(filtered).filter(
+        F.col("doc_id") == F.col("keeper_id")
+    ).select("doc_id")
+    kept = filtered.join(keepers, "doc_id", "left_semi")
+
+    dig = tdigest_aggregate(kept, ["lang"], "n_chars", discrete=True)
+    qs = _explode_quantiles(dig, "lang", {"q50": 0.5, "q90": 0.9}, discrete=True)
+    counts = kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs_kept"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    return counts.join(qs, "lang")
+
+
+_PIPELINE_SQL = """
+WITH tk AS (
+  SELECT doc_id, len(list_filter(string_split(text, ' '), w -> w != '')) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+             w -> list_contains(['a','the','and','of','to','in'], w))) AS n_stop
+  FROM documents
+), quality AS (
+  SELECT doc_id FROM tk WHERE n_tokens >= 10 AND n_stop * 10 <= n_tokens * 3
+), filtered AS (
+  SELECT d.* FROM documents d JOIN quality USING (doc_id)
+), kept AS (
+  SELECT * FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY text) AS keeper
+    FROM filtered) WHERE doc_id = keeper
+), g AS (
+  SELECT lang, CAST(n_chars AS DOUBLE) AS v, CAST(count(*) AS DOUBLE) AS c
+  FROM kept GROUP BY lang, n_chars
+), s AS (
+  SELECT lang, v,
+         sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY lang) AS total
+  FROM g
+), q AS (
+  SELECT lang,
+         min(v) FILTER (WHERE cum >= total * 0.5) AS q50,
+         min(v) FILTER (WHERE cum >= total * 0.9) AS q90
+  FROM s GROUP BY lang
+)
+SELECT k.lang, count(*) AS n_docs_kept, count(DISTINCT k.source) AS n_sources,
+       any_value(q.q50) AS q50, any_value(q.q90) AS q90
+FROM kept k JOIN q USING (lang)
+GROUP BY k.lang
+"""
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN with full probing (nprobe = n_lists), which
+    is exactly brute force — so it shares the exact top-k oracle while
+    driving the train/assign/probe machinery end-to-end.  Partial-probe
+    recall is measured in tests/test_ann.py."""
+    from sketchlib.spark.ann import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, query_ids=list(range(8)), k=10, n_lists=16, nprobe=16)
+
+
 def q_media_sniff_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: build deterministic binary media
     payloads from documents, then parse the typed header back out of the
@@ -594,6 +671,8 @@ QUERIES = {
     "emb_cosine_pairs": q_emb_cosine_pairs,
     "media_sniff_meta": q_media_sniff_meta,
     "media_frame_sample": q_media_frame_sample,
+    "pipeline_clean_corpus": q_pipeline_clean_corpus,
+    "ann_ivf_topk": q_ann_ivf_topk,
 }
 
 ORACLES = {
@@ -649,4 +728,6 @@ FROM documents
     "emb_cosine_pairs": _COSINE_PAIRS_SQL,
     "media_sniff_meta": _MEDIA_META_SQL,
     "media_frame_sample": _MEDIA_FRAMES_SQL,
+    "pipeline_clean_corpus": _PIPELINE_SQL,
+    "ann_ivf_topk": _ANN_TOPK_SQL,
 }

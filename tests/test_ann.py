@@ -86,6 +86,30 @@ def test_signlsh_finds_planted_neardups(spark):
     assert found >= 9, f"recall too low: {found}/10"
 
 
+def test_ivf_topk_recall(spark):
+    """IVF with nprobe=4/16 lists must recover most true neighbors; with
+    nprobe=n_lists it must equal exact brute force."""
+    from sketchlib.spark.ann import ivf_topk, topk_neighbors
+
+    qids = [0, 1, 2, 3, 4]
+    exact = {}
+    for r in topk_neighbors(_emb(spark), qids, k=10).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    # full probing == exact
+    full = {}
+    for r in ivf_topk(_emb(spark), qids, k=10, n_lists=16, nprobe=16).collect():
+        full.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert full == exact
+
+    # partial probing: decent recall at 4/16 of the scan
+    part = {}
+    for r in ivf_topk(_emb(spark), qids, k=10, n_lists=16, nprobe=4).collect():
+        part.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recall = sum(len(part.get(q, set()) & exact[q]) for q in exact) / (10 * len(exact))
+    assert recall >= 0.5, recall
+
+
 def test_signatures_deterministic(spark):
     from sketchlib.spark.ann import signrandom_signatures
 
