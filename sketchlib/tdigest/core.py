@@ -80,7 +80,14 @@ def _group_equal_means(means: np.ndarray, ns: np.ndarray) -> tuple[np.ndarray, n
     """Sort by mean and sum weights of equal means (commutative-monoid union)."""
     if len(means) == 0:
         return np.empty(0), np.empty(0)
-    uniq, inv = np.unique(np.asarray(means, dtype=np.float64), return_inverse=True)
+    means = np.asarray(means, dtype=np.float64)
+    if np.any(means == 0.0):
+        # canonicalize -0.0 -> +0.0: np.unique treats them equal but keeps
+        # whichever sorted first, which would make serialized bytes depend
+        # on partition order
+        means = means.copy()
+        means[means == 0.0] = 0.0
+    uniq, inv = np.unique(means, return_inverse=True)
     w = np.zeros(len(uniq))
     np.add.at(w, inv, np.asarray(ns, dtype=np.float64))
     return uniq, w
