@@ -102,3 +102,84 @@ def register_sql_functions(spark: SparkSession, delta: float = 0.01) -> None:
     spark.udf.register("tdigest_cdf", tdigest_cdf)
     spark.udf.register("tdigest_size", tdigest_size)
     spark.udf.register("tdigest_count", tdigest_count)
+
+    # ---- sibling sketches ------------------------------------------------
+    from pyspark.sql.types import BooleanType, LongType
+
+    from sketchlib.bloom import Bloom
+    from sketchlib.cms import CMS
+    from sketchlib.hll import HLL
+    from sketchlib.kll import KLL
+
+    def _vals(v: pd.Series) -> np.ndarray:
+        return v.to_numpy(dtype="int64", na_value=0)
+
+    @pandas_udf(BinaryType())
+    def hll_agg(v: pd.Series) -> bytes:
+        h = HLL(p=14)
+        h.update_batch(_vals(v))
+        return h.serialize()
+
+    @pandas_udf(DoubleType())
+    def hll_estimate(blobs: pd.Series) -> pd.Series:
+        return pd.Series([HLL.deserialize(bytes(b)).estimate() for b in blobs])
+
+    @pandas_udf(BinaryType())
+    def hll_merge_agg(blobs: pd.Series) -> bytes:
+        out = None
+        for b in blobs:
+            h = HLL.deserialize(bytes(b))
+            out = h if out is None else out.merge(h)
+        return (out or HLL(p=14)).serialize()
+
+    @pandas_udf(BinaryType())
+    def cms_agg(v: pd.Series) -> bytes:
+        c = CMS(width=16384, depth=5)
+        c.update_batch(_vals(v))
+        return c.serialize()
+
+    @pandas_udf(LongType())
+    def cms_query(blob: pd.Series, key: pd.Series) -> pd.Series:
+        out = []
+        for b, x in zip(blob, key):
+            c = CMS.deserialize(bytes(b))
+            out.append(int(c.query(np.asarray([x], dtype=np.int64))[0]))
+        return pd.Series(out)
+
+    @pandas_udf(BinaryType())
+    def bloom_agg(v: pd.Series) -> bytes:
+        b = Bloom(expected_n=100_000, fpr=0.01)
+        b.update_batch(_vals(v))
+        return b.serialize()
+
+    @pandas_udf(BooleanType())
+    def bloom_contains(blob: pd.Series, key: pd.Series) -> pd.Series:
+        out = []
+        for b, x in zip(blob, key):
+            f = Bloom.deserialize(bytes(b))
+            out.append(bool(f.contains(np.asarray([x], dtype=np.int64))[0]))
+        return pd.Series(out)
+
+    @pandas_udf(BinaryType())
+    def kll_agg(v: pd.Series) -> bytes:
+        s = KLL(k=200)
+        s.update_batch(v.to_numpy(dtype="float64", na_value=np.nan))
+        return s.serialize()
+
+    @pandas_udf(DoubleType())
+    def kll_quantile(blob: pd.Series, p: pd.Series) -> pd.Series:
+        out = []
+        for b, pp in zip(blob, p):
+            s = KLL.deserialize(bytes(b))
+            out.append(float(np.atleast_1d(s.quantile([float(pp)]))[0]))
+        return pd.Series(out)
+
+    spark.udf.register("hll_agg", hll_agg)
+    spark.udf.register("hll_merge_agg", hll_merge_agg)
+    spark.udf.register("hll_estimate", hll_estimate)
+    spark.udf.register("cms_agg", cms_agg)
+    spark.udf.register("cms_query", cms_query)
+    spark.udf.register("bloom_agg", bloom_agg)
+    spark.udf.register("bloom_contains", bloom_contains)
+    spark.udf.register("kll_agg", kll_agg)
+    spark.udf.register("kll_quantile", kll_quantile)

@@ -35,6 +35,43 @@ def test_sql_tdigest_agg_and_quantile(spark):
         assert 0 < r["sz"] <= 2500
 
 
+def test_sql_sibling_sketches(spark):
+    from sketchlib.spark.sql import register_sql_functions
+
+    register_sql_functions(spark)
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    ev.createOrReplaceTempView("ev_sql")
+
+    rows = spark.sql("""
+        WITH sk AS (
+          SELECT event_type,
+                 hll_agg(user_id) AS h, kll_agg(value) AS kq,
+                 bloom_agg(user_id) AS bf, cms_agg(user_id) AS cm
+          FROM ev_sql GROUP BY event_type
+        ), sample AS (
+          SELECT event_type, min(user_id) AS probe FROM ev_sql GROUP BY event_type
+        )
+        SELECT sk.event_type,
+               hll_estimate(h) AS approx_users,
+               kll_quantile(kq, 0.5) AS kll_p50,
+               bloom_contains(bf, probe) AS has_first,
+               cms_query(cm, probe) AS first_cnt
+        FROM sk JOIN sample USING (event_type)
+    """).collect()
+    assert rows
+    exact = {
+        r["event_type"]: r["u"]
+        for r in ev.groupBy("event_type").agg(
+            __import__("pyspark.sql.functions", fromlist=["countDistinct"])
+            .countDistinct("user_id").alias("u")
+        ).collect()
+    }
+    for r in rows:
+        assert abs(r["approx_users"] - exact[r["event_type"]]) / exact[r["event_type"]] < 0.05
+        assert r["has_first"] is True
+        assert r["first_cnt"] >= 1
+
+
 def test_sql_merge_agg_interchangeable_with_two_phase(spark):
     """Digests built via the SQL GROUPED_AGG path merge-agg to the same
     answers as the explicit two-phase plan (shared wire format)."""
