@@ -391,6 +391,73 @@ def q_emb_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs_exact(emb, threshold=0.45)
 
 
+def q_td_cube_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(lang, source) digests from ONE set of partials — the showcase of
+    mergeability: the same per-partition (lang, source) partial digests are
+    re-merged under each grouping set instead of re-scanning the input.
+    At 100 TB this turns a 4-pass cube into one scan + three tiny
+    sketch-row shuffles.  Discrete mode -> exact nearest-rank oracle."""
+    from sketchlib.spark.tdigest_ops import tdigest_merge, tdigest_partials
+
+    docs = load(spark, sf_dir, "documents")
+    partials = tdigest_partials(docs, ["lang", "source"], "n_chars",
+                                discrete=True).cache()
+    ps = {"q50": 0.5, "q90": 0.9}
+
+    def qs(dig: DataFrame, with_lang: bool, with_source: bool) -> DataFrame:
+        out = _explode_quantiles_keys(
+            dig,
+            (["lang"] if with_lang else []) + (["source"] if with_source else []),
+            ps,
+        )
+        if not with_lang:
+            out = out.withColumn("lang", F.lit(None).cast("string"))
+        if not with_source:
+            out = out.withColumn("source", F.lit(None).cast("string"))
+        return out.select("lang", "source", *ps.keys())
+
+    full = qs(tdigest_merge(partials, ["lang", "source"], discrete=True), True, True)
+    by_lang = qs(tdigest_merge(partials, ["lang"], discrete=True), True, False)
+    by_source = qs(tdigest_merge(partials, ["source"], discrete=True), False, True)
+    overall = qs(tdigest_merge(partials, [], discrete=True), False, False)
+    return full.unionByName(by_lang).unionByName(by_source).unionByName(overall)
+
+
+def _explode_quantiles_keys(digests: DataFrame, keys: list[str],
+                            ps: dict[str, float]) -> DataFrame:
+    q = tdigest_quantiles_udf(list(ps.values()), discrete=True)
+    out = digests.withColumn("_qs", q("digest"))
+    for i, alias in enumerate(ps.keys()):
+        out = out.withColumn(alias, F.col("_qs")[i])
+    return out.select(*keys, *ps.keys())
+
+
+def _cube_sql() -> str:
+    blocks = []
+    for with_lang, with_src in ((1, 1), (1, 0), (0, 1), (0, 0)):
+        dims = ([("lang", with_lang)][0:with_lang] +
+                [("source", with_src)][0:with_src])
+        dim_cols = [d for d, _ in dims]
+        grp = ", ".join(dim_cols + ["n_chars"])
+        part = ", ".join(dim_cols) if dim_cols else "1"
+        sel_lang = "lang" if with_lang else "CAST(NULL AS VARCHAR)"
+        sel_src = "source" if with_src else "CAST(NULL AS VARCHAR)"
+        inner_dims = (", ".join(dim_cols) + "," if dim_cols else "")
+        blocks.append(f"""
+SELECT {sel_lang} AS lang, {sel_src} AS source,
+       min(v) FILTER (WHERE cum >= total * 0.5) AS q50,
+       min(v) FILTER (WHERE cum >= total * 0.9) AS q90
+FROM (
+  SELECT {inner_dims} v,
+         sum(c) OVER (PARTITION BY {part} ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY {part}) AS total
+  FROM (SELECT {inner_dims} CAST(n_chars AS DOUBLE) AS v,
+               CAST(count(*) AS DOUBLE) AS c
+        FROM documents GROUP BY {grp})
+) GROUP BY {', '.join(dim_cols) if dim_cols else 'ALL'}""")
+    return "\nUNION ALL\n".join(blocks)
+
+
 def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composite training-data pipeline, end-to-end in one plan:
     quality filter (token count >= 10, stopword share <= 30%) -> exact
@@ -673,6 +740,7 @@ QUERIES = {
     "media_frame_sample": q_media_frame_sample,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "td_cube_lang_source": q_td_cube_lang_source,
 }
 
 ORACLES = {
@@ -730,4 +798,5 @@ FROM documents
     "media_frame_sample": _MEDIA_FRAMES_SQL,
     "pipeline_clean_corpus": _PIPELINE_SQL,
     "ann_ivf_topk": _ANN_TOPK_SQL,
+    "td_cube_lang_source": _cube_sql(),
 }
