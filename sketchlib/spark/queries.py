@@ -391,6 +391,75 @@ def q_emb_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs_exact(emb, threshold=0.45)
 
 
+def q_td_weighted_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted ingest (reference ``add ~n``, src/tdigest.ml:313): each
+    l_extendedprice carries weight l_quantity.  Discrete mode -> weighted
+    nearest-rank quantiles, exactly SQL-checkable; total_weight proves the
+    weight path (integer-valued quantities sum exactly in float64)."""
+    from sketchlib.spark.tdigest_ops import tdigest_count_udf
+
+    li = load(spark, sf_dir, "lineitem")
+    dig = tdigest_aggregate(li, ["l_returnflag"], "l_extendedprice",
+                            discrete=True, weight_col="l_quantity")
+    q = tdigest_quantiles_udf([0.5, 0.95], discrete=True)
+    return dig.select(
+        "l_returnflag",
+        q("digest")[0].alias("wq50"),
+        q("digest")[1].alias("wq95"),
+        tdigest_count_udf("digest").alias("total_weight"),
+    )
+
+
+_WEIGHTED_SQL = """
+WITH g AS (
+  SELECT l_returnflag AS k, CAST(l_extendedprice AS DOUBLE) AS v,
+         CAST(sum(l_quantity) AS DOUBLE) AS c
+  FROM lineitem GROUP BY l_returnflag, l_extendedprice
+), s AS (
+  SELECT k, v,
+         sum(c) OVER (PARTITION BY k ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY k) AS total
+  FROM g
+)
+SELECT k AS l_returnflag,
+       min(v) FILTER (WHERE cum >= total * 0.5) AS wq50,
+       min(v) FILTER (WHERE cum >= total * 0.95) AS wq95,
+       max(total) AS total_weight
+FROM s GROUP BY k
+"""
+
+
+def q_td_info_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference ``info`` op as a struct over exact-mode digests: count,
+    size (= distinct values in exact mode), exact min/max, bytes."""
+    from sketchlib.spark.tdigest_ops import tdigest_info_udf
+
+    docs = load(spark, sf_dir, "documents")
+    dig = tdigest_aggregate(docs, ["lang"], "n_chars", delta=0.0)
+    return dig.select(
+        "lang",
+        tdigest_info_udf("digest").alias("i"),
+    ).select(
+        "lang",
+        F.col("i.count").alias("total_weight"),
+        F.col("i.size").cast("long").alias("n_centroids"),
+        F.col("i.min").alias("min_val"),
+        F.col("i.max").alias("max_val"),
+        F.col("i.bytes").cast("long").alias("n_bytes"),
+    )
+
+
+_INFO_SQL = """
+SELECT lang,
+  CAST(count(*) AS DOUBLE) AS total_weight,
+  count(DISTINCT n_chars) AS n_centroids,
+  CAST(min(n_chars) AS DOUBLE) AS min_val,
+  CAST(max(n_chars) AS DOUBLE) AS max_val,
+  16 * count(DISTINCT n_chars) AS n_bytes
+FROM documents GROUP BY lang
+"""
+
+
 def q_td_cube_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE(lang, source) digests from ONE set of partials — the showcase of
     mergeability: the same per-partition (lang, source) partial digests are
@@ -741,6 +810,8 @@ QUERIES = {
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "ann_ivf_topk": q_ann_ivf_topk,
     "td_cube_lang_source": q_td_cube_lang_source,
+    "td_weighted_lineitem": q_td_weighted_lineitem,
+    "td_info_by_lang": q_td_info_by_lang,
 }
 
 ORACLES = {
@@ -799,4 +870,6 @@ FROM documents
     "pipeline_clean_corpus": _PIPELINE_SQL,
     "ann_ivf_topk": _ANN_TOPK_SQL,
     "td_cube_lang_source": _cube_sql(),
+    "td_weighted_lineitem": _WEIGHTED_SQL,
+    "td_info_by_lang": _INFO_SQL,
 }

@@ -232,6 +232,34 @@ def tdigest_count_udf(dig: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+@pandas_udf(StructType([
+    StructField("count", DoubleType()),
+    StructField("size", IntegerType()),
+    StructField("min", DoubleType()),
+    StructField("max", DoubleType()),
+    StructField("bytes", IntegerType()),
+]))
+def tdigest_info_udf(dig: pd.Series) -> pd.DataFrame:
+    """Reference ``info`` (src/tdigest.ml:161-168) as one struct: total
+    weight, centroid count, exact min/max means (the protected tail
+    singletons), serialized size.  The reference's compress/cumulate
+    counters are engine internals that don't exist in the batch path —
+    Spark metrics cover the operational side."""
+    counts, sizes, mins, maxs, nbytes = [], [], [], [], []
+    for b in dig:
+        if b is None or len(b) == 0:
+            counts.append(0.0), sizes.append(0), nbytes.append(0)
+            mins.append(None), maxs.append(None)
+        else:
+            m, n = bytes_to_centroids(bytes(b))
+            counts.append(float(n.sum())), sizes.append(len(m))
+            mins.append(float(m[0])), maxs.append(float(m[-1]))
+            nbytes.append(len(b))
+    return pd.DataFrame({"count": counts, "size": pd.array(sizes, dtype="int32"),
+                         "min": mins, "max": maxs,
+                         "bytes": pd.array(nbytes, dtype="int32")})
+
+
 @pandas_udf(ArrayType(StructType([
     StructField("mean", DoubleType()), StructField("n", DoubleType()),
 ])))
