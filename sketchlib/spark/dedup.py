@@ -111,14 +111,23 @@ def ngram_jaccard_pairs(
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("a_id"), "shingle")
     b = sh.select(F.col(id_col).alias("b_id"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(F.count("*").alias("n_common"))
-    )
     if candidates is not None:
-        common = common.join(candidates, ["a_id", "b_id"], "left_semi")
+        # LSH verification mode: restrict BOTH join sides to candidate docs
+        # and prune to candidate pairs BEFORE the count aggregation — the
+        # whole point of LSH is never materializing the O(n^2) shingle join
+        candidates = candidates.cache()
+        a = a.join(
+            F.broadcast(candidates.select("a_id").distinct()), "a_id", "left_semi"
+        )
+        b = b.join(
+            F.broadcast(candidates.select("b_id").distinct()), "b_id", "left_semi"
+        )
+    pair_rows = a.join(b, "shingle").filter(F.col("a_id") < F.col("b_id"))
+    if candidates is not None:
+        # no broadcast hint here: the candidate-pair list can be large at
+        # scale; AQE picks broadcast vs shuffle from its actual size
+        pair_rows = pair_rows.join(candidates, ["a_id", "b_id"], "left_semi")
+    common = pair_rows.groupBy("a_id", "b_id").agg(F.count("*").alias("n_common"))
     out = (
         common.join(sizes.withColumnRenamed(id_col, "a_id")
                     .withColumnRenamed("n_sh", "n_a"), "a_id")
