@@ -144,6 +144,8 @@ def q_td_quantiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_td_discrete_quantiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-mode quantiles (reference Nearest Rank Method) of n_chars
+    per lang — every distinct value is its own exact centroid."""
     docs = load(spark, sf_dir, "documents")
     dig = tdigest_aggregate(docs, ["lang"], "n_chars", discrete=True)
     return _explode_quantiles(dig, "lang", PS_DISCRETE, discrete=True)
@@ -325,36 +327,49 @@ _TOKS = "list_filter(string_split(text, ' '), w -> w != '')"
 
 
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counting + quality counters, pure JVM built-ins
+    (whole-stage codegen, no Python)."""
     from sketchlib.spark.textops import token_stats
 
     return token_stats(load(spark, sf_dir, "documents"))
 
 
 def q_text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality scoring per lang; every ratio is one division of two
+    exact integer sums (bit-identical under any partitioning)."""
     from sketchlib.spark.textops import quality_by_lang
 
     return quality_by_lang(load(spark, sf_dir, "documents"))
 
 
 def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID via unigram frequency profile (broadcast join + argmax
+    window), evaluated as a confusion matrix against the labeled lang."""
     from sketchlib.spark.textops import lang_id_confusion
 
     return lang_id_confusion(load(spark, sf_dir, "documents"))
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprint: min md5-hex over word
+    5-gram shingles (pure built-ins; near-dup blocking key at scale)."""
     from sketchlib.spark.textops import fingerprint_docs
 
     return fingerprint_docs(load(spark, sf_dir, "documents"))
 
 
 def q_dedup_exact_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: every doc assigned min(doc_id) of its identical-text
+    group via a window over md5(text) — hashes shuffle, never text."""
     from sketchlib.spark.dedup import exact_dedup_keepers
 
     return exact_dedup_keepers(load(spark, sf_dir, "documents"))
 
 
 def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs >= 0.8 via shingle self-join —
+    the verification-grade (O(n^2)-ish) path LSH discovery is checked
+    against."""
     from sketchlib.spark.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
@@ -370,6 +385,9 @@ def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash pairs within Hamming distance 3 via 4-band blocking —
+    complete by pigeonhole, so it equals the brute-force cross join that
+    the generated 60-bit SQL oracle computes."""
     from sketchlib.spark.dedup import simhash_hamming_pairs
 
     return simhash_hamming_pairs(load(spark, sf_dir, "documents"), max_dist=3).select(
@@ -378,6 +396,8 @@ def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors of 8 query vectors: broadcast queries,
+    per-partition partial top-k, tiny global window."""
     from sketchlib.spark.ann import topk_neighbors
 
     emb = load(spark, sf_dir, "embeddings")
@@ -385,6 +405,8 @@ def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding cosine near-dup pairs (>= 0.45): normalized-matrix
+    broadcast x partition matmul, ids-only output."""
     from sketchlib.spark.ann import cosine_pairs_exact
 
     emb = load(spark, sf_dir, "embeddings")
