@@ -286,6 +286,68 @@ def quantile_error(path: str) -> dict:
             "max_rank_error": round(max_rank, 6)}
 
 
+def compare_builtin() -> None:
+    """Head-to-head vs Spark's JVM built-in ``percentile_approx`` (the
+    Greenwald-Khanna aggregate Catalyst fully partial-aggregates) on the
+    bench pages input.  Prints one JSON line with wall time + max rank
+    error per contender."""
+    import duckdb
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.session import get_spark
+    from sketchlib.spark.tdigest_ops import tdigest_aggregate, tdigest_quantiles_udf
+
+    path = os.path.join(BENCH_DIR, f"pages_{BENCH_ROWS}.parquet")
+    ensure_pages(path, BENCH_ROWS)
+    ps = [0.5, 0.95, 0.99]
+    spark = get_spark("builtin-cmp", cpus=CPUS,
+                      extra={"spark.sql.files.maxPartitionBytes": str(32 << 20),
+                             "spark.sql.files.openCostInBytes": str(32 << 20)})
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = (spark.read.parquet(path)
+             .select("lang", F.length("text").cast("double").alias("n_chars")))
+    pages.count()
+
+    def ours():
+        dig = tdigest_aggregate(pages, ["lang"], "n_chars", delta=0.01)
+        return dig.select(
+            "lang", tdigest_quantiles_udf(ps)("digest").alias("qs")).collect()
+
+    def builtin(acc):
+        return pages.groupBy("lang").agg(
+            F.percentile_approx("n_chars", ps, acc).alias("qs")).collect()
+
+    contenders = {
+        "tdigest_two_phase_d001": ours,
+        "percentile_approx_acc10000": lambda: builtin(10000),
+        "percentile_approx_acc100": lambda: builtin(100),
+    }
+    rows = duckdb.connect().execute(
+        f"SELECT lang, length(text)::DOUBLE v FROM read_parquet('{path}/*.parquet')"
+    ).fetchnumpy()
+    langs, vals = rows["lang"], rows["v"]
+    sorted_by_lang = {l: np.sort(vals[langs == l]) for l in set(langs)}
+
+    result = {}
+    for name, fn in contenders.items():
+        fn()  # warm
+        best, out = float("inf"), None
+        for _ in range(3):
+            t0 = time.time()
+            out = fn()
+            best = min(best, time.time() - t0)
+        maxr = 0.0
+        for r in out:
+            v = sorted_by_lang[r["lang"]]
+            for p, e in zip(ps, r["qs"]):
+                rank = np.searchsorted(v, e, side="right") / len(v)
+                maxr = max(maxr, abs(rank - p))
+        result[name] = {"sec": round(best, 2), "max_rank_error": round(maxr, 5)}
+    spark.stop()
+    print(json.dumps(result))
+
+
 def scaling_main() -> None:
     """Interleaved rounds across parallelism levels: the host shows strong
     noisy-neighbor drift (same job varies ~2x over tens of minutes), so
@@ -415,6 +477,8 @@ in-memory ingest rate.
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         scaling_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--compare-builtin":
+        compare_builtin()
     elif len(sys.argv) > 1 and sys.argv[1] == "--measure-build":
         reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
         print(json.dumps(measure_build(int(sys.argv[2]), sys.argv[3], reps)))
