@@ -91,6 +91,31 @@ def main():
           must=[r"HashAggregate"],
           must_not=[r"ArrowEvalPython|BatchEvalPython|MapInPandas"])
 
+    # 6b. LSH verification prunes to candidates BEFORE the pair count:
+    # the plan must contain LeftSemi joins (candidate restriction), and they
+    # must sit below the final aggregate
+    from sketchlib.spark.dedup import minhash_lsh_dedup_pairs
+
+    p = plan_of(minhash_lsh_dedup_pairs(docs, threshold=0.8))
+    n_semi = len(re.findall(r"LeftSemi", p))
+    print(f"{'LSH verify candidate semi-joins':40s} "
+          f"{'OK' if n_semi >= 3 else 'FAIL'} ({n_semi})")
+    if n_semi < 3:
+        FAIL.append(f"LSH verify: {n_semi} semi-joins, want >=3")
+
+    # 6c. cube over partials: ONE parquet scan feeds all grouping sets (the
+    # partials frame is cached and re-merged; no per-grouping-set rescan)
+    from sketchlib.spark.queries import q_td_cube_lang_source
+
+    p = plan_of(q_td_cube_lang_source(spark, sf_dir))
+    n_scan = len(re.findall(r"Scan parquet", p))
+    n_mem = len(re.findall(r"InMemory(?:TableScan|Relation)", p))
+    ok = n_mem >= 3
+    print(f"{'cube reuses cached partials':40s} {'OK' if ok else 'FAIL'} "
+          f"(cache refs={n_mem}, scans={n_scan})")
+    if not ok:
+        FAIL.append(f"cube: expected cached-partials reuse, cache refs={n_mem}")
+
     # 7. checkpoint resume: anti-join against completed parts is broadcast
     from sketchlib.spark.checkpoint import TDigestCheckpointer
 
