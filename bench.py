@@ -81,6 +81,22 @@ def main() -> None:
         "docs_per_sec": round(n_docs / build_sec, 1),
         "cpus": CPUS,
     }
+    # headline large-input numbers from the committed scaling run (BENCH/):
+    # the sf-dir tables are tiny (overhead-dominated), so the meaningful
+    # throughput + scaling-efficiency evidence comes from the 8M-row pages
+    # bench (python bench.py --scaling; details in BENCH/BASELINE.md)
+    try:
+        with open(os.path.join(REPO, "BENCH", "scaling.json")) as f:
+            sc = json.load(f)
+        out["pages_bench"] = {
+            "rows": sc["rows"],
+            "e2e_docs_per_sec_local32": sc["local32"]["e2e"]["docs_per_sec"],
+            "scan_docs_per_sec_local32": sc["local32"]["scan"]["docs_per_sec"],
+            "scaling_efficiency_n_vs_4n": sc["scaling_efficiency_2_to_8"],
+            "max_rank_error_d001": sc["accuracy"]["max_rank_error"],
+        }
+    except (OSError, KeyError, ValueError):
+        pass
     print(json.dumps(out))
     spark.stop()
 
