@@ -364,6 +364,46 @@ def compare_builtin() -> None:
     print(json.dumps(result))
 
 
+def sketches_bench() -> None:
+    """Throughput of each sibling sketch's two-phase build over the 8M-row
+    pages table at local[CPUS] (value: url for the hashed sketches, text
+    length for KLL).  One JSON line."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.session import get_spark
+    from sketchlib.spark.sketch_ops import sketch_aggregate
+
+    path = os.path.join(BENCH_DIR, f"pages_{BENCH_ROWS}.parquet")
+    ensure_pages(path, BENCH_ROWS)
+    spark = get_spark("sketches-bench", cpus=CPUS,
+                      extra={"spark.sql.files.maxPartitionBytes": str(32 << 20),
+                             "spark.sql.files.openCostInBytes": str(32 << 20)})
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = spark.read.parquet(path).select(
+        "lang", "url", F.length("text").cast("double").alias("n_chars"))
+    n = pages.count()
+
+    jobs = {
+        "hll_p14": ("url", "hll", {"p": 14}),
+        "cms_16kx5": ("url", "cms", {"width": 16384, "depth": 5}),
+        "bloom_1pct": ("url", "bloom", {"expected_n": BENCH_ROWS, "fpr": 0.01}),
+        "kll_k200": ("n_chars", "kll", {"k": 200}),
+    }
+    result = {"rows": n, "cpus": CPUS}
+    for name, (col, kind, params) in jobs.items():
+        run = lambda: sketch_aggregate(pages, ["lang"], col, kind, params).collect()
+        run()  # warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            run()
+            best = min(best, time.time() - t0)
+        result[name] = {"sec": round(best, 2),
+                        "docs_per_sec": round(n / best, 1)}
+    spark.stop()
+    print(json.dumps(result))
+
+
 def scaling_main() -> None:
     """Interleaved rounds across parallelism levels: the host shows strong
     noisy-neighbor drift (same job varies ~2x over tens of minutes), so
@@ -495,6 +535,8 @@ if __name__ == "__main__":
         scaling_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--compare-builtin":
         compare_builtin()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--sketches":
+        sketches_bench()
     elif len(sys.argv) > 1 and sys.argv[1] == "--measure-build":
         reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
         print(json.dumps(measure_build(int(sys.argv[2]), sys.argv[3], reps)))

@@ -5,6 +5,15 @@ k = max(1, round(m/n·ln2)) probes via double hashing over one 64-bit hash.
 Guarantees: zero false negatives; FPR ≤ ~(1−e^{−kn/m})^k.
 
 Merge = bitwise OR (semilattice; requires equal (m, k, seed)).
+
+**Sparse mode** (the distributed-partials representation): until a filter
+holds enough elements that the dense bitmap is smaller, its state is the
+raw array of 64-bit base hashes ("BLMS" wire format) instead of m bits
+("BLM1").  A per-(partition × key) partial over P partitions would
+otherwise always ship m/8 bytes — for an 8M-element / 1% filter that is
+9.6 MB × P × keys through the shuffle; sparse partials ship 8 bytes per
+actually-ingested element and densify once on the merge side.  Exactly the
+sparse→dense promotion HLL++ uses, applied to Bloom.
 """
 
 from __future__ import annotations
@@ -18,10 +27,11 @@ from sketchlib.aggregator import Aggregator
 from sketchlib.hashing import double_hash, hash64
 
 _MAGIC = b"BLM1"
+_MAGIC_SPARSE = b"BLMS"
 
 
 class Bloom(Aggregator):
-    __slots__ = ("m", "k", "seed", "bits", "n_added")
+    __slots__ = ("m", "k", "seed", "bytemap", "n_added", "_sparse")
 
     def __init__(
         self,
@@ -38,30 +48,57 @@ class Bloom(Aggregator):
         self.m = m
         self.k = k
         self.seed = seed
-        self.bits = np.zeros((m + 63) // 64, dtype=np.uint64)
+        # dense in-memory form: one byte per bit — fancy assignment
+        # ``bytemap[pos] = 1`` runs at memory speed, vs np.bitwise_or.at on
+        # packed words (~40x slower: ufunc.at dispatches per element).  The
+        # dense wire format stays packed.  Until densified, state is the
+        # sparse base-hash list instead (see module docstring).
+        self.bytemap: np.ndarray | None = None
+        self._sparse: list[np.ndarray] = []
         self.n_added = 0
 
     @classmethod
     def zero(cls, **params) -> "Bloom":
         return cls(**params)
 
+    @property
+    def is_sparse(self) -> bool:
+        return self.bytemap is None
+
+    def _sparse_count(self) -> int:
+        return sum(len(a) for a in self._sparse)
+
+    def _densify(self) -> None:
+        if self.bytemap is None:
+            self.bytemap = np.zeros(self.m, dtype=np.uint8)
+        for base in self._sparse:
+            for i in range(self.k):
+                self.bytemap[double_hash(base, i, self.m)] = 1
+        self._sparse = []
+
+    def _maybe_densify(self) -> None:
+        # sparse is worthwhile while 8 B/element < m/8 bits of dense payload
+        if self.bytemap is None and self._sparse_count() * 8 >= (self.m + 7) // 8:
+            self._densify()
+
     def _set_base(self, base: np.ndarray) -> None:
         if len(base) == 0:
             return
+        if self.bytemap is None:
+            self._sparse.append(base.astype(np.uint64, copy=True))
+            self.n_added += len(base)
+            self._maybe_densify()
+            return
         for i in range(self.k):
-            pos = double_hash(base, i, self.m)
-            word = pos >> 6
-            bit = np.uint64(1) << (pos.astype(np.uint64) & np.uint64(63))
-            np.bitwise_or.at(self.bits, word, bit)
+            self.bytemap[double_hash(base, i, self.m)] = 1
         self.n_added += len(base)
 
     def _test_base(self, base: np.ndarray) -> np.ndarray:
+        if self.bytemap is None:
+            self._densify()  # queries are rare on partials; densify once
         out = np.ones(len(base), dtype=bool)
         for i in range(self.k):
-            pos = double_hash(base, i, self.m)
-            word = pos >> 6
-            bit = np.uint64(1) << (pos.astype(np.uint64) & np.uint64(63))
-            out &= (self.bits[word] & bit) != 0
+            out &= self.bytemap[double_hash(base, i, self.m)] != 0
         return out
 
     def update_batch(self, values: np.ndarray) -> None:
@@ -82,24 +119,62 @@ class Bloom(Aggregator):
     def merge(self, other: "Bloom") -> "Bloom":
         if (self.m, self.k, self.seed) != (other.m, other.k, other.seed):
             raise ValueError("Bloom merge parameter mismatch")
-        np.bitwise_or(self.bits, other.bits, out=self.bits)
+        if self.bytemap is None and other.bytemap is None:
+            self._sparse.extend(a.copy() for a in other._sparse)
+            self.n_added += other.n_added
+            self._maybe_densify()
+            return self
+        self._densify()
+        if other.bytemap is None:
+            for base in other._sparse:
+                for i in range(self.k):
+                    self.bytemap[double_hash(base, i, self.m)] = 1
+        else:
+            np.bitwise_or(self.bytemap, other.bytemap, out=self.bytemap)
         self.n_added += other.n_added
         return self
 
     def fill_ratio(self) -> float:
-        return float(np.unpackbits(self.bits.view(np.uint8)).sum()) / self.m
+        if self.bytemap is None:
+            self._densify()
+        return float(self.bytemap.sum()) / self.m
 
     def serialize(self) -> bytes:
-        head = _MAGIC + struct.pack("<QIIq", self.m, self.k, self.seed, self.n_added)
-        return head + self.bits.astype("<u8").tobytes()
+        """Dense ("BLM1"): packed little-endian bit array — bit (pos & 63)
+        of word (pos >> 6) — after the header.  Sparse ("BLMS"): the raw
+        uint64 base hashes (always smaller, or densify would have fired)."""
+        head = struct.pack("<QIIq", self.m, self.k, self.seed, self.n_added)
+        if self.bytemap is None:
+            bases = (np.concatenate(self._sparse) if self._sparse
+                     else np.empty(0, dtype=np.uint64))
+            # canonical multiset form: sorted — serialized bytes must not
+            # depend on partition/merge order (invariance law)
+            return _MAGIC_SPARSE + head + np.sort(bases).astype("<u8").tobytes()
+        n_words = (self.m + 63) // 64
+        padded = np.zeros(n_words * 64, dtype=np.uint8)
+        padded[: self.m] = self.bytemap
+        packed = np.packbits(padded, bitorder="little")
+        return _MAGIC + head + packed.tobytes()
 
     @classmethod
     def deserialize(cls, data: bytes, **_: object) -> "Bloom":
-        if data[:4] != _MAGIC:
+        magic = data[:4]
+        if magic not in (_MAGIC, _MAGIC_SPARSE):
             raise ValueError("Bloom: bad magic")
         m, k, seed, n_added = struct.unpack_from("<QIIq", data, 4)
         out = cls(m=m, k=k, seed=seed)
-        out.bits = np.frombuffer(data[4 + 24 :], dtype="<u8").copy()
+        payload = data[4 + 24 :]
+        if magic == _MAGIC_SPARSE:
+            bases = np.frombuffer(payload, dtype="<u8").astype(np.uint64)
+            if len(bases):
+                out._sparse = [bases]
+            out.n_added = n_added
+            out._maybe_densify()
+            return out
+        unpacked = np.unpackbits(
+            np.frombuffer(payload, dtype=np.uint8), bitorder="little"
+        )
+        out.bytemap = unpacked[:m].copy()
         out.n_added = n_added
         return out
 

@@ -137,7 +137,7 @@ def test_bloom_serde_roundtrip():
     b = Bloom(expected_n=1000, fpr=0.01)
     b.update_batch(np.arange(500))
     b2 = Bloom.deserialize(b.serialize())
-    assert np.array_equal(b2.bits, b.bits)
+    assert np.array_equal(b2.bytemap, b.bytemap)
     assert b2.n_added == 500
     assert bool(np.all(b2.contains(np.arange(500))))
 
