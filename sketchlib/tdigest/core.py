@@ -659,13 +659,26 @@ class MergingDigest:
 
     def update_batch(self, values: np.ndarray, weights: np.ndarray | None = None) -> None:
         v = np.asarray(values, dtype=np.float64)
-        v = v[~np.isnan(v)]
-        if len(v) == 0:
-            return
         if weights is None:
+            keep = ~np.isnan(v)
+            v = v[keep]
+            if len(v) == 0:
+                return
             w = np.ones(len(v))
         else:
-            w = np.asarray(weights, dtype=np.float64)[: len(v)]
+            w = np.asarray(weights, dtype=np.float64)
+            if len(w) != len(v):
+                raise ValueError(
+                    f"update_batch: {len(v)} values vs {len(w)} weights"
+                )
+            if np.any(w[~np.isnan(w)] <= 0.0):
+                # reference parity: add ~n with n <= 0 raises
+                # (src/tdigest.ml:313-314)
+                raise ValueError("update_batch: weights must be positive")
+            keep = ~(np.isnan(v) | np.isnan(w))  # same mask on BOTH arrays
+            v, w = v[keep], w[keep]
+            if len(v) == 0:
+                return
         self._buf_v.append(v)
         self._buf_w.append(w)
         self._buf_len += len(v)

@@ -115,3 +115,32 @@ def test_empty_digest_is_monoid_identity():
     empty = MergingDigest()
     assert empty.serialize() == b""
     assert _final([a.serialize(), empty.serialize()]) == _final([a.serialize()])
+
+
+def test_weighted_nan_alignment():
+    """NaN values must drop their paired weights, not shift them (regression:
+    values were NaN-filtered before weights were sliced)."""
+    import numpy as np
+
+    from sketchlib.tdigest.core import MergingDigest
+
+    a = MergingDigest(delta=0.0)
+    a.update_batch(np.array([1.0, np.nan, 3.0]), np.array([10.0, 20.0, 30.0]))
+    b = MergingDigest(delta=0.0)
+    b.update_batch(np.array([1.0, 3.0]), np.array([10.0, 30.0]))
+    assert a.serialize() == b.serialize()
+
+
+def test_nonpositive_weights_raise():
+    import numpy as np
+    import pytest
+
+    from sketchlib.tdigest.core import MergingDigest
+
+    d = MergingDigest()
+    with pytest.raises(ValueError):
+        d.update_batch(np.array([1.0]), np.array([0.0]))
+    with pytest.raises(ValueError):
+        d.update_batch(np.array([1.0, 2.0]), np.array([1.0, -3.0]))
+    with pytest.raises(ValueError):
+        d.update_batch(np.array([1.0, 2.0]), np.array([1.0]))
