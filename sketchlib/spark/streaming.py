@@ -54,6 +54,9 @@ def streaming_tdigest(
     same wire format as the batch path, so downstream quantile/CDF UDFs and
     merges apply unchanged.
     """
+    from sketchlib.spark.shipping import ensure_on_workers
+
+    ensure_on_workers(stream.sparkSession)
     win = F.window(F.col(ts_col), window)
     keyed = (
         stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
@@ -100,4 +103,93 @@ def streaming_tdigest(
         stateStructType=state_schema,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_tdigest_final(
+    stream: DataFrame,
+    keys: list[str],
+    value_col: str,
+    ts_col: str = "warc_ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    delta: float = 0.01,
+    discrete: bool = False,
+) -> DataFrame:
+    """Window-close variant: each (keys × window) digest is emitted exactly
+    ONCE, when the event-time watermark passes the window end — the append
+    shape downstream sinks (Iceberg appends, Kafka) want, vs the per-trigger
+    snapshots of ``streaming_tdigest``.
+
+    Mechanics: rows accumulate into the per-group digest state; on every
+    update the group's event-time timeout is (re)armed at window_end, so
+    Spark calls the function one final time with no rows once the watermark
+    crosses it — that call emits the finished digest and drops the state.
+    Until then the function emits nothing.
+    """
+    from sketchlib.spark.shipping import ensure_on_workers
+
+    ensure_on_workers(stream.sparkSession)
+    win = F.window(F.col(ts_col), window)
+    keyed = (
+        stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .withColumn("_win", win)
+        .select(
+            *keys,
+            F.col("_win.start").alias("window_start"),
+            F.col("_win.end").alias("window_end"),
+            F.col(value_col).cast("double").alias("_v"),
+            # the watermarked column must survive to the stateful operator
+            # for EventTimeTimeout to be legal
+            F.col(ts_col),
+        )
+    )
+    key_fields = [keyed.schema[k] for k in keys]
+    out_schema = StructType(
+        [StructField(f.name, f.dataType, True) for f in key_fields]
+        + [
+            StructField("window_start", TimestampType(), True),
+            StructField("window_end", TimestampType(), True),
+            StructField("digest", BinaryType(), True),
+        ]
+    )
+    state_schema = StructType([StructField("digest", BinaryType(), True)])
+
+    def update(key, pdfs, state: GroupState):
+        window_end = key[len(keys) + 1]
+        if state.hasTimedOut:
+            blob = state.get[0] if state.exists else None
+            state.remove()
+            if blob:
+                out = {name: [key[i]] for i, name in enumerate(keys)}
+                out["window_start"] = [key[len(keys)]]
+                out["window_end"] = [window_end]
+                out["digest"] = [bytes(blob)]
+                yield pd.DataFrame(out)
+            return
+        d = MergingDigest(delta=delta, discrete=discrete)
+        if state.exists:
+            (blob,) = state.get
+            if blob:
+                d.merge_bytes(bytes(blob))
+        for pdf in pdfs:
+            d.update_batch(pdf["_v"].to_numpy(dtype="float64"))
+        state.update((d.serialize(),))
+        # fire once the watermark passes the window end (epoch millis);
+        # a timeout may not be set behind the current watermark, so clamp —
+        # the clamped case means the window is already closed and fires on
+        # the next trigger
+        target = int(window_end.timestamp() * 1000)
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(target, wm + 1))
+        return
+        yield  # pragma: no cover — keeps this a generator
+
+    return keyed.groupBy(*keys, "window_start", "window_end").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -26,6 +26,68 @@ def _write_chunks(tmpdir, n_files=4, rows_per=500):
     return paths
 
 
+def test_window_close_emits_once_and_matches_batch(spark, tmp_path):
+    """Append-mode variant: with the watermark advanced past all windows by
+    a late sentinel file, every window must be emitted exactly once and its
+    digest must equal the batch build."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.streaming import streaming_tdigest_final
+    from sketchlib.spark.tdigest_ops import tdigest_aggregate
+
+    src = str(tmp_path / "srcf")
+    os.makedirs(src)
+    _write_chunks(src, n_files=3)
+    # sentinel far in event-time future: pushes the watermark beyond all
+    # real windows so their timeouts fire within processAllAvailable()
+    sentinel_ts = np.array(["2025-03-02T00:00:00"], dtype="datetime64[s]")
+    pd.DataFrame({
+        "warc_ts": pd.Series(sentinel_ts),
+        "lang": np.array(["en"]), "n_chars": np.array([1.0]),
+    }).to_parquet(os.path.join(src, "zz-sentinel.parquet"))
+
+    static = spark.read.parquet(src)
+    stream = spark.readStream.schema(static.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    # watermark must exceed the 3 h event-time spread of the shuffled files
+    # (else later files' rows for already-closed windows are dropped as
+    # late); the sentinel sits 21 h ahead so watermark = sentinel - 10 h
+    # still passes every real window end and closes them all
+    out = streaming_tdigest_final(
+        stream, ["lang"], "n_chars", ts_col="warc_ts",
+        window="1 hour", watermark="10 hours", delta=0.0,
+    )
+    emitted = []
+
+    def sink(batch_df, batch_id):
+        emitted.extend(
+            ((r["lang"], r["window_start"]), bytes(r["digest"]))
+            for r in batch_df.collect()
+        )
+
+    q = out.writeStream.outputMode("append").foreachBatch(sink).start()
+    q.processAllAvailable()
+    q.stop()
+
+    keys = [k for k, _ in emitted]
+    assert len(keys) == len(set(keys)), "window emitted more than once"
+
+    batch = static.filter(F.col("warc_ts") < "2025-03-02").withColumn(
+        "_w", F.window("warc_ts", "1 hour")
+    ).select("lang", F.col("_w.start").alias("window_start"), "n_chars")
+    ref = {
+        (r["lang"], r["window_start"]): bytes(r["digest"])
+        for r in tdigest_aggregate(
+            batch, ["lang", "window_start"], "n_chars", delta=0.0
+        ).collect()
+    }
+    got = dict(emitted)
+    assert set(ref).issubset(set(got) | set(ref))  # sentinel window may be unflushed
+    for k in ref:
+        assert got.get(k) == ref[k], f"window {k} digest mismatch or missing"
+
+
 def test_streaming_digests_match_batch(spark, tmp_path):
     from sketchlib.spark.streaming import streaming_tdigest
     from sketchlib.spark.tdigest_ops import tdigest_aggregate
