@@ -154,9 +154,19 @@ def ivf_assign(
     assignment is one scan.  Lists then become the partition key for
     ``ivf_topk`` probing."""
     spark = df.sparkSession
-    samp = df.select(id_col, vec_col).sort(id_col).limit(sample).collect()
+    # deterministic but id-unbiased sample: order by a hash of the id (ties
+    # broken by id), not by the id itself
+    samp = (
+        df.select(id_col, vec_col)
+        .sort(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(sample)
+        .collect()
+    )
     mat = _norm_rows(np.array([r[1] for r in samp], dtype=np.float64))
     rng = np.random.default_rng(seed)
+    n_lists = min(n_lists, len(mat))  # degrade gracefully on tiny tables
+    if n_lists == 0:
+        raise ValueError("ivf_assign: input table has no rows to train on")
     cent = mat[rng.choice(len(mat), size=n_lists, replace=False)]
     for _ in range(iters):
         assign = np.argmax(mat @ cent.T, axis=1)

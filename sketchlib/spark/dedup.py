@@ -47,7 +47,9 @@ def _perm_consts(num_perm: int) -> list[tuple[int, int]]:
     for i in range(num_perm):
         a = (a * 6364136223846793005 + 1442695040888963407) % _MERSENNE
         b = (b * 6364136223846793005 + 1442695040888963407) % _MERSENNE
-        consts.append(((a | 1) % _MERSENNE, b))
+        # (a|1) can equal _MERSENNE itself (prob ~2^-31), whose residue 0
+        # would degenerate the permutation to a constant — clamp into [1, p-1]
+        consts.append((max(1, (a | 1) % _MERSENNE), b))
     return consts
 
 

@@ -122,12 +122,17 @@ def register_sql_functions(spark: SparkSession, delta: float = 0.01) -> None:
 
     @pandas_udf(DoubleType())
     def hll_estimate(blobs: pd.Series) -> pd.Series:
-        return pd.Series([HLL.deserialize(bytes(b)).estimate() for b in blobs])
+        return pd.Series([
+            float("nan") if b is None else HLL.deserialize(bytes(b)).estimate()
+            for b in blobs
+        ])
 
     @pandas_udf(BinaryType())
     def hll_merge_agg(blobs: pd.Series) -> bytes:
         out = None
         for b in blobs:
+            if b is None:
+                continue
             h = HLL.deserialize(bytes(b))
             out = h if out is None else out.merge(h)
         return (out or HLL(p=14)).serialize()
@@ -142,9 +147,12 @@ def register_sql_functions(spark: SparkSession, delta: float = 0.01) -> None:
     def cms_query(blob: pd.Series, key: pd.Series) -> pd.Series:
         out = []
         for b, x in zip(blob, key):
+            if b is None or x is None:
+                out.append(None)
+                continue
             c = CMS.deserialize(bytes(b))
             out.append(int(c.query(np.asarray([x], dtype=np.int64))[0]))
-        return pd.Series(out)
+        return pd.Series(out, dtype="object")
 
     @pandas_udf(BinaryType())
     def bloom_agg(v: pd.Series) -> bytes:
@@ -156,9 +164,12 @@ def register_sql_functions(spark: SparkSession, delta: float = 0.01) -> None:
     def bloom_contains(blob: pd.Series, key: pd.Series) -> pd.Series:
         out = []
         for b, x in zip(blob, key):
+            if b is None or x is None:
+                out.append(None)
+                continue
             f = Bloom.deserialize(bytes(b))
             out.append(bool(f.contains(np.asarray([x], dtype=np.int64))[0]))
-        return pd.Series(out)
+        return pd.Series(out, dtype="object")
 
     @pandas_udf(BinaryType())
     def kll_agg(v: pd.Series) -> bytes:
@@ -170,6 +181,9 @@ def register_sql_functions(spark: SparkSession, delta: float = 0.01) -> None:
     def kll_quantile(blob: pd.Series, p: pd.Series) -> pd.Series:
         out = []
         for b, pp in zip(blob, p):
+            if b is None or pp is None:
+                out.append(float("nan"))
+                continue
             s = KLL.deserialize(bytes(b))
             out.append(float(np.atleast_1d(s.quantile([float(pp)]))[0]))
         return pd.Series(out)

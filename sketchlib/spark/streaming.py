@@ -22,7 +22,9 @@ boundaries or arrival order — asserted in tests/test_streaming.py.
 
 from __future__ import annotations
 
+from datetime import timezone
 from typing import Iterable, Iterator
+from zoneinfo import ZoneInfo
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -35,6 +37,48 @@ from pyspark.sql.types import (
 )
 
 from sketchlib.tdigest.core import MergingDigest
+
+
+def _session_tz(df: DataFrame) -> ZoneInfo | None:
+    """The session timezone as a ZoneInfo, or None when it isn't an IANA name
+    (then naive outputs pass through unchanged — matching a UTC session)."""
+    name = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    try:
+        return ZoneInfo(name)
+    except (KeyError, ValueError):
+        return None
+
+
+def _epoch_ms(dt) -> int:
+    """Epoch millis of a window bound taken from a state key.
+
+    ``applyInPandasWithState`` hands grouping-key timestamps to Python as
+    *UTC-naive* datetimes (measured on PySpark 4.1: the key Timestamp equals
+    the UTC window bound regardless of ``spark.sql.session.timeZone`` and of
+    the process TZ) — so attach UTC explicitly.  Naive ``.timestamp()`` would
+    interpret them in the process's system timezone, offsetting the
+    event-time timeout by the tz delta; when that lands in the past, the
+    watermark clamp fires the timeout early — emitting a partial digest and
+    breaking emit-exactly-once.
+    """
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1000)
+
+
+def _key_ts_out(dt, tz: ZoneInfo | None):
+    """Convert a UTC-naive state-key timestamp into the form the *output*
+    serializer expects.
+
+    Asymmetry measured on PySpark 4.1: keys come in UTC-naive, but naive
+    timestamps yielded into an output TimestampType column are interpreted
+    in ``spark.sql.session.timeZone`` — echoing the key unchanged would
+    shift the emitted window bound by the session-tz offset.  Re-render the
+    UTC wall time as session-tz wall time so the round trip is the identity.
+    """
+    if dt.tzinfo is not None or tz is None:
+        return dt
+    return dt.replace(tzinfo=timezone.utc).astimezone(tz).replace(tzinfo=None)
 
 
 def streaming_tdigest(
@@ -57,6 +101,7 @@ def streaming_tdigest(
     from sketchlib.spark.shipping import ensure_on_workers
 
     ensure_on_workers(stream.sparkSession)
+    tz = _session_tz(stream)
     win = F.window(F.col(ts_col), window)
     keyed = (
         stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
@@ -67,6 +112,9 @@ def streaming_tdigest(
             F.col("_win.start").alias("window_start"),
             F.col("_win.end").alias("window_end"),
             F.col(value_col).cast("double").alias("_v"),
+            # the watermarked column must survive to the stateful operator
+            # for EventTimeTimeout to be legal
+            F.col(ts_col),
         )
     )
 
@@ -82,6 +130,12 @@ def streaming_tdigest(
     state_schema = StructType([StructField("digest", BinaryType(), True)])
 
     def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # the watermark passed window_end: Spark drops any further rows
+            # for this window upstream, so the state can never grow again —
+            # evict it (snapshots were already emitted every trigger)
+            state.remove()
+            return
         d = MergingDigest(delta=delta, discrete=discrete)
         if state.exists:
             (blob,) = state.get
@@ -91,9 +145,11 @@ def streaming_tdigest(
             d.update_batch(pdf["_v"].to_numpy(dtype="float64"))
         blob = d.serialize()
         state.update((blob,))
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(_epoch_ms(key[len(keys) + 1]), wm + 1))
         out = {name: [key[i]] for i, name in enumerate(keys)}
-        out["window_start"] = [key[len(keys)]]
-        out["window_end"] = [key[len(keys) + 1]]
+        out["window_start"] = [_key_ts_out(key[len(keys)], tz)]
+        out["window_end"] = [_key_ts_out(key[len(keys) + 1], tz)]
         out["digest"] = [blob]
         yield pd.DataFrame(out)
 
@@ -102,7 +158,7 @@ def streaming_tdigest(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 
@@ -130,6 +186,7 @@ def streaming_tdigest_final(
     from sketchlib.spark.shipping import ensure_on_workers
 
     ensure_on_workers(stream.sparkSession)
+    tz = _session_tz(stream)
     win = F.window(F.col(ts_col), window)
     keyed = (
         stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
@@ -163,8 +220,8 @@ def streaming_tdigest_final(
             state.remove()
             if blob:
                 out = {name: [key[i]] for i, name in enumerate(keys)}
-                out["window_start"] = [key[len(keys)]]
-                out["window_end"] = [window_end]
+                out["window_start"] = [_key_ts_out(key[len(keys)], tz)]
+                out["window_end"] = [_key_ts_out(window_end, tz)]
                 out["digest"] = [bytes(blob)]
                 yield pd.DataFrame(out)
             return
@@ -176,11 +233,11 @@ def streaming_tdigest_final(
         for pdf in pdfs:
             d.update_batch(pdf["_v"].to_numpy(dtype="float64"))
         state.update((d.serialize(),))
-        # fire once the watermark passes the window end (epoch millis);
-        # a timeout may not be set behind the current watermark, so clamp —
-        # the clamped case means the window is already closed and fires on
-        # the next trigger
-        target = int(window_end.timestamp() * 1000)
+        # fire once the watermark passes the window end (epoch millis from
+        # the UTC-naive key — see _epoch_ms); a timeout may not be set behind
+        # the current watermark, so clamp — the clamped case means the window
+        # is already closed and fires on the next trigger
+        target = _epoch_ms(window_end)
         wm = state.getCurrentWatermarkMs()
         state.setTimeoutTimestamp(max(target, wm + 1))
         return

@@ -116,3 +116,13 @@ def test_simhash_matches_python(spark):
                 sums[j] += 1 if (hv >> j) & 1 else -1
         sig = sum(1 << j for j in range(SIMHASH_BITS) if sums[j] >= 0)
         assert got[doc_id] == sig, doc_id
+
+
+def test_minhash_perm_constants_in_range():
+    """Every generated permutation multiplier must be a unit mod the Mersenne
+    prime (a degenerate a=0 would collapse that permutation to a constant)."""
+    from sketchlib.spark.dedup import _MERSENNE, _perm_consts
+
+    for a, b in _perm_consts(64):
+        assert 1 <= a < _MERSENNE
+        assert 0 <= b < _MERSENNE

@@ -83,7 +83,9 @@ def test_window_close_emits_once_and_matches_batch(spark, tmp_path):
         ).collect()
     }
     got = dict(emitted)
-    assert set(ref).issubset(set(got) | set(ref))  # sentinel window may be unflushed
+    # every real window must have been flushed (got may additionally hold the
+    # sentinel's own window, which ref excludes)
+    assert set(ref).issubset(set(got))
     for k in ref:
         assert got.get(k) == ref[k], f"window {k} digest mismatch or missing"
 
