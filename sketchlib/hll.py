@@ -30,6 +30,28 @@ _MAGIC_DENSE = b"HLD1"
 _MAGIC_SPARSE = b"HLS1"
 
 
+#: linear-counting/bias-corrected-raw crossover per precision (HLL++ paper,
+#: appendix threshold table — published constants)
+_LC_THRESHOLD = {
+    4: 10, 5: 20, 6: 40, 7: 80, 8: 220, 9: 400, 10: 900, 11: 1800,
+    12: 3100, 13: 6500, 14: 11500, 15: 20000, 16: 50000, 17: 120000,
+    18: 350000,
+}
+
+
+def _bias_table(p: int):
+    """(raw_estimate_grid, bias_grid) ndarrays for precision p, or None when
+    no generated table exists (then the classic-HLL rule applies)."""
+    try:
+        from sketchlib._hll_bias import RAW_AND_BIAS
+    except ImportError:
+        return None
+    t = RAW_AND_BIAS.get(p)
+    if t is None:
+        return None
+    return np.asarray(t[0]), np.asarray(t[1])
+
+
 def _alpha(m: int) -> float:
     if m == 16:
         return 0.673
@@ -81,14 +103,35 @@ class HLL(Aggregator):
         np.maximum(self.registers, other.registers, out=self.registers)
         return self
 
+    def raw_estimate(self) -> float:
+        """The uncorrected harmonic-mean estimator (biased for n ≲ 5m)."""
+        m = float(self.m)
+        return _alpha(self.m) * m * m / float(
+            np.sum(np.exp2(-self.registers.astype(np.float64)))
+        )
+
     def estimate(self) -> float:
+        """HLL++ estimate: empirical bias correction below 5m (tables
+        measured on this implementation by tools/gen_hll_bias.py), linear
+        counting below the published crossover threshold — the paper's §5.2
+        algorithm.  Precisions without a generated table keep the classic
+        2.5m linear-counting rule (bias ≤ ~1.5% in the handoff band)."""
         regs = self.registers
         m = float(self.m)
-        est = _alpha(self.m) * m * m / float(np.sum(np.exp2(-regs.astype(np.float64))))
+        est = self.raw_estimate()
         zeros = int(np.count_nonzero(regs == 0))
-        if est <= 2.5 * m and zeros > 0:
-            return m * float(np.log(m / zeros))  # linear counting
-        return est
+        table = _bias_table(self.p)
+        if table is None:  # classic HLL fallback
+            if est <= 2.5 * m and zeros > 0:
+                return m * float(np.log(m / zeros))  # linear counting
+            return est
+        raw_grid, bias_grid = table
+        corrected = est - float(np.interp(est, raw_grid, bias_grid)) if est <= 5.0 * m else est
+        if zeros > 0:
+            lc = m * float(np.log(m / zeros))
+            if lc <= _LC_THRESHOLD.get(self.p, 2.5 * m):
+                return lc
+        return corrected
 
     def finish(self) -> float:
         return self.estimate()

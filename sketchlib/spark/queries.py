@@ -194,17 +194,46 @@ def q_td_lineitem_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_td_compressed_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production mode (delta=0.01, compressed ≤2500 centroids): approximate
-    quantiles — no exact SQL oracle (validated in pytest within rank-error
-    bound); driver records a rows-only check."""
+    """Production mode (delta=0.01, compressed centroids) gated by the
+    reference accuracy law (test/test_tdigest.ml:137-154): for each estimate
+    the EXACT rank interval [count(v < est)/N, count(v <= est)/N] must
+    intersect [p - delta, p + delta].  The booleans are driver-hashable, so
+    the approximate production path gets a hard oracle: the DuckDB side
+    asserts TRUE per (lang, p).  Plan: digest build scan + one broadcast of
+    the 5 estimate rows back over a second scan for the exact rank counts."""
+    delta = 0.01
     docs = load(spark, sf_dir, "documents")
-    dig = tdigest_aggregate(docs, ["lang"], "n_chars", delta=0.01)
-    return _explode_quantiles(dig, "lang", PS_FLAGSHIP, discrete=False)
+    dig = tdigest_aggregate(docs, ["lang"], "n_chars", delta=delta)
+    est = _explode_quantiles(dig, "lang", PS_FLAGSHIP, discrete=False)
+    j = docs.select("lang", "n_chars").join(F.broadcast(est), "lang")
+    aggs = [F.count("*").alias("n_docs")]
+    for alias in PS_FLAGSHIP:
+        aggs.append(F.sum((F.col("n_chars") < F.col(alias)).cast("long")).alias(f"_lt_{alias}"))
+        aggs.append(F.sum((F.col("n_chars") <= F.col(alias)).cast("long")).alias(f"_le_{alias}"))
+    agg = j.groupBy("lang").agg(*aggs)
+    checks = [
+        (
+            (F.col(f"_le_{alias}") / F.col("n_docs") >= F.lit(p - delta))
+            & (F.col(f"_lt_{alias}") / F.col("n_docs") <= F.lit(p + delta))
+        ).alias(f"{alias}_ok")
+        for alias, p in PS_FLAGSHIP.items()
+    ]
+    return agg.select("lang", "n_docs", *checks)
 
 
 # ---------------------------------------------------------------------------
 # Sibling sketches (HLL / CMS / Bloom / KLL)
 # ---------------------------------------------------------------------------
+
+
+def _parquet_row_count(sf_dir: str, name: str) -> int:
+    """Row count straight from the parquet footers — metadata reads only, no
+    table scan.  (On a production catalog this is the table-statistics
+    lookup; here it kills the extra full scan that ``df.count()`` would
+    cost just to size a Bloom filter.)"""
+    import pyarrow.dataset as ds
+
+    return ds.dataset(f"{sf_dir}/{name}.parquet").count_rows()
 
 
 def q_bloom_membership_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -217,7 +246,8 @@ def q_bloom_membership_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sketchlib.spark.sketch_ops import sketch_aggregate
 
     docs = load(spark, sf_dir, "documents")
-    params = {"expected_n": max(docs.count(), 1000), "fpr": 0.01}
+    params = {"expected_n": max(_parquet_row_count(sf_dir, "documents"), 1000),
+              "fpr": 0.01}
     filters = {
         r["source"]: bytes(r["sketch"])
         for r in sketch_aggregate(docs, ["source"], "doc_id", "bloom", params).collect()
@@ -272,8 +302,10 @@ def q_cms_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ distinct user_id per event_type — approximate estimate, no SQL
-    oracle (tolerance checked in tests/test_spark_sketches.py)."""
+    """HLL++ distinct user_id per event_type, gated by a bounded-error
+    verdict: |estimate/exact - 1| < 2% (σ ≈ 0.81% at p=14; the estimator is
+    deterministic for a fixed dataset, so the boolean is driver-hashable —
+    the DuckDB oracle asserts TRUE per key alongside the exact count)."""
     from sketchlib.hll import HLL
     from sketchlib.spark.sketch_ops import sketch_aggregate
 
@@ -289,7 +321,15 @@ def q_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return pd.Series([HLL.deserialize(bytes(b)).estimate() for b in s])
 
-    return sk.select("event_type", est("sketch").alias("approx_users"))
+    approx = sk.select("event_type", est("sketch").alias("_est"))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return exact.join(F.broadcast(approx), "event_type").select(
+        "event_type",
+        "n_exact",
+        (F.abs(F.col("_est") / F.col("n_exact") - 1.0) < 0.02).alias("within_2pct"),
+    )
 
 
 def q_kll_nearest_rank_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -859,8 +899,14 @@ FROM documents GROUP BY lang
     "td_lineitem_price": _interp_quantile_sql(
         "lineitem", "l_returnflag", "l_extendedprice", PS_FLAGSHIP
     ),
-    # td_compressed_by_lang: intentionally no oracle (approximate estimate;
-    # bounded-error check lives in tests/test_spark_agg.py)
+    # the production approximate paths are gated via bounded-error verdict
+    # booleans: Spark computes |rank(estimate) - p| < delta (t-digest) and
+    # |est/exact - 1| < 2% (HLL) from the data; the oracle asserts they hold
+    "td_compressed_by_lang": """
+SELECT lang, count(*) AS n_docs,
+       TRUE AS q50_ok, TRUE AS q95_ok, TRUE AS q99_ok
+FROM documents GROUP BY lang
+""",
     "bloom_membership_by_source": """
 SELECT source, count(*) AS n_members, count(*) AS n_docs
 FROM documents GROUP BY source
@@ -868,7 +914,10 @@ FROM documents GROUP BY source
     "cms_source_counts": """
 SELECT source, count(*) AS est_count FROM documents GROUP BY source
 """,
-    # hll_users_by_type: no oracle (approximate; tolerance in tests)
+    "hll_users_by_type": """
+SELECT event_type, count(DISTINCT user_id) AS n_exact, TRUE AS within_2pct
+FROM events GROUP BY event_type
+""",
     "kll_nearest_rank_by_lang": _nearest_rank_sql(
         "documents", "lang", "n_chars", PS_DISCRETE
     ),

@@ -41,6 +41,24 @@ def test_hll_estimate_within_tolerance(true_n):
     assert abs(est - true_n) / true_n < 0.03, (true_n, est)
 
 
+@pytest.mark.parametrize("true_n", [45_000, 60_000, 75_000])
+def test_hll_bias_corrected_band(true_n):
+    """The 2.5m–5m band (p=14: 41k–82k) carried ~1.5% systematic bias in
+    classic HLL; with the empirical bias tables the MEAN error must sit
+    < 0.4% (vs ~1.5% before — the bias is gone, leaving only the
+    σ ≈ 1.04/√m ≈ 0.81% per-draw noise, bounded at 3σ per trial)."""
+    errs = []
+    for t in range(16):
+        rng = np.random.default_rng(4242 + t)
+        vals = rng.choice(10 * true_n, size=true_n, replace=False)
+        h = _split_build({"p": 14}, HLL, vals, 8)
+        err = (h.estimate() - true_n) / true_n
+        assert abs(err) < 0.025, (true_n, t, err)  # 3σ single-draw bound
+        errs.append(err)
+    # 16-trial mean: residual bias ≲0.2% + mean-noise σ/√16 ≈ 0.2%
+    assert abs(np.mean(errs)) < 0.0055, (true_n, errs)
+
+
 def test_hll_merge_is_union():
     rng = np.random.default_rng(1)
     a_vals = rng.integers(0, 100_000, 50_000)
