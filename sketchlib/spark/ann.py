@@ -12,10 +12,11 @@ Scale notes (10^9..10^12 vectors):
   top-k per query (partition-pruned candidate set, k x Q rows per
   partition), and a final tiny window takes the global top-k.  Wall-clock is
   one scan; shuffle volume is partitions x Q x k id rows — independent of n.
-- ``cosine_pairs_exact`` is O(n^2) by definition — at scale it is only ever
-  run on LSH candidate buckets.  Here it broadcasts the normalized matrix
-  (fine to ~10M x 64 float32 ~ 2.5 GB; beyond that, chunk the broadcast into
-  column blocks and union the per-block results).
+- ``cosine_pairs_exact`` is O(n^2) multiply work by definition — at web
+  scale it is only ever run on LSH candidate buckets.  Its plan is a fully
+  distributed block-nested-loop (packed per-block matrices, one matmul per
+  unordered block pair): no driver collect, no whole-table broadcast,
+  O(B·n·d) shuffle.
 - ``signrandom_lsh_pairs`` is the scale discovery path: deterministic
   random-hyperplane sign signatures (JVM-free generation happens once on
   the driver; signature computation is one matmul per batch), banded into
@@ -31,6 +32,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import (
+    BinaryType,
     DoubleType,
     IntegerType,
     LongType,
@@ -107,31 +109,95 @@ def cosine_pairs_exact(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """All (a_id, b_id) pairs (a < b) with cosine >= threshold — exact,
-    via broadcast of the normalized matrix against each scan partition."""
-    spark = df.sparkSession
-    all_ids, all_mat = _collect_matrix(df, id_col, vec_col)
-    order = np.argsort(all_ids)
-    bc = spark.sparkContext.broadcast((all_ids[order], _norm_rows(all_mat[order])))
+    """All (a_id, b_id) pairs (a < b) with cosine >= threshold — exact and
+    fully distributed (no driver collect, no whole-table broadcast).
 
-    schema = StructType([
+    Block-nested-loop plan: hash-assign every vector to one of ``n_blocks``
+    blocks; pack each block into ONE row (ids + normalized float64 matrix as
+    binary) via ``applyInPandas``; enumerate the B(B+1)/2 unordered block
+    pairs; join the packed blocks onto both sides and compute one matmul per
+    block pair in ``mapInPandas``.  Each unordered vector pair is examined
+    exactly once (same-block pairs inside the (i,i) task, cross-block pairs
+    in the single (i,j), i<j task), so no distinct() is needed.
+
+    Scale: shuffle volume is O(B · n · d) — each block's matrix is shipped
+    to its B partner tasks — versus the O(n²) a naive cross join would
+    shuffle, and the driver never materializes anything.  Size ``n_blocks``
+    so one block matrix (n/B · d · 8 bytes) fits executor memory and stays
+    well under Arrow's 2 GB single-cell cap; at 10M × 64-d that's B ≈ 64
+    (~80 MB/block).  O(n²/B²) multiply work per task is the algorithm's
+    irreducible cost — at web scale run this only on LSH candidate buckets
+    (``signrandom_lsh_pairs``), which is why the LSH path is the headline
+    discovery operator.
+    """
+    spark = df.sparkSession
+
+    blocked = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+
+    pack_schema = StructType([
+        StructField("blk", IntegerType()),
+        StructField("ids", BinaryType()),
+        StructField("mat", BinaryType()),
+    ])
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["id"].to_numpy(dtype=np.int64), kind="stable")
+        ids = pdf["id"].to_numpy(dtype=np.int64)[order]
+        mat = _norm_rows(np.array(list(pdf["vec"]), dtype=np.float64)[order])
+        return pd.DataFrame({
+            "blk": [int(pdf["blk"].iloc[0])],
+            "ids": [ids.tobytes()],
+            "mat": [mat.tobytes()],
+        })
+
+    packed = blocked.groupBy("blk").applyInPandas(pack, schema=pack_schema)
+
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "bi int, bj int",
+    )
+    joined = (
+        pairs.join(packed.select(F.col("blk").alias("bi"),
+                                 F.col("ids").alias("ids_l"),
+                                 F.col("mat").alias("mat_l")), "bi")
+        .join(packed.select(F.col("blk").alias("bj"),
+                            F.col("ids").alias("ids_r"),
+                            F.col("mat").alias("mat_r")), "bj")
+        .repartition(n_blocks * (n_blocks + 1) // 2, "bi", "bj")
+    )
+
+    out_schema = StructType([
         StructField("a_id", LongType()),
         StructField("b_id", LongType()),
     ])
 
-    def pairs(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids_, mn_ = bc.value
+    def block_pairs(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rid = pdf[id_col].to_numpy(dtype=np.int64)
-            rmat = _norm_rows(np.array(list(pdf[vec_col]), dtype=np.float64))
-            sims = rmat @ mn_.T  # (batch, n)
-            ai, bj = np.nonzero(sims >= threshold)
-            a, b = rid[ai], ids_[bj]
-            keep = a < b
-            yield pd.DataFrame({"a_id": a[keep], "b_id": b[keep]})
+            for row in pdf.itertuples(index=False):
+                ids_l = np.frombuffer(row.ids_l, dtype=np.int64)
+                ids_r = np.frombuffer(row.ids_r, dtype=np.int64)
+                ml = np.frombuffer(row.mat_l, dtype=np.float64).reshape(len(ids_l), -1)
+                mr = np.frombuffer(row.mat_r, dtype=np.float64).reshape(len(ids_r), -1)
+                sims = ml @ mr.T
+                ai, bj = np.nonzero(sims >= threshold)
+                a, b = ids_l[ai], ids_r[bj]
+                if row.bi == row.bj:
+                    keep = a < b
+                    a, b = a[keep], b[keep]
+                else:  # disjoint blocks: orient each pair, keep all
+                    swap = a > b
+                    a2 = np.where(swap, b, a)
+                    b = np.where(swap, a, b)
+                    a = a2
+                yield pd.DataFrame({"a_id": a, "b_id": b})
 
-    return df.select(id_col, vec_col).mapInPandas(pairs, schema=schema).distinct()
+    return joined.mapInPandas(block_pairs, schema=out_schema)
 
 
 def ivf_assign(

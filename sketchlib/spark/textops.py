@@ -76,15 +76,20 @@ def quality_by_lang(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def lang_id_confusion(df: DataFrame, text_col: str = "text") -> DataFrame:
+def lang_id_confusion(df: DataFrame, text_col: str = "text",
+                      profile_top_k: int = 4096) -> DataFrame:
     """Language-ID by unigram frequency profile (the n-gram heuristic with
     n=1 over a closed vocabulary), evaluated as a confusion matrix against
     the labeled ``lang`` column.
 
-    Profile = occurrence count per (lang, word) over the corpus (a tiny
-    langs x vocab table — broadcast).  A document's score for candidate
-    language L is the integer sum of profile counts of its tokens; the
-    prediction is the max-score language, ties broken lexicographically.
+    Profile = occurrence count per (lang, word) over the corpus, CAPPED to
+    the ``profile_top_k`` most frequent words per language (ties broken by
+    word) before the broadcast hint — on real web text the raw (lang × word)
+    table is unbounded vocabulary and not broadcastable; the cap makes the
+    broadcast ≤ langs × K rows by construction (langID literature uses
+    top-K profiles anyway, Cavnar-Trenkle style).  A document's score for
+    candidate language L is the integer sum of profile counts of its tokens;
+    the prediction is the max-score language, ties broken lexicographically.
     At scale: tokens explode is map-side; the profile join is a broadcast
     hash join; the only wide shuffle is groupBy(doc_id, cand) on integer
     rows.
@@ -95,6 +100,12 @@ def lang_id_confusion(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     profile = toks.groupBy(F.col("lang").alias("cand"), "word").agg(
         F.count("*").alias("cnt")
+    )
+    wk = Window.partitionBy("cand").orderBy(F.desc("cnt"), F.asc("word"))
+    profile = (
+        profile.withColumn("_rk", F.row_number().over(wk))
+        .filter(F.col("_rk") <= profile_top_k)
+        .drop("_rk")
     )
     scores = (
         toks.select("doc_id", "word")

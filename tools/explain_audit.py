@@ -72,8 +72,8 @@ def main():
     # 4. lang-ID: profile join is broadcast, tokens never shuffle with text
     from sketchlib.spark.textops import lang_id_confusion
 
-    p = plan_of(lang_id_confusion(docs))
-    check("lang-ID broadcast profile join", p, must=[r"BroadcastHashJoin"])
+    p_langid = plan_of(lang_id_confusion(docs))
+    check("lang-ID broadcast profile join", p_langid, must=[r"BroadcastHashJoin"])
 
     # 5. textops stay JVM-side: no Python evaluation anywhere
     from sketchlib.spark.textops import token_stats
@@ -115,6 +115,43 @@ def main():
           f"(cache refs={n_mem}, scans={n_scan})")
     if not ok:
         FAIL.append(f"cube: expected cached-partials reuse, cache refs={n_mem}")
+
+    # 4b. lang-ID profile is CAPPED before broadcast: a top-K row_number
+    # window must sit on the profile (broadcast) side of the join
+    check("lang-ID profile top-K cap (window)", p_langid,
+          must=[r"\(\d+\) Window", r"row_number"])
+
+    # 6d. cosine_pairs_exact builds lazily: constructing the plan must launch
+    # ZERO Spark jobs (the old implementation .collect()ed the whole
+    # embedding table onto the driver at plan-build time).  The parquet load
+    # happens outside the job group — its file-listing job is not the
+    # operator's doing.
+    from sketchlib.spark.ann import cosine_pairs_exact
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    spark.sparkContext.setJobGroup("audit-lazy-cosine", "lazy check")
+    df_cos = cosine_pairs_exact(emb, threshold=0.45)
+    jobs = spark.sparkContext.statusTracker().getJobIdsForGroup("audit-lazy-cosine")
+    spark.sparkContext.setJobGroup(None, None)
+    ok = len(jobs) == 0
+    print(f"{'cosine pairs: no driver collect':40s} {'OK' if ok else 'FAIL'} "
+          f"({len(jobs)} jobs at plan-build)")
+    if not ok:
+        FAIL.append(f"emb_cosine_pairs launched {len(jobs)} jobs while building the plan")
+    p = plan_of(df_cos)
+    check("cosine pairs block plan is Python-side matmul", p,
+          must=[r"MapInPandas", r"FlatMapGroupsInPandas|MapGroups"])
+
+    # 6e. pipeline_clean_corpus: the quality/dedup restrictions are
+    # broadcast semi-joins (never a shuffled row-to-row join of full docs)
+    from sketchlib.spark.queries import q_pipeline_clean_corpus
+
+    p = plan_of(q_pipeline_clean_corpus(spark, sf_dir))
+    n_bsemi = len(re.findall(r"BroadcastHashJoin [^\n]*LeftSemi", p))
+    ok = n_bsemi >= 2
+    print(f"{'pipeline semi-joins broadcast':40s} {'OK' if ok else 'FAIL'} ({n_bsemi})")
+    if not ok:
+        FAIL.append(f"pipeline: {n_bsemi} broadcast semi-joins, want >=2")
 
     # 7. checkpoint resume: anti-join against completed parts is broadcast
     from sketchlib.spark.checkpoint import TDigestCheckpointer
