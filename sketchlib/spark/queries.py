@@ -168,14 +168,20 @@ def q_td_cdf_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_td_digest_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Digest introspection (reference info/to_string): centroid count ==
     distinct values in exact mode, total weight == row count, serialized
-    size == 16 B/centroid."""
+    size == 16 B/centroid, wire size == 20 B header + payload (round-tripped
+    through the versioned wire container so the gate covers both formats)."""
+    from sketchlib.spark.tdigest_ops import tdigest_unwire_udf, tdigest_wire_udf
+
     docs = load(spark, sf_dir, "documents")
     dig = tdigest_aggregate(docs, ["lang"], "n_chars", delta=0.0)
+    wire = tdigest_wire_udf(delta=0.0, discrete=False)
+    dig = dig.withColumn("_wire", wire("digest"))
     return dig.select(
         "lang",
-        tdigest_size_udf("digest").cast("long").alias("n_centroids"),
-        tdigest_count_udf("digest").alias("total_weight"),
+        tdigest_size_udf(tdigest_unwire_udf("_wire")).cast("long").alias("n_centroids"),
+        tdigest_count_udf(tdigest_unwire_udf("_wire")).alias("total_weight"),
         F.octet_length("digest").cast("long").alias("digest_bytes"),
+        F.octet_length("_wire").cast("long").alias("wire_bytes"),
     )
 
 
@@ -892,7 +898,8 @@ FROM documents GROUP BY lang
 SELECT lang,
   count(DISTINCT n_chars) AS n_centroids,
   CAST(count(*) AS DOUBLE) AS total_weight,
-  16 * count(DISTINCT n_chars) AS digest_bytes
+  16 * count(DISTINCT n_chars) AS digest_bytes,
+  20 + 16 * count(DISTINCT n_chars) AS wire_bytes
 FROM documents GROUP BY lang
 """,
     "td_events_by_type": _nearest_rank_sql("events", "event_type", "value", PS_DISCRETE),

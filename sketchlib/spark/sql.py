@@ -32,7 +32,9 @@ from sketchlib.tdigest.core import (
     cdf_of_centroids,
     centroids_to_bytes,
     merge_centroid_arrays,
+    parse_tdigest_wire,
     quantiles_of_centroids,
+    wrap_tdigest_wire,
 )
 
 
@@ -96,8 +98,24 @@ def register_sql_functions(spark: SparkSession, delta: float = 0.01) -> None:
                 out.append(float(n.sum()))
         return pd.Series(out)
 
+    @pandas_udf(BinaryType())
+    def tdigest_to_wire(dig: pd.Series) -> pd.Series:
+        # session-delta, merging mode: the header records how the blob was built
+        return pd.Series([
+            None if b is None else wrap_tdigest_wire(bytes(b), delta, False)
+            for b in dig
+        ])
+
+    @pandas_udf(BinaryType())
+    def tdigest_from_wire(blob: pd.Series) -> pd.Series:
+        return pd.Series([
+            None if b is None else parse_tdigest_wire(bytes(b))[0] for b in blob
+        ])
+
     spark.udf.register("tdigest_agg", tdigest_agg)
     spark.udf.register("tdigest_merge_agg", tdigest_merge_agg)
+    spark.udf.register("tdigest_to_wire", tdigest_to_wire)
+    spark.udf.register("tdigest_from_wire", tdigest_from_wire)
     spark.udf.register("tdigest_quantile", tdigest_quantile)
     spark.udf.register("tdigest_cdf", tdigest_cdf)
     spark.udf.register("tdigest_size", tdigest_size)

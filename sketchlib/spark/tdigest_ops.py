@@ -47,7 +47,9 @@ from sketchlib.tdigest.core import (
     MergingDigest,
     bytes_to_centroids,
     cdf_of_centroids,
+    parse_tdigest_wire,
     quantiles_of_centroids,
+    wrap_tdigest_wire,
 )
 
 
@@ -273,6 +275,31 @@ def tdigest_centroids_udf(dig: pd.Series) -> pd.Series:
             m, n = bytes_to_centroids(bytes(b))
             out.append([{"mean": float(a), "n": float(c)} for a, c in zip(m, n)])
     return pd.Series(out)
+
+
+def tdigest_wire_udf(delta: float, discrete: bool = False):
+    """binary(raw payload) → binary(versioned wire blob): prefixes the
+    SKB1/TDIG header carrying the digest's delta/discrete settings, so a
+    digest column stored in a table is self-describing (SURVEY §1.3)."""
+
+    @pandas_udf(BinaryType())
+    def f(dig: pd.Series) -> pd.Series:
+        return pd.Series([
+            None if b is None else wrap_tdigest_wire(bytes(b), delta, discrete)
+            for b in dig
+        ])
+
+    return f
+
+
+@pandas_udf(BinaryType())
+def tdigest_unwire_udf(dig: pd.Series) -> pd.Series:
+    """binary(wire blob OR legacy raw payload) → binary(raw payload) — the
+    inverse of ``tdigest_wire_udf`` for feeding stored digests back into the
+    byte-concat merge path."""
+    return pd.Series([
+        None if b is None else parse_tdigest_wire(bytes(b))[0] for b in dig
+    ])
 
 
 def tdigest_compress_udf(delta: float, discrete: bool = False):

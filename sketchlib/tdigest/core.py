@@ -41,6 +41,7 @@ Deliberate, documented divergences from the reference (rationale in SURVEY.md §
 from __future__ import annotations
 
 import math
+import struct as _struct
 from bisect import bisect_right, insort
 from typing import Iterable, Sequence
 
@@ -91,6 +92,49 @@ def _group_equal_means(means: np.ndarray, ns: np.ndarray) -> tuple[np.ndarray, n
     w = np.zeros(len(uniq))
     np.add.at(w, inv, np.asarray(ns, dtype=np.float64))
     return uniq, w
+
+
+# ---------------------------------------------------------------------------
+# Versioned wire container (SURVEY §1.3: magic + sketch type + params +
+# version).  The raw 16 B/centroid payload stays the merge/concat unit —
+# concatenating PAYLOADS is still a valid digest — while the header lets a
+# stored column be recognized and carry its delta/discrete settings
+# (reference interop story: README.md:31-41 "store in a DB column").
+# Sibling sketches carry their own magics (HLD1/CMS1/BLM1/KLL1); this is the
+# t-digest member of the same family.
+# ---------------------------------------------------------------------------
+
+WIRE_MAGIC = b"SKB1"
+WIRE_TYPE_TDIGEST = b"TDIG"
+WIRE_VERSION = 1
+_WIRE_FLAG_DISCRETE = 1
+_WIRE_HEADER = _struct.Struct("<4s4sHHd")  # magic, type, version, flags, delta
+
+
+def wrap_tdigest_wire(payload: bytes, delta: float, discrete: bool) -> bytes:
+    """Prefix a raw centroid payload with the versioned header (20 bytes)."""
+    flags = _WIRE_FLAG_DISCRETE if discrete else 0
+    return _WIRE_HEADER.pack(WIRE_MAGIC, WIRE_TYPE_TDIGEST, WIRE_VERSION,
+                             flags, float(delta)) + payload
+
+
+def parse_tdigest_wire(data: bytes) -> tuple[bytes, float | None, bool | None]:
+    """Split a blob into (payload, delta, discrete).
+
+    Headered blobs yield their stored settings; headerless blobs (the
+    backward-compatible raw format, any multiple of 16 bytes) yield
+    ``(data, None, None)``.  Unknown type or version fails fast.
+    """
+    if not data.startswith(WIRE_MAGIC):
+        return data, None, None
+    if len(data) < _WIRE_HEADER.size:
+        raise ValueError("tdigest wire: truncated header")
+    magic, typ, version, flags, delta = _WIRE_HEADER.unpack_from(data)
+    if typ != WIRE_TYPE_TDIGEST:
+        raise ValueError(f"tdigest wire: not a t-digest blob (type={typ!r})")
+    if version != WIRE_VERSION:
+        raise ValueError(f"tdigest wire: unsupported version {version}")
+    return data[_WIRE_HEADER.size:], delta, bool(flags & _WIRE_FLAG_DISCRETE)
 
 
 def merge_centroid_arrays(
@@ -583,6 +627,33 @@ class TDigest:
         td.auto_compress_count = 1
         return td
 
+    def to_wire(self) -> bytes:
+        """Headered serialization (magic + type + delta/discrete + version);
+        ``to_bytes`` stays the raw concat-mergeable payload format."""
+        return wrap_tdigest_wire(self.to_bytes(), self.delta, self.discrete)
+
+    @classmethod
+    def from_wire(
+        cls,
+        data: bytes,
+        delta: float | None = None,
+        k: float | None = DEFAULT_K,
+        cx: float | None = DEFAULT_CX,
+        discrete: bool | None = None,
+    ) -> "TDigest":
+        """Parse a headered OR legacy headerless blob.  Header settings are
+        used unless explicitly overridden; headerless blobs fall back to the
+        defaults (reference of_string semantics)."""
+        payload, h_delta, h_discrete = parse_tdigest_wire(data)
+        return cls.from_bytes(
+            payload,
+            delta=delta if delta is not None else (
+                h_delta if h_delta is not None else DEFAULT_DELTA),
+            k=k,
+            cx=cx,
+            discrete=discrete if discrete is not None else bool(h_discrete),
+        )
+
     def _load(self, means: np.ndarray, ns: np.ndarray) -> None:
         self._means = [float(x) for x in means]
         self._ns = [float(x) for x in ns]
@@ -740,6 +811,27 @@ class MergingDigest:
         d = cls(delta=delta, discrete=discrete, **kw)
         d._means, d._ns = bytes_to_centroids(data)
         return d
+
+    def to_wire(self) -> bytes:
+        """Headered serialization; ``serialize`` stays the raw
+        concat-mergeable payload format used by the distributed merge."""
+        return wrap_tdigest_wire(self.serialize(), self.delta, self.discrete)
+
+    @classmethod
+    def from_wire(
+        cls, data: bytes, delta: float | None = None,
+        discrete: bool | None = None, **kw
+    ) -> "MergingDigest":
+        """Parse a headered OR legacy headerless blob, restoring the stored
+        delta/discrete settings unless explicitly overridden."""
+        payload, h_delta, h_discrete = parse_tdigest_wire(data)
+        return cls.deserialize(
+            payload,
+            delta=delta if delta is not None else (
+                h_delta if h_delta is not None else DEFAULT_DELTA),
+            discrete=discrete if discrete is not None else bool(h_discrete),
+            **kw,
+        )
 
     # -- introspection / queries ----------------------------------------------
 

@@ -8,6 +8,8 @@ once at the end (SURVEY.md §7.3.2; reference analog src/tdigest.ml:402-408).
 
 import itertools
 
+import pytest
+
 import numpy as np
 
 from sketchlib.tdigest.core import (
@@ -144,3 +146,85 @@ def test_nonpositive_weights_raise():
         d.update_batch(np.array([1.0, 2.0]), np.array([1.0, -3.0]))
     with pytest.raises(ValueError):
         d.update_batch(np.array([1.0, 2.0]), np.array([1.0]))
+
+
+# --- versioned wire container (SURVEY §1.3 header) ---------------------------
+
+
+def test_wire_round_trip_restores_settings():
+    from sketchlib.tdigest.core import MergingDigest, TDigest, parse_tdigest_wire
+
+    rng = np.random.default_rng(8)
+    vals = rng.normal(0, 5, 10_000)
+    d = MergingDigest(delta=0.015, discrete=False)
+    d.update_batch(vals)
+    d.compress()
+    blob = d.to_wire()
+    payload, delta, discrete = parse_tdigest_wire(blob)
+    assert (delta, discrete) == (0.015, False)
+    back = MergingDigest.from_wire(blob)
+    assert back.delta == 0.015 and back.discrete is False
+    assert back.serialize() == d.serialize()
+
+    t = TDigest(delta=0.2, discrete=True)
+    t.add_list([1.0, 2.0, 2.0, 3.0])
+    t2 = TDigest.from_wire(t.to_wire())
+    assert t2.discrete is True and t2.delta == 0.2
+    assert t2.centroids() == t.centroids()
+
+
+def test_wire_header_is_backward_compatible_with_raw():
+    from sketchlib.tdigest.core import MergingDigest
+
+    d = MergingDigest(delta=0.0)
+    d.update_batch(np.arange(100, dtype="float64"))
+    raw = d.serialize()
+    # legacy raw blobs parse via from_wire with explicit settings
+    back = MergingDigest.from_wire(raw, delta=0.0)
+    assert back.serialize() == raw
+    # and a headered blob is NOT a multiple of 16, so the legacy parser
+    # fail-fasts instead of silently misreading it
+    with pytest.raises(ValueError):
+        MergingDigest.deserialize(d.to_wire())
+
+
+def test_wire_payload_concat_is_valid_merge():
+    """Raw-concat mergeability is preserved INSIDE the payload: the concat
+    of two wire payloads is a valid digest equal to the lossless union."""
+    from sketchlib.tdigest.core import MergingDigest, parse_tdigest_wire
+
+    rng = np.random.default_rng(9)
+    a = MergingDigest(delta=0.0)
+    a.update_batch(rng.integers(0, 50, 500).astype("float64"))
+    b = MergingDigest(delta=0.0)
+    b.update_batch(rng.integers(25, 75, 500).astype("float64"))
+    pa, _, _ = parse_tdigest_wire(a.to_wire())
+    pb, _, _ = parse_tdigest_wire(b.to_wire())
+    merged = MergingDigest.deserialize(pa + pb, delta=0.0)
+    ref = MergingDigest.deserialize(a.serialize()).merge_bytes(b.serialize())
+    assert merged.serialize() == ref.serialize()
+
+
+def test_wire_rejects_foreign_type_and_version():
+    import struct
+
+    from sketchlib.tdigest.core import (
+        WIRE_MAGIC,
+        MergingDigest,
+        parse_tdigest_wire,
+        wrap_tdigest_wire,
+    )
+
+    d = MergingDigest(delta=0.01)
+    d.update_batch(np.arange(10, dtype="float64"))
+    blob = bytearray(d.to_wire())
+    blob[4:8] = b"HLD1"  # claim to be an HLL
+    with pytest.raises(ValueError, match="not a t-digest"):
+        parse_tdigest_wire(bytes(blob))
+    blob = bytearray(d.to_wire())
+    blob[8:10] = struct.pack("<H", 99)  # future version
+    with pytest.raises(ValueError, match="version"):
+        parse_tdigest_wire(bytes(blob))
+    with pytest.raises(ValueError, match="truncated"):
+        parse_tdigest_wire(WIRE_MAGIC + b"TD")
+    assert wrap_tdigest_wire(b"", 0.01, True)[:4] == WIRE_MAGIC
