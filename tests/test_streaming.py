@@ -134,3 +134,57 @@ def test_streaming_digests_match_batch(spark, tmp_path):
     assert len(ref) == 6  # 2 langs x 3 hour-windows
     for k in ref:
         assert latest[k] == ref[k], f"stream/batch digest mismatch for {k}"
+
+
+def test_streaming_production_delta_rank_error(spark, tmp_path):
+    """The production path (delta=0.01, compressed state) through streaming:
+    every emitted window digest must satisfy the t-digest accuracy law
+    |rank(estimate) - p| <= delta against the exact rows of its window
+    (reference law, test/test_tdigest.ml:137-154) — not just the exact-mode
+    byte-equality the other tests pin."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.streaming import streaming_tdigest
+    from sketchlib.tdigest.core import MergingDigest
+
+    src = str(tmp_path / "srcp")
+    os.makedirs(src)
+    _write_chunks(src, n_files=4, rows_per=800)
+
+    static = spark.read.parquet(src)
+    stream = spark.readStream.schema(static.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    out = streaming_tdigest(
+        stream, ["lang"], "n_chars", ts_col="warc_ts",
+        window="1 hour", watermark="10 hours", delta=0.01,
+    )
+    latest = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            latest[(r["lang"], r["window_start"])] = bytes(r["digest"])
+
+    q = out.writeStream.outputMode("update").foreachBatch(sink).start()
+    q.processAllAvailable()
+    q.stop()
+
+    rows = static.withColumn("_w", F.window("warc_ts", "1 hour")).select(
+        "lang", F.col("_w.start").alias("ws"), "n_chars"
+    ).collect()
+    per_window = {}
+    per_window_setdefault = per_window.setdefault
+    for r in rows:
+        per_window_setdefault((r["lang"], r["ws"]), []).append(float(r["n_chars"]))
+
+    assert set(latest) == set(per_window)
+    for key, vals in per_window.items():
+        vals = np.asarray(vals)
+        d = MergingDigest.deserialize(latest[key], delta=0.01)
+        assert abs(d.count - len(vals)) < 1e-9
+        for p in (0.1, 0.5, 0.9, 0.99):
+            est = float(d.quantile([p])[0])
+            lo = float(np.sum(vals < est)) / len(vals)
+            hi = float(np.sum(vals <= est)) / len(vals)
+            # the estimate's attributable rank interval must meet [p±delta]
+            assert hi >= p - 0.01 and lo <= p + 0.01, (key, p, est, lo, hi)
