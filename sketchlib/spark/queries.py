@@ -595,6 +595,65 @@ FROM (
     return "\nUNION ALL\n".join(blocks)
 
 
+def q_td_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time rollup on sketches: ONE scan builds per-
+    (event_type × hour) digests; the per-(event_type × day) digests are then
+    derived by MERGING the 24 hourly sketches — never rescanning the facts.
+    At 100 TB this is the continuous-aggregate pattern: store the hourly
+    digest table (≤40 KB/row), answer day/week/month quantiles by sketch
+    merge at interactive cost.  Discrete mode → exact nearest-rank oracle."""
+    from sketchlib.spark.tdigest_ops import (
+        tdigest_count_udf,
+        tdigest_merge,
+        tdigest_partials,
+    )
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "hour", F.date_trunc("HOUR", F.col("ts"))
+    )
+    hourly = tdigest_merge(
+        tdigest_partials(ev, ["event_type", "hour"], "value", discrete=True),
+        ["event_type", "hour"],
+        discrete=True,
+    )
+    # rollup: the hourly DIGESTS are the input now — no second scan of events
+    daily = tdigest_merge(
+        hourly.withColumn(
+            "day", F.date_format(F.date_trunc("DAY", F.col("hour")), "yyyy-MM-dd")
+        ),
+        ["event_type", "day"],
+        discrete=True,
+    )
+    q = tdigest_quantiles_udf([0.5, 0.95], discrete=True)
+    return daily.select(
+        "event_type",
+        "day",
+        q("digest")[0].alias("q50"),
+        q("digest")[1].alias("q95"),
+        tdigest_count_udf("digest").alias("n_events"),
+    )
+
+
+_ROLLUP_SQL = """
+WITH g AS (
+  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(value AS DOUBLE) AS v, CAST(count(*) AS DOUBLE) AS c
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, day, value
+), s AS (
+  SELECT event_type, day, v,
+         sum(c) OVER (PARTITION BY event_type, day ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY event_type, day) AS total
+  FROM g
+)
+SELECT event_type, day,
+       min(v) FILTER (WHERE cum >= total * 0.5) AS q50,
+       min(v) FILTER (WHERE cum >= total * 0.95) AS q95,
+       max(total) AS n_events
+FROM s GROUP BY event_type, day
+"""
+
+
 def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composite training-data pipeline, end-to-end in one plan:
     quality filter (token count >= 10, stopword share <= 30%) -> exact
@@ -877,6 +936,7 @@ QUERIES = {
     "media_frame_sample": q_media_frame_sample,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "td_hourly_rollup": q_td_hourly_rollup,
     "td_cube_lang_source": q_td_cube_lang_source,
     "td_weighted_lineitem": q_td_weighted_lineitem,
     "td_info_by_lang": q_td_info_by_lang,
@@ -947,6 +1007,7 @@ FROM documents
     "media_frame_sample": _MEDIA_FRAMES_SQL,
     "pipeline_clean_corpus": _PIPELINE_SQL,
     "ann_ivf_topk": _ANN_TOPK_SQL,
+    "td_hourly_rollup": _ROLLUP_SQL,
     "td_cube_lang_source": _cube_sql(),
     "td_weighted_lineitem": _WEIGHTED_SQL,
     "td_info_by_lang": _INFO_SQL,

@@ -162,6 +162,99 @@ def streaming_tdigest(
     )
 
 
+def streaming_sketch(
+    stream: DataFrame,
+    keys: list[str],
+    value_col: str,
+    sketch: str,
+    params: dict | None = None,
+    ts_col: str = "warc_ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-(keys × event-time window) sibling sketch (hll/cms/bloom/kll)
+    over a streaming DataFrame — the generalization of
+    ``streaming_tdigest`` to the whole Aggregator family.
+
+    Same plan shape: hashing stays JVM-side (``xxhash64`` projection for the
+    hashed sketches, exactly like the batch path in
+    ``sketchlib.spark.sketch_ops``, so stream- and batch-built sketches are
+    interchangeable — byte-identical for the order-insensitive sketches
+    HLL/CMS/Bloom); state per key is one serialized sketch; Update-mode
+    snapshots each trigger; state evicts once the watermark passes the
+    window (EventTimeTimeout).
+    """
+    import numpy as np
+
+    from sketchlib.spark.shipping import ensure_on_workers
+    from sketchlib.spark.sketch_ops import _HASHED, SKETCHES
+
+    ensure_on_workers(stream.sparkSession)
+    cls = SKETCHES[sketch]
+    params = dict(params or {})
+    hashed = sketch in _HASHED
+    tz = _session_tz(stream)
+    win = F.window(F.col(ts_col), window)
+    val = (F.xxhash64(value_col) if hashed
+           else F.col(value_col).cast("double")).alias("_v")
+    keyed = (
+        stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .withColumn("_win", win)
+        .select(
+            *keys,
+            F.col("_win.start").alias("window_start"),
+            F.col("_win.end").alias("window_end"),
+            val,
+            F.col(ts_col),  # keeps EventTimeTimeout legal
+        )
+    )
+    key_fields = [keyed.schema[k] for k in keys]
+    out_schema = StructType(
+        [StructField(f.name, f.dataType, True) for f in key_fields]
+        + [
+            StructField("window_start", TimestampType(), True),
+            StructField("window_end", TimestampType(), True),
+            StructField("sketch", BinaryType(), True),
+        ]
+    )
+    state_schema = StructType([StructField("sketch", BinaryType(), True)])
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        sk = None
+        if state.exists:
+            (blob,) = state.get
+            if blob:
+                sk = cls.deserialize(bytes(blob), **params)
+        if sk is None:
+            sk = cls(**params)
+        for pdf in pdfs:
+            if hashed:
+                sk.update_hashed(pdf["_v"].to_numpy(dtype="int64").view(np.uint64))
+            else:
+                sk.update_batch(pdf["_v"].to_numpy(dtype="float64"))
+        blob = sk.serialize()
+        state.update((blob,))
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(_epoch_ms(key[len(keys) + 1]), wm + 1))
+        out = {name: [key[i]] for i, name in enumerate(keys)}
+        out["window_start"] = [_key_ts_out(key[len(keys)], tz)]
+        out["window_end"] = [_key_ts_out(key[len(keys) + 1], tz)]
+        out["sketch"] = [blob]
+        yield pd.DataFrame(out)
+
+    return keyed.groupBy(*keys, "window_start", "window_end").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def streaming_tdigest_final(
     stream: DataFrame,
     keys: list[str],

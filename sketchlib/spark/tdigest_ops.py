@@ -176,6 +176,11 @@ def tdigest_aggregate(
 
 # ---------------------------------------------------------------------------
 # Scalar query UDFs over digest columns (post-aggregation: tiny row counts)
+#
+# GUARD: these loop per ROW in Python by design — legal only because they
+# run AFTER aggregation, on ≤|distinct keys| digest rows (thousands), never
+# on row-scale data.  Do not point them at a per-row column; the per-row
+# path is tdigest_partials' vectorized update_batch.
 # ---------------------------------------------------------------------------
 
 

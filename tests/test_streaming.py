@@ -188,3 +188,76 @@ def test_streaming_production_delta_rank_error(spark, tmp_path):
             hi = float(np.sum(vals <= est)) / len(vals)
             # the estimate's attributable rank interval must meet [p±delta]
             assert hi >= p - 0.01 and lo <= p + 0.01, (key, p, est, lo, hi)
+
+
+def test_streaming_sibling_sketches_match_batch(spark, tmp_path):
+    """streaming_sketch: windowed HLL/CMS/Bloom states must be byte-identical
+    to the batch two-phase build over the same rows (all three are
+    order-insensitive merges), and KLL quantiles must stay within tolerance
+    of exact (its compaction is order-dependent, so bytes may differ)."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.kll import KLL
+    from sketchlib.spark.sketch_ops import sketch_aggregate
+    from sketchlib.spark.streaming import streaming_sketch
+
+    src = str(tmp_path / "srcs")
+    os.makedirs(src)
+    _write_chunks(src, n_files=3)
+    static = spark.read.parquet(src)
+    batch = static.withColumn("_w", F.window("warc_ts", "1 hour")).select(
+        "lang", F.col("_w.start").alias("window_start"), "n_chars"
+    )
+
+    for kind, params in (("hll", {"p": 12}), ("cms", {"width": 2048, "depth": 5}),
+                         ("bloom", {"expected_n": 4000, "fpr": 0.01})):
+        stream = spark.readStream.schema(static.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        out = streaming_sketch(stream, ["lang"], "n_chars", kind, params,
+                               ts_col="warc_ts", window="1 hour",
+                               watermark="10 hours")
+        latest = {}
+
+        def sink(batch_df, batch_id):
+            for r in batch_df.collect():
+                latest[(r["lang"], r["window_start"])] = bytes(r["sketch"])
+
+        q = out.writeStream.outputMode("update").foreachBatch(sink).start()
+        q.processAllAvailable()
+        q.stop()
+        ref = {
+            (r["lang"], r["window_start"]): bytes(r["sketch"])
+            for r in sketch_aggregate(
+                batch, ["lang", "window_start"], "n_chars", kind, params
+            ).collect()
+        }
+        assert set(latest) == set(ref), kind
+        for k in ref:
+            assert latest[k] == ref[k], (kind, k)
+
+    # KLL: tolerance vs exact per-window median
+    stream = spark.readStream.schema(static.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    out = streaming_sketch(stream, ["lang"], "n_chars", "kll", {"k": 200},
+                           ts_col="warc_ts", window="1 hour",
+                           watermark="10 hours")
+    latest = {}
+    q = out.writeStream.outputMode("update").foreachBatch(
+        lambda bdf, _id: latest.update(
+            {(r["lang"], r["window_start"]): bytes(r["sketch"])
+             for r in bdf.collect()})
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+    rows = batch.collect()
+    vals = {}
+    for r in rows:
+        vals.setdefault((r["lang"], r["window_start"]), []).append(r["n_chars"])
+    assert set(latest) == set(vals)
+    for k, vs in vals.items():
+        vs = np.sort(np.asarray(vs))
+        est = float(np.atleast_1d(KLL.deserialize(latest[k]).quantile([0.5]))[0])
+        rank = np.searchsorted(vs, est, side="right") / len(vs)
+        assert abs(rank - 0.5) < 0.05, (k, est, rank)
