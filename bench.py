@@ -64,8 +64,17 @@ def main() -> None:
 
     spark = get_spark("sketchlib-bench", cpus=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
-    # warm the JVM/Python-worker pool so per-query times measure the plan
+    # warm the JVM *and* the Python-worker/Arrow path so per-query times
+    # measure the plan, not daemon startup: the first pandas-UDF stage of a
+    # session otherwise pays ~3s of worker fork + Arrow codepath init, which
+    # lands entirely on whichever query happens to run first
     spark.range(1000).selectExpr("sum(id)").collect()
+    from sketchlib.spark.tdigest_ops import tdigest_aggregate as _warm_agg
+
+    warm_df = spark.range(2048).selectExpr(
+        "CAST(id % 7 AS STRING) AS k", "CAST(id AS DOUBLE) AS v"
+    )
+    _warm_agg(warm_df, ["k"], "v", delta=0.01).collect()
 
     t_all0 = time.time()
     times = run_queries(spark, SF_DIR)
@@ -523,8 +532,20 @@ one core — ~10x the reference.  The whole distributed scan+build job
 {m32['scan']['docs_per_sec']/1.3e6:.1f}x the reference's single-core
 in-memory ingest rate.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    # preserve manually-maintained sections (builtin comparison, sibling
+    # sketches, Iceberg probe, ...) that live below the generated part
+    base_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    tail = ""
+    try:
+        with open(base_path) as f:
+            old = f.read()
+        cut = old.find("## vs Spark's built-in")
+        if cut != -1:
+            tail = old[cut:]
+    except OSError:
+        pass
+    with open(base_path, "w") as f:
+        f.write(md + ("\n" + tail if tail else ""))
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
         json.dump(result, f, indent=2)
     print("# wrote BENCH/BASELINE.md", file=sys.stderr)
