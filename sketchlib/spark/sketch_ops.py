@@ -92,6 +92,16 @@ def sketch_merge(
     sketch: str,
     params: dict | None = None,
 ) -> DataFrame:
+    """Phase 2 for sibling sketches.
+
+    Deliberately ``groupBy().applyInPandas`` (one group materialized at a
+    time) rather than tdigest_merge's repartition+mapInPandas accumulator:
+    sibling sketches can be orders of magnitude larger than a digest (a
+    dense Bloom bitmap is MBs), so holding every co-located key's sketch in
+    one partition dict would blow memory at high key cardinality; streaming
+    groups sequentially bounds peak memory at one sketch per task.  T-digest
+    rows are ≤40 KB, which is why its merge takes the low-per-group-overhead
+    path instead."""
     from sketchlib.spark.shipping import ensure_on_workers
 
     ensure_on_workers(partials.sparkSession)
