@@ -595,6 +595,64 @@ FROM (
     return "\nUNION ALL\n".join(blocks)
 
 
+def q_kmv_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / bottom-k consistent sample + distinct estimate per lang, as a
+    PURE built-in DataFrame plan (whole-stage codegen): hash each doc_id
+    with the engine-portable md5-derived 60-bit hash, keep the k smallest
+    per lang (row_number window), and derive the KMV distinct estimate
+    (kept−1)/U(max kept hash) from the same rows.  The identical hash exists
+    in DuckDB, so sample AND estimate gate hash-exactly.  At scale the
+    window is a partial top-k per partition + tiny final merge (Spark
+    rewrites rank-filter windows); the sample is *coordinated* — the same
+    doc_id keeps the same hash everywhere — so bottom-k samples of two
+    corpora compose into overlap estimates."""
+    from pyspark.sql import Window
+
+    k = 32
+    docs = load(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 1, 15),
+        16, 10,
+    ).cast("long")
+    w = Window.partitionBy("lang").orderBy(F.asc("h"), F.asc("doc_id"))
+    kept = (
+        docs.select("lang", "doc_id", h.alias("h"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+    wl = Window.partitionBy("lang")
+    return kept.select(
+        "lang",
+        F.col("rk").cast("int").alias("rk"),
+        "doc_id",
+        (
+            (F.count("*").over(wl) - F.lit(1)).cast("double")
+            * F.lit(float(1 << 60))
+            / F.max("h").over(wl).cast("double")
+        ).alias("est_distinct"),
+    )
+
+
+_KMV_SQL = """
+WITH h AS (
+  SELECT lang, doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM documents
+), r AS (
+  SELECT lang, doc_id, h,
+         row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+  FROM h
+), kept AS (
+  SELECT * FROM r WHERE rk <= 32
+)
+SELECT lang, rk::INT AS rk, doc_id,
+       CAST(count(*) OVER (PARTITION BY lang) - 1 AS DOUBLE)
+         * 1152921504606846976.0
+         / CAST(max(h) OVER (PARTITION BY lang) AS DOUBLE) AS est_distinct
+FROM kept
+"""
+
+
 def q_td_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style time rollup on sketches: ONE scan builds per-
     (event_type × hour) digests; the per-(event_type × day) digests are then
@@ -936,6 +994,7 @@ QUERIES = {
     "media_frame_sample": q_media_frame_sample,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "kmv_sample_by_lang": q_kmv_sample_by_lang,
     "td_hourly_rollup": q_td_hourly_rollup,
     "td_cube_lang_source": q_td_cube_lang_source,
     "td_weighted_lineitem": q_td_weighted_lineitem,
@@ -1007,6 +1066,7 @@ FROM documents
     "media_frame_sample": _MEDIA_FRAMES_SQL,
     "pipeline_clean_corpus": _PIPELINE_SQL,
     "ann_ivf_topk": _ANN_TOPK_SQL,
+    "kmv_sample_by_lang": _KMV_SQL,
     "td_hourly_rollup": _ROLLUP_SQL,
     "td_cube_lang_source": _cube_sql(),
     "td_weighted_lineitem": _WEIGHTED_SQL,

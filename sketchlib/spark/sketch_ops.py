@@ -25,9 +25,10 @@ from sketchlib.bloom import Bloom
 from sketchlib.cms import CMS
 from sketchlib.hll import HLL
 from sketchlib.kll import KLL
+from sketchlib.kmv import KMV
 
-SKETCHES = {"hll": HLL, "cms": CMS, "bloom": Bloom, "kll": KLL}
-_HASHED = {"hll", "cms", "bloom"}  # ingest xxhash64 int64; kll ingests doubles
+SKETCHES = {"hll": HLL, "cms": CMS, "bloom": Bloom, "kll": KLL, "kmv": KMV}
+_HASHED = {"hll", "cms", "bloom", "kmv"}  # ingest xxhash64 int64; kll ingests doubles
 
 
 def _norm_key(key) -> tuple:

@@ -213,5 +213,33 @@ def register_sql_functions(spark: SparkSession, delta: float = 0.01) -> None:
     spark.udf.register("cms_query", cms_query)
     spark.udf.register("bloom_agg", bloom_agg)
     spark.udf.register("bloom_contains", bloom_contains)
+    from sketchlib.kmv import KMV
+
+    @pandas_udf(BinaryType())
+    def kmv_agg(v: pd.Series) -> bytes:
+        s = KMV(k=1024)
+        s.update_batch(_vals(v))
+        return s.serialize()
+
+    @pandas_udf(BinaryType())
+    def kmv_merge_agg(blobs: pd.Series) -> bytes:
+        out = None
+        for b in blobs:
+            if b is None:
+                continue
+            s = KMV.deserialize(bytes(b))
+            out = s if out is None else out.merge(s)
+        return (out or KMV(k=1024)).serialize()
+
+    @pandas_udf(DoubleType())
+    def kmv_estimate(blobs: pd.Series) -> pd.Series:
+        return pd.Series([
+            float("nan") if b is None else KMV.deserialize(bytes(b)).estimate()
+            for b in blobs
+        ])
+
     spark.udf.register("kll_agg", kll_agg)
     spark.udf.register("kll_quantile", kll_quantile)
+    spark.udf.register("kmv_agg", kmv_agg)
+    spark.udf.register("kmv_merge_agg", kmv_merge_agg)
+    spark.udf.register("kmv_estimate", kmv_estimate)
