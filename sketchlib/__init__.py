@@ -11,7 +11,8 @@ Spark's execution model:
 - ``sketchlib.cms``        — count-min sketch.
 - ``sketchlib.bloom``      — Bloom filter.
 - ``sketchlib.kll``        — KLL quantile sketch.
-- ``sketchlib.aggregator`` — the shared mergeable-Aggregator interface all five implement.
+- ``sketchlib.kmv``        — KMV / bottom-k (distinct estimate + coordinated sample).
+- ``sketchlib.aggregator`` — the shared mergeable-Aggregator interface all six implement.
 - ``sketchlib.spark``      — DataFrame-level plumbing: mapInPandas partials,
                              applyInPandas merges, salted/tree-merge plans,
                              checkpoint/resume, scalar query UDFs.
