@@ -397,6 +397,7 @@ def sketches_bench() -> None:
         "cms_16kx5": ("url", "cms", {"width": 16384, "depth": 5}),
         "bloom_1pct": ("url", "bloom", {"expected_n": BENCH_ROWS, "fpr": 0.01}),
         "kll_k200": ("n_chars", "kll", {"k": 200}),
+        "kmv_k1024": ("url", "kmv", {"k": 1024}),
     }
     result = {"rows": n, "cpus": CPUS}
     for name, (col, kind, params) in jobs.items():
