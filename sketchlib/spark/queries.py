@@ -595,6 +595,52 @@ FROM (
     return "\nUNION ALL\n".join(blocks)
 
 
+def q_emb_signlsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate the ANN *scale path*'s exactness law: sign-LSH discovery
+    verifies candidates exactly, so its precision is 1.0 by construction —
+    every pair it emits must appear in the exact >= threshold pair set.
+    (Recall follows the banding curve and is pytest-measured; it is NOT
+    1.0 at this threshold and can't be SQL-gated.)  Emits the exact pair
+    count plus the subset verdict; the oracle asserts TRUE."""
+    from sketchlib.spark.ann import cosine_pairs_exact, signrandom_lsh_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    exact = cosine_pairs_exact(emb, threshold=0.45)
+    lsh = signrandom_lsh_pairs(emb, threshold=0.45, dim=dim)
+    false_pos = lsh.join(exact, ["a_id", "b_id"], "left_anti")
+    return exact.agg(F.count("*").alias("n_exact_pairs")).crossJoin(
+        false_pos.agg((F.count("*") == 0).alias("lsh_precision_1"))
+    )
+
+
+def q_top_sources_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-3 heavy hitters (sources) per lang by document count —
+    the sorts/limits/top-k category as a gated query.  Pure JVM window;
+    at scale Spark rewrites the rank-filter into per-partition partial
+    top-k + tiny final merge.  Ties broken by source name so the result
+    is total-order deterministic."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang", "source").agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n_docs"), F.asc("source"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("lang", F.col("rk").cast("int").alias("rk"), "source", "n_docs")
+    )
+
+
+_TOP_SOURCES_SQL = """
+SELECT lang, rk::INT AS rk, source, n_docs FROM (
+  SELECT lang, source, count(*) AS n_docs,
+         row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, source) AS rk
+  FROM documents GROUP BY lang, source
+) WHERE rk <= 3
+"""
+
+
 def q_kmv_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV / bottom-k consistent sample + distinct estimate per lang, as a
     PURE built-in DataFrame plan (whole-stage codegen): hash each doc_id
@@ -994,6 +1040,8 @@ QUERIES = {
     "media_frame_sample": q_media_frame_sample,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "emb_signlsh_precision": q_emb_signlsh_precision,
+    "top_sources_by_lang": q_top_sources_by_lang,
     "kmv_sample_by_lang": q_kmv_sample_by_lang,
     "td_hourly_rollup": q_td_hourly_rollup,
     "td_cube_lang_source": q_td_cube_lang_source,
@@ -1066,6 +1114,12 @@ FROM documents
     "media_frame_sample": _MEDIA_FRAMES_SQL,
     "pipeline_clean_corpus": _PIPELINE_SQL,
     "ann_ivf_topk": _ANN_TOPK_SQL,
+    "emb_signlsh_precision": """
+SELECT count(*) AS n_exact_pairs, TRUE AS lsh_precision_1
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+""",
+    "top_sources_by_lang": _TOP_SOURCES_SQL,
     "kmv_sample_by_lang": _KMV_SQL,
     "td_hourly_rollup": _ROLLUP_SQL,
     "td_cube_lang_source": _cube_sql(),

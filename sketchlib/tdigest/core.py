@@ -237,6 +237,11 @@ def compress_centroids_vec(
     m = len(means)
     if discrete or delta <= 0.0 or m <= 3:
         return means, ns
+    if not math.isfinite(1.0 / (4.0 * delta)):
+        # subnormal delta: logit/(4δ) overflows to ±inf and would collapse
+        # whole logit signs into single buckets — semantically δ→0 means
+        # "never merge", so take the exact path
+        return means, ns
     W = np.cumsum(ns)
     total = W[-1]
     q_mid = (W - ns * 0.5) / total
@@ -716,9 +721,14 @@ class MergingDigest:
         self.delta = float(delta)
         self.discrete = bool(discrete)
         self.buffer_size = int(buffer_size)
-        # hard size cap: compress partials when they exceed this (≈ k/δ analog)
+        # hard size cap: compress partials when they exceed this (≈ k/δ analog);
+        # a tiny delta can push k/δ past any useful bound (or overflow int()
+        # at subnormal δ) — treat it as uncapped, same as δ=0 "never merge"
         if max_size is None:
-            max_size = int(DEFAULT_K / delta) if (delta > 0 and not discrete) else None
+            if delta > 0 and not discrete and DEFAULT_K / delta < 2**31:
+                max_size = int(DEFAULT_K / delta)
+            else:
+                max_size = None
         self.max_size = max_size
         self._means = np.empty(0)
         self._ns = np.empty(0)

@@ -115,3 +115,46 @@ def test_partitioned_build_matches_single_build_exact_mode(xs, k):
     )
     merged = MergingDigest.deserialize(blob, delta=0.0)
     assert merged.serialize() == single
+
+
+# --- wire container properties ----------------------------------------------
+
+
+@given(
+    delta=st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+    discrete=st.booleans(),
+    vals=st.lists(
+        st.floats(min_value=-1e9, max_value=1e9, allow_nan=False, width=64),
+        min_size=0, max_size=200,
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_wire_roundtrip_property(delta, discrete, vals):
+    """to_wire ∘ from_wire is the identity on (payload, delta, discrete)."""
+    from sketchlib.tdigest.core import MergingDigest, parse_tdigest_wire
+
+    d = MergingDigest(delta=delta, discrete=discrete)
+    d.update_batch(np.asarray(vals, dtype=np.float64))
+    blob = d.to_wire()
+    payload, h_delta, h_disc = parse_tdigest_wire(blob)
+    assert (h_delta, h_disc) == (delta, discrete)
+    back = MergingDigest.from_wire(blob)
+    assert back.serialize() == d.serialize()
+
+
+@given(junk=st.binary(min_size=0, max_size=64))
+@settings(max_examples=200, deadline=None)
+def test_wire_parser_never_misparses_junk(junk):
+    """Arbitrary bytes either parse as a legacy payload (pass-through) or
+    raise ValueError — never a silent wrong parse of the header."""
+    from sketchlib.tdigest.core import WIRE_MAGIC, parse_tdigest_wire
+
+    try:
+        payload, delta, discrete = parse_tdigest_wire(junk)
+    except ValueError:
+        return  # fail-fast path: only legal for magic-prefixed junk
+    if junk.startswith(WIRE_MAGIC):
+        assert delta is not None and isinstance(discrete, bool)
+        assert payload == junk[20:]
+    else:
+        assert (payload, delta, discrete) == (junk, None, None)

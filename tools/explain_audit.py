@@ -153,6 +153,19 @@ def main():
     if not ok:
         FAIL.append(f"pipeline: {n_bsemi} broadcast semi-joins, want >=2")
 
+    # 6f. hourly->daily rollup: ONE fact scan feeds both granularities; the
+    # plan has exactly two Exchanges (hourly key shuffle, daily key shuffle)
+    from sketchlib.spark.queries import q_td_hourly_rollup
+
+    p = plan_of(q_td_hourly_rollup(spark, sf_dir))
+    n_scan = len(re.findall(r"\(\d+\) Scan parquet", p))
+    n_exch = len(re.findall(r"\(\d+\) Exchange", p))
+    ok = n_scan == 1 and n_exch == 2
+    print(f"{'rollup: 1 scan, 2 exchanges':40s} {'OK' if ok else 'FAIL'} "
+          f"(scans={n_scan}, exchanges={n_exch})")
+    if not ok:
+        FAIL.append(f"rollup: scans={n_scan} (want 1), exchanges={n_exch} (want 2)")
+
     # 7. checkpoint resume: anti-join against completed parts is broadcast
     from sketchlib.spark.checkpoint import TDigestCheckpointer
 
