@@ -534,19 +534,33 @@ one core — ~10x the reference.  The whole distributed scan+build job
 in-memory ingest rate.
 """
     # preserve manually-maintained sections (builtin comparison, sibling
-    # sketches, Iceberg probe, ...) that live below the generated part
+    # sketches, Iceberg probe, ...) below the explicit marker; fall back to
+    # the legacy heading for files written before the marker existed, and
+    # refuse to silently discard a tail we can't locate
+    marker = "<!-- MANUAL SECTIONS BELOW — preserved across bench --scaling runs -->"
     base_path = os.path.join(REPO, "BENCH", "BASELINE.md")
     tail = ""
     try:
         with open(base_path) as f:
             old = f.read()
-        cut = old.find("## vs Spark's built-in")
+        cut = old.find(marker)
         if cut != -1:
-            tail = old[cut:]
+            tail = old[cut + len(marker):].lstrip("\n")
+        else:
+            cut = old.find("## vs Spark's built-in")  # pre-marker files
+            if cut != -1:
+                tail = old[cut:]
+            elif old.strip():
+                # no marker, no known heading, non-empty file: somebody
+                # restructured it — don't silently discard their content
+                print("# WARNING: no manual-section marker in BENCH/BASELINE.md;"
+                      " refusing to overwrite — wrote BASELINE.generated.md",
+                      file=sys.stderr)
+                base_path = os.path.join(REPO, "BENCH", "BASELINE.generated.md")
     except OSError:
         pass
     with open(base_path, "w") as f:
-        f.write(md + ("\n" + tail if tail else ""))
+        f.write(md + "\n" + marker + "\n\n" + tail)
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
         json.dump(result, f, indent=2)
     print("# wrote BENCH/BASELINE.md", file=sys.stderr)

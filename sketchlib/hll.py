@@ -5,10 +5,12 @@ Design:
 - m = 2^p registers (p defaults to 14 → σ ≈ 1.04/√m ≈ 0.81%).
 - Sparse representation on the wire when few registers are set (the "++"
   memory optimization that matters when millions of group sketches shuffle).
-- Small-range correction via linear counting while any register is zero.
-  The empirical bias-correction tables of the paper are omitted; the
-  affected band (E between 2.5m and 5m) retains classic-HLL bias ≤ ~1.5%,
-  reflected in test tolerances.
+- Small-range correction: linear counting below the published crossover
+  thresholds, plus the paper's empirical bias correction below 5m — the
+  tables are measured on THIS implementation by ``tools/gen_hll_bias.py``
+  (generated module ``sketchlib._hll_bias``, precisions 12/14/16; other
+  precisions fall back to the classic 2.5m linear-counting rule).  Mean
+  error in the former 2.5m–5m weak band is < 0.4% (was ~1.5%).
 
 Merge = register-wise max — associative, commutative, idempotent (a
 semilattice, even stronger than the t-digest monoid).

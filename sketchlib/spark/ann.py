@@ -228,11 +228,11 @@ def ivf_assign(
         .limit(sample)
         .collect()
     )
+    if not samp:
+        raise ValueError("ivf_assign: input table has no rows to train on")
     mat = _norm_rows(np.array([r[1] for r in samp], dtype=np.float64))
     rng = np.random.default_rng(seed)
     n_lists = min(n_lists, len(mat))  # degrade gracefully on tiny tables
-    if n_lists == 0:
-        raise ValueError("ivf_assign: input table has no rows to train on")
     cent = mat[rng.choice(len(mat), size=n_lists, replace=False)]
     for _ in range(iters):
         assign = np.argmax(mat @ cent.T, axis=1)

@@ -175,11 +175,14 @@ def q_td_digest_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     dig = tdigest_aggregate(docs, ["lang"], "n_chars", delta=0.0)
     wire = tdigest_wire_udf(delta=0.0, discrete=False)
-    dig = dig.withColumn("_wire", wire("digest"))
+    dig = (
+        dig.withColumn("_wire", wire("digest"))
+        .withColumn("_payload", tdigest_unwire_udf("_wire"))  # parse once
+    )
     return dig.select(
         "lang",
-        tdigest_size_udf(tdigest_unwire_udf("_wire")).cast("long").alias("n_centroids"),
-        tdigest_count_udf(tdigest_unwire_udf("_wire")).alias("total_weight"),
+        tdigest_size_udf("_payload").cast("long").alias("n_centroids"),
+        tdigest_count_udf("_payload").alias("total_weight"),
         F.octet_length("digest").cast("long").alias("digest_bytes"),
         F.octet_length("_wire").cast("long").alias("wire_bytes"),
     )
@@ -606,11 +609,15 @@ def q_emb_signlsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
-    exact = cosine_pairs_exact(emb, threshold=0.45)
-    lsh = signrandom_lsh_pairs(emb, threshold=0.45, dim=dim)
-    false_pos = lsh.join(exact, ["a_id", "b_id"], "left_anti")
-    return exact.agg(F.count("*").alias("n_exact_pairs")).crossJoin(
-        false_pos.agg((F.count("*") == 0).alias("lsh_precision_1"))
+    # one pass over each side: full-outer join marks membership, a single
+    # aggregation derives both the exact-pair count and the precision
+    # verdict (the expensive block-matmul plan executes ONCE)
+    exact = cosine_pairs_exact(emb, threshold=0.45).withColumn("in_exact", F.lit(1))
+    lsh = signrandom_lsh_pairs(emb, threshold=0.45, dim=dim).withColumn("in_lsh", F.lit(1))
+    j = exact.join(lsh, ["a_id", "b_id"], "full_outer")
+    return j.agg(
+        F.count("in_exact").alias("n_exact_pairs"),
+        (F.count(F.when(F.col("in_exact").isNull(), 1)) == 0).alias("lsh_precision_1"),
     )
 
 
@@ -712,7 +719,10 @@ def q_td_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         tdigest_partials,
     )
 
-    ev = load(spark, sf_dir, "events").withColumn(
+    # drop NULL values up front so a (type, day) whose values are ALL NULL
+    # emits no row at all — matching the oracle's WHERE value IS NOT NULL
+    # (the digest builder would otherwise emit an empty-digest row for it)
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull()).withColumn(
         "hour", F.date_trunc("HOUR", F.col("ts"))
     )
     hourly = tdigest_merge(
@@ -907,12 +917,20 @@ FROM per GROUP BY lang
 """
 
 
-def _lang_id_sql() -> str:
+def _lang_id_sql(profile_top_k: int = 4096) -> str:
+    # the oracle mirrors the Spark side's top-K-per-language profile cap so
+    # both compute the SAME function even when vocabulary exceeds K
     return f"""
 WITH toks AS (
   SELECT doc_id, lang, unnest({_TOKS}) AS word FROM documents
-), profile AS (
+), profile_full AS (
   SELECT lang AS cand, word, count(*) AS cnt FROM toks GROUP BY 1, 2
+), profile AS (
+  SELECT cand, word, cnt FROM (
+    SELECT cand, word, cnt,
+           row_number() OVER (PARTITION BY cand ORDER BY cnt DESC, word) AS rk
+    FROM profile_full
+  ) WHERE rk <= {profile_top_k}
 ), scores AS (
   SELECT t.doc_id, p.cand, sum(p.cnt) AS score
   FROM toks t JOIN profile p USING (word) GROUP BY 1, 2

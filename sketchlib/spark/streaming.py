@@ -1,33 +1,40 @@
 """Structured Streaming sketch aggregation (SURVEY.md §2.9 / §7 step 10).
 
-The t-digest is a one-pass bounded-memory stream summary (reference
-README.md:19-21) with no time semantics of its own; Spark supplies the time
-axis.  ``streaming_tdigest`` keys a stateful aggregation by
-(group keys × event-time window) and holds exactly one serialized digest as
+Sketches are one-pass bounded-memory stream summaries (reference
+README.md:19-21) with no time semantics of their own; Spark supplies the
+time axis.  Every operator here keys a stateful aggregation by
+(group keys × event-time window) and holds exactly one serialized sketch as
 per-key state:
 
   readStream -> withWatermark(ts) -> groupBy(keys, window)
-             -> applyInPandasWithState(update digest state) -> writeStream
+             -> applyInPandasWithState(update sketch state) -> writeStream
 
-State per key is the ≤40 KB serialized digest, so a million live windows
-cost ~40 GB of state across the cluster — bounded, spillable via RocksDB
-state store.  Late rows inside the watermark merge losslessly into the
-window's digest (mergeability is what makes out-of-order ingest exact);
-rows later than the watermark are dropped by Spark upstream.
+State per key is the serialized sketch (≤40 KB for a digest), so a million
+live windows cost ~40 GB of state across the cluster — bounded, spillable
+via RocksDB state store.  Late rows inside the watermark merge losslessly
+into the window's sketch (mergeability is what makes out-of-order ingest
+exact); rows later than the watermark are dropped by Spark upstream.  Once
+the watermark passes a window's end its state is evicted (EventTimeTimeout)
+— in Update mode silently (snapshots were already emitted per trigger), in
+Append mode by emitting the finished sketch exactly once.
 
 In exact mode (delta=0.0 / discrete) the emitted digest for a window is
 byte-identical to the batch build over the same rows, regardless of trigger
-boundaries or arrival order — asserted in tests/test_streaming.py.
+boundaries or arrival order — asserted in tests/test_streaming.py; the same
+holds for the order-insensitive sibling sketches (HLL/CMS/Bloom/KMV).
+
+All three public operators share one skeleton (``_stateful_windowed``) so
+the empirically-measured timezone and timeout semantics live in ONE place.
 """
 
 from __future__ import annotations
 
 from datetime import timezone
-from typing import Iterable, Iterator
+from typing import Callable, Iterable, Iterator
 from zoneinfo import ZoneInfo
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     BinaryType,
@@ -39,14 +46,30 @@ from pyspark.sql.types import (
 from sketchlib.tdigest.core import MergingDigest
 
 
-def _session_tz(df: DataFrame) -> ZoneInfo | None:
-    """The session timezone as a ZoneInfo, or None when it isn't an IANA name
-    (then naive outputs pass through unchanged — matching a UTC session)."""
+def _session_tz(df: DataFrame):
+    """The session timezone as a tzinfo: IANA names via ZoneInfo (including
+    fixed offsets spelled 'Etc/GMT-8'), plus defensive parsing of
+    'GMT+08:00'/'UTC+8'/'+08:00' offset strings.  Note PySpark's own
+    pandas/Arrow serializers resolve the session tz through pytz and REJECT
+    the non-IANA offset spellings outright (pytz.UnknownTimeZoneError deep
+    in applyInPandasWithState), so the ZoneInfo path is the operative one —
+    the offset parser only matters if Spark ever starts accepting them.
+    None for unparseable values (then naive outputs pass through unchanged —
+    matching a UTC session)."""
+    import re
+    from datetime import timedelta
+
     name = df.sparkSession.conf.get("spark.sql.session.timeZone")
     try:
         return ZoneInfo(name)
     except (KeyError, ValueError):
-        return None
+        pass
+    m = re.fullmatch(r"(?:GMT|UTC)?([+-])(\d{1,2})(?::?(\d{2}))?", name)
+    if m:
+        sign = 1 if m.group(1) == "+" else -1
+        return timezone(sign * timedelta(hours=int(m.group(2)),
+                                         minutes=int(m.group(3) or 0)))
+    return None
 
 
 def _epoch_ms(dt) -> int:
@@ -66,7 +89,7 @@ def _epoch_ms(dt) -> int:
     return int(dt.timestamp() * 1000)
 
 
-def _key_ts_out(dt, tz: ZoneInfo | None):
+def _key_ts_out(dt, tz):
     """Convert a UTC-naive state-key timestamp into the form the *output*
     serializer expects.
 
@@ -79,6 +102,113 @@ def _key_ts_out(dt, tz: ZoneInfo | None):
     if dt.tzinfo is not None or tz is None:
         return dt
     return dt.replace(tzinfo=timezone.utc).astimezone(tz).replace(tzinfo=None)
+
+
+def _stateful_windowed(
+    stream: DataFrame,
+    keys: list[str],
+    val_expr: Column,
+    restore: Callable[[bytes | None], object],
+    ingest: Callable[[object, pd.Series], None],
+    out_name: str,
+    ts_col: str,
+    window: str,
+    watermark: str,
+    mode: str,
+) -> DataFrame:
+    """The shared skeleton: windowed keying, watermarking, per-key serialized
+    sketch state, event-time timeout eviction, tz-corrected emission.
+
+    ``mode='update'``: emit a snapshot row per touched window per trigger;
+    on timeout just evict.  ``mode='append'``: emit nothing until the
+    watermark passes window_end, then emit the finished sketch exactly once
+    and evict.  ``restore(blob_or_None)`` builds the aggregator (merging
+    prior state); ``ingest(agg, series)`` absorbs one Arrow batch's values.
+    """
+    from sketchlib.spark.shipping import ensure_on_workers
+
+    ensure_on_workers(stream.sparkSession)
+    tz = _session_tz(stream)
+    keyed = (
+        stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .withColumn("_win", F.window(F.col(ts_col), window))
+        .select(
+            *keys,
+            F.col("_win.start").alias("window_start"),
+            F.col("_win.end").alias("window_end"),
+            val_expr.alias("_v"),
+            # the watermarked column must survive to the stateful operator
+            # for EventTimeTimeout to be legal
+            F.col(ts_col),
+        )
+    )
+    key_fields = [keyed.schema[k] for k in keys]
+    out_schema = StructType(
+        [StructField(f.name, f.dataType, True) for f in key_fields]
+        + [
+            StructField("window_start", TimestampType(), True),
+            StructField("window_end", TimestampType(), True),
+            StructField(out_name, BinaryType(), True),
+        ]
+    )
+    state_schema = StructType([StructField(out_name, BinaryType(), True)])
+
+    def row_of(key, blob: bytes) -> pd.DataFrame:
+        out = {name: [key[i]] for i, name in enumerate(keys)}
+        out["window_start"] = [_key_ts_out(key[len(keys)], tz)]
+        out["window_end"] = [_key_ts_out(key[len(keys) + 1], tz)]
+        out[out_name] = [blob]
+        return pd.DataFrame(out)
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # the watermark passed window_end: Spark drops any further rows
+            # for this window upstream, so the state can never grow again
+            blob = state.get[0] if state.exists else None
+            state.remove()
+            if mode == "append" and blob:
+                yield row_of(key, bytes(blob))
+            return
+        prev = None
+        if state.exists:
+            (b,) = state.get
+            if b:
+                prev = bytes(b)
+        agg = restore(prev)
+        for pdf in pdfs:
+            ingest(agg, pdf["_v"])
+        blob = agg.serialize()
+        state.update((blob,))
+        # (re)arm the timeout at window_end (epoch ms from the UTC-naive
+        # key — see _epoch_ms); a timeout may not be set behind the current
+        # watermark, so clamp — the clamped case means the window is already
+        # closed and fires on the next trigger
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(_epoch_ms(key[len(keys) + 1]), wm + 1))
+        if mode == "update":
+            yield row_of(key, blob)
+
+    return keyed.groupBy(*keys, "window_start", "window_end").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode=mode,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _digest_hooks(delta: float, discrete: bool):
+    def restore(blob: bytes | None) -> MergingDigest:
+        d = MergingDigest(delta=delta, discrete=discrete)
+        if blob:
+            d.merge_bytes(blob)
+        return d
+
+    def ingest(d: MergingDigest, v: pd.Series) -> None:
+        d.update_batch(v.to_numpy(dtype="float64"))
+
+    return restore, ingest
 
 
 def streaming_tdigest(
@@ -98,160 +228,10 @@ def streaming_tdigest(
     same wire format as the batch path, so downstream quantile/CDF UDFs and
     merges apply unchanged.
     """
-    from sketchlib.spark.shipping import ensure_on_workers
-
-    ensure_on_workers(stream.sparkSession)
-    tz = _session_tz(stream)
-    win = F.window(F.col(ts_col), window)
-    keyed = (
-        stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-        .withWatermark(ts_col, watermark)
-        .withColumn("_win", win)
-        .select(
-            *keys,
-            F.col("_win.start").alias("window_start"),
-            F.col("_win.end").alias("window_end"),
-            F.col(value_col).cast("double").alias("_v"),
-            # the watermarked column must survive to the stateful operator
-            # for EventTimeTimeout to be legal
-            F.col(ts_col),
-        )
-    )
-
-    key_fields = [keyed.schema[k] for k in keys]
-    out_schema = StructType(
-        [StructField(f.name, f.dataType, True) for f in key_fields]
-        + [
-            StructField("window_start", TimestampType(), True),
-            StructField("window_end", TimestampType(), True),
-            StructField("digest", BinaryType(), True),
-        ]
-    )
-    state_schema = StructType([StructField("digest", BinaryType(), True)])
-
-    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        if state.hasTimedOut:
-            # the watermark passed window_end: Spark drops any further rows
-            # for this window upstream, so the state can never grow again —
-            # evict it (snapshots were already emitted every trigger)
-            state.remove()
-            return
-        d = MergingDigest(delta=delta, discrete=discrete)
-        if state.exists:
-            (blob,) = state.get
-            if blob:
-                d.merge_bytes(bytes(blob))
-        for pdf in pdfs:
-            d.update_batch(pdf["_v"].to_numpy(dtype="float64"))
-        blob = d.serialize()
-        state.update((blob,))
-        wm = state.getCurrentWatermarkMs()
-        state.setTimeoutTimestamp(max(_epoch_ms(key[len(keys) + 1]), wm + 1))
-        out = {name: [key[i]] for i, name in enumerate(keys)}
-        out["window_start"] = [_key_ts_out(key[len(keys)], tz)]
-        out["window_end"] = [_key_ts_out(key[len(keys) + 1], tz)]
-        out["digest"] = [blob]
-        yield pd.DataFrame(out)
-
-    return keyed.groupBy(*keys, "window_start", "window_end").applyInPandasWithState(
-        update,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
-    )
-
-
-def streaming_sketch(
-    stream: DataFrame,
-    keys: list[str],
-    value_col: str,
-    sketch: str,
-    params: dict | None = None,
-    ts_col: str = "warc_ts",
-    window: str = "1 hour",
-    watermark: str = "2 hours",
-) -> DataFrame:
-    """Per-(keys × event-time window) sibling sketch (hll/cms/bloom/kll)
-    over a streaming DataFrame — the generalization of
-    ``streaming_tdigest`` to the whole Aggregator family.
-
-    Same plan shape: hashing stays JVM-side (``xxhash64`` projection for the
-    hashed sketches, exactly like the batch path in
-    ``sketchlib.spark.sketch_ops``, so stream- and batch-built sketches are
-    interchangeable — byte-identical for the order-insensitive sketches
-    HLL/CMS/Bloom); state per key is one serialized sketch; Update-mode
-    snapshots each trigger; state evicts once the watermark passes the
-    window (EventTimeTimeout).
-    """
-    import numpy as np
-
-    from sketchlib.spark.shipping import ensure_on_workers
-    from sketchlib.spark.sketch_ops import _HASHED, SKETCHES
-
-    ensure_on_workers(stream.sparkSession)
-    cls = SKETCHES[sketch]
-    params = dict(params or {})
-    hashed = sketch in _HASHED
-    tz = _session_tz(stream)
-    win = F.window(F.col(ts_col), window)
-    val = (F.xxhash64(value_col) if hashed
-           else F.col(value_col).cast("double")).alias("_v")
-    keyed = (
-        stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-        .withWatermark(ts_col, watermark)
-        .withColumn("_win", win)
-        .select(
-            *keys,
-            F.col("_win.start").alias("window_start"),
-            F.col("_win.end").alias("window_end"),
-            val,
-            F.col(ts_col),  # keeps EventTimeTimeout legal
-        )
-    )
-    key_fields = [keyed.schema[k] for k in keys]
-    out_schema = StructType(
-        [StructField(f.name, f.dataType, True) for f in key_fields]
-        + [
-            StructField("window_start", TimestampType(), True),
-            StructField("window_end", TimestampType(), True),
-            StructField("sketch", BinaryType(), True),
-        ]
-    )
-    state_schema = StructType([StructField("sketch", BinaryType(), True)])
-
-    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        if state.hasTimedOut:
-            state.remove()
-            return
-        sk = None
-        if state.exists:
-            (blob,) = state.get
-            if blob:
-                sk = cls.deserialize(bytes(blob), **params)
-        if sk is None:
-            sk = cls(**params)
-        for pdf in pdfs:
-            if hashed:
-                sk.update_hashed(pdf["_v"].to_numpy(dtype="int64").view(np.uint64))
-            else:
-                sk.update_batch(pdf["_v"].to_numpy(dtype="float64"))
-        blob = sk.serialize()
-        state.update((blob,))
-        wm = state.getCurrentWatermarkMs()
-        state.setTimeoutTimestamp(max(_epoch_ms(key[len(keys) + 1]), wm + 1))
-        out = {name: [key[i]] for i, name in enumerate(keys)}
-        out["window_start"] = [_key_ts_out(key[len(keys)], tz)]
-        out["window_end"] = [_key_ts_out(key[len(keys) + 1], tz)]
-        out["sketch"] = [blob]
-        yield pd.DataFrame(out)
-
-    return keyed.groupBy(*keys, "window_start", "window_end").applyInPandasWithState(
-        update,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    restore, ingest = _digest_hooks(delta, discrete)
+    return _stateful_windowed(
+        stream, keys, F.col(value_col).cast("double"), restore, ingest,
+        "digest", ts_col, window, watermark, mode="update",
     )
 
 
@@ -276,70 +256,51 @@ def streaming_tdigest_final(
     crosses it — that call emits the finished digest and drops the state.
     Until then the function emits nothing.
     """
-    from sketchlib.spark.shipping import ensure_on_workers
-
-    ensure_on_workers(stream.sparkSession)
-    tz = _session_tz(stream)
-    win = F.window(F.col(ts_col), window)
-    keyed = (
-        stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-        .withWatermark(ts_col, watermark)
-        .withColumn("_win", win)
-        .select(
-            *keys,
-            F.col("_win.start").alias("window_start"),
-            F.col("_win.end").alias("window_end"),
-            F.col(value_col).cast("double").alias("_v"),
-            # the watermarked column must survive to the stateful operator
-            # for EventTimeTimeout to be legal
-            F.col(ts_col),
-        )
+    restore, ingest = _digest_hooks(delta, discrete)
+    return _stateful_windowed(
+        stream, keys, F.col(value_col).cast("double"), restore, ingest,
+        "digest", ts_col, window, watermark, mode="append",
     )
-    key_fields = [keyed.schema[k] for k in keys]
-    out_schema = StructType(
-        [StructField(f.name, f.dataType, True) for f in key_fields]
-        + [
-            StructField("window_start", TimestampType(), True),
-            StructField("window_end", TimestampType(), True),
-            StructField("digest", BinaryType(), True),
-        ]
-    )
-    state_schema = StructType([StructField("digest", BinaryType(), True)])
 
-    def update(key, pdfs, state: GroupState):
-        window_end = key[len(keys) + 1]
-        if state.hasTimedOut:
-            blob = state.get[0] if state.exists else None
-            state.remove()
-            if blob:
-                out = {name: [key[i]] for i, name in enumerate(keys)}
-                out["window_start"] = [_key_ts_out(key[len(keys)], tz)]
-                out["window_end"] = [_key_ts_out(window_end, tz)]
-                out["digest"] = [bytes(blob)]
-                yield pd.DataFrame(out)
-            return
-        d = MergingDigest(delta=delta, discrete=discrete)
-        if state.exists:
-            (blob,) = state.get
-            if blob:
-                d.merge_bytes(bytes(blob))
-        for pdf in pdfs:
-            d.update_batch(pdf["_v"].to_numpy(dtype="float64"))
-        state.update((d.serialize(),))
-        # fire once the watermark passes the window end (epoch millis from
-        # the UTC-naive key — see _epoch_ms); a timeout may not be set behind
-        # the current watermark, so clamp — the clamped case means the window
-        # is already closed and fires on the next trigger
-        target = _epoch_ms(window_end)
-        wm = state.getCurrentWatermarkMs()
-        state.setTimeoutTimestamp(max(target, wm + 1))
-        return
-        yield  # pragma: no cover — keeps this a generator
 
-    return keyed.groupBy(*keys, "window_start", "window_end").applyInPandasWithState(
-        update,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+def streaming_sketch(
+    stream: DataFrame,
+    keys: list[str],
+    value_col: str,
+    sketch: str,
+    params: dict | None = None,
+    ts_col: str = "warc_ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-(keys × event-time window) sibling sketch (hll/cms/bloom/kll/kmv)
+    over a streaming DataFrame — ``streaming_tdigest`` generalized to the
+    whole Aggregator family via the same skeleton.
+
+    Hashing stays JVM-side (``xxhash64`` projection for the hashed sketches,
+    exactly like the batch path in ``sketchlib.spark.sketch_ops``), so
+    stream- and batch-built sketches are interchangeable — byte-identical
+    for the order-insensitive sketches (HLL/CMS/Bloom/KMV).
+    """
+    import numpy as np
+
+    from sketchlib.spark.sketch_ops import _HASHED, SKETCHES
+
+    cls = SKETCHES[sketch]
+    params = dict(params or {})
+    hashed = sketch in _HASHED
+
+    def restore(blob: bytes | None):
+        return cls.deserialize(blob, **params) if blob else cls(**params)
+
+    def ingest(sk, v: pd.Series) -> None:
+        if hashed:
+            sk.update_hashed(v.to_numpy(dtype="int64").view(np.uint64))
+        else:
+            sk.update_batch(v.to_numpy(dtype="float64"))
+
+    val = F.xxhash64(value_col) if hashed else F.col(value_col).cast("double")
+    return _stateful_windowed(
+        stream, keys, val, restore, ingest,
+        "sketch", ts_col, window, watermark, mode="update",
     )

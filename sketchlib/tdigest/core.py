@@ -124,8 +124,14 @@ def parse_tdigest_wire(data: bytes) -> tuple[bytes, float | None, bool | None]:
     Headered blobs yield their stored settings; headerless blobs (the
     backward-compatible raw format, any multiple of 16 bytes) yield
     ``(data, None, None)``.  Unknown type or version fails fast.
+
+    Disambiguation is by magic AND length: a legacy payload is always a
+    multiple of 16 bytes while a headered blob is ≡ 4 (mod 16) (20-byte
+    header + 16 B/centroid), so a raw payload whose first centroid mean
+    happens to start with the magic bytes is still parsed as legacy
+    instead of being corrupted.
     """
-    if not data.startswith(WIRE_MAGIC):
+    if not data.startswith(WIRE_MAGIC) or len(data) % 16 == 0:
         return data, None, None
     if len(data) < _WIRE_HEADER.size:
         raise ValueError("tdigest wire: truncated header")

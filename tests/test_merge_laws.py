@@ -228,3 +228,24 @@ def test_wire_rejects_foreign_type_and_version():
     with pytest.raises(ValueError, match="truncated"):
         parse_tdigest_wire(WIRE_MAGIC + b"TD")
     assert wrap_tdigest_wire(b"", 0.01, True)[:4] == WIRE_MAGIC
+
+
+def test_wire_magic_collision_in_raw_payload_parses_as_legacy():
+    """A legacy raw payload whose first centroid mean's LE bytes happen to
+    start with the wire magic must still parse as legacy (disambiguated by
+    length: raw ≡ 0 mod 16, headered ≡ 4 mod 16) — not be stripped of 20
+    bytes of real centroid data."""
+    from sketchlib.tdigest.core import (
+        WIRE_MAGIC,
+        bytes_to_centroids,
+        centroids_to_bytes,
+        parse_tdigest_wire,
+    )
+
+    evil_mean = float(np.frombuffer(WIRE_MAGIC + b"\x00\x00\x00\x00", "<f8")[0])
+    raw = centroids_to_bytes(np.array([evil_mean]), np.array([3.0]))
+    assert raw.startswith(WIRE_MAGIC) and len(raw) % 16 == 0
+    payload, delta, discrete = parse_tdigest_wire(raw)
+    assert payload == raw and delta is None and discrete is None
+    m, n = bytes_to_centroids(payload)
+    assert m[0] == evil_mean and n[0] == 3.0
