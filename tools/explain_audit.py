@@ -166,6 +166,18 @@ def main():
     if not ok:
         FAIL.append(f"rollup: scans={n_scan} (want 1), exchanges={n_exch} (want 2)")
 
+    # 6g. KMV bottom-k: the rank-filter window must be rewritten with a
+    # PARTIAL WindowGroupLimit below the Exchange (per-partition bottom-k
+    # before the shuffle) — otherwise the 9-way lang sort is the bottleneck
+    from sketchlib.spark.queries import q_kmv_sample_by_lang
+
+    p = plan_of(q_kmv_sample_by_lang(spark, sf_dir))
+    m = re.search(r"WindowGroupLimit.*\n.*Sort.*\n.*Exchange", p)
+    ok = m is not None or len(re.findall(r"\(\d+\) WindowGroupLimit", p)) >= 2
+    print(f"{'kmv partial window-group-limit':40s} {'OK' if ok else 'FAIL'}")
+    if not ok:
+        FAIL.append("kmv: no partial WindowGroupLimit below the Exchange")
+
     # 7. checkpoint resume: anti-join against completed parts is broadcast
     from sketchlib.spark.checkpoint import TDigestCheckpointer
 
