@@ -169,11 +169,38 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _cap_buckets(banded: DataFrame, bucket_cols: list[str],
+                 max_bucket_size: int | None) -> DataFrame:
+    """Hot-bucket skew guard for banding self-joins.
+
+    A bucket of b members contributes b² candidate rows; on real web text a
+    single boilerplate template can put millions of documents in one bucket
+    and turn the equi-join into an accidental cross join (observed on the
+    synthetic 1M-page corpus: 254M candidate pairs from one templated
+    band).  Capping drops buckets with more than ``max_bucket_size``
+    members BEFORE the join — a deliberate recall trade (members of a
+    dropped bucket can still pair through their other bands; a group larger
+    than the cap is better handled by exact dedup on its shared template).
+    ``None`` keeps the exact lossless behavior (the oracle-gated mode)."""
+    if max_bucket_size is None:
+        return banded
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*bucket_cols)
+    return (
+        banded.withColumn("_bsz", F.count("*").over(w))
+        .filter(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
+    )
+
+
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
-                        bands: int = 16, rows_per_band: int = 4) -> DataFrame:
+                        bands: int = 16, rows_per_band: int = 4,
+                        max_bucket_size: int | None = None) -> DataFrame:
     """Band the signatures and emit distinct (a_id, b_id) candidate pairs
     (a < b) that collide in at least one band.  The band join shuffles only
-    (band, hash, id) rows."""
+    (band, hash, id) rows.  ``max_bucket_size`` enables the hot-bucket skew
+    guard (see ``_cap_buckets``)."""
     banded = sigs.select(
         F.col(id_col),
         F.explode(
@@ -188,6 +215,7 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
             )
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.bh")
+    banded = _cap_buckets(banded, ["band", "bh"], max_bucket_size)
     l = banded.select(F.col(id_col).alias("a_id"), "band", "bh")
     r = banded.select(F.col(id_col).alias("b_id"), "band", "bh")
     return (
@@ -206,12 +234,16 @@ def minhash_lsh_dedup_pairs(
     ngram: int = 3,
     num_perm: int = 64,
     bands: int = 16,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """The full discovery path: MinHash -> LSH banding -> exact Jaccard
     verification of candidates.  No false positives; recall loss bounded by
-    the banding curve (1-(1-t^r)^b)."""
+    the banding curve (1-(1-t^r)^b).  ``max_bucket_size`` adds the
+    hot-bucket skew guard for boilerplate-heavy corpora (extra recall
+    caveat documented at ``_cap_buckets``); the gated query keeps it off."""
     sigs = minhash_signatures(df, id_col, text_col, ngram, num_perm)
-    cand = lsh_candidate_pairs(sigs, id_col, bands, num_perm // bands)
+    cand = lsh_candidate_pairs(sigs, id_col, bands, num_perm // bands,
+                               max_bucket_size)
     return ngram_jaccard_pairs(df, threshold, id_col, text_col, ngram,
                                candidates=cand)
 
@@ -258,13 +290,18 @@ def simhash_docs(df: DataFrame, id_col: str = "doc_id",
 
 def simhash_hamming_pairs(df: DataFrame, max_dist: int = 3,
                           id_col: str = "doc_id",
-                          text_col: str = "text") -> DataFrame:
+                          text_col: str = "text",
+                          max_bucket_size: int | None = None) -> DataFrame:
     """All pairs within Hamming distance ``max_dist`` of their SimHash.
 
     Blocking: split the 60-bit signature into ``max_dist+1`` disjoint bands;
     any pair within max_dist flips agrees exactly on >=1 band (pigeonhole),
     so the band equi-join is lossless and the final bit_count filter makes
-    the result identical to the brute-force cross join."""
+    the result identical to the brute-force cross join.  ``max_bucket_size``
+    enables the hot-bucket skew guard (``_cap_buckets``) — necessary on
+    boilerplate-heavy corpora where near-identical signatures put huge
+    groups in one band bucket; with it the completeness guarantee holds
+    only for pairs whose shared band bucket is under the cap."""
     sigs = simhash_docs(df, id_col, text_col).cache()
     nb = max_dist + 1
     width = SIMHASH_BITS // nb
@@ -283,6 +320,7 @@ def simhash_hamming_pairs(df: DataFrame, max_dist: int = 3,
             ])
         ).alias("bk"),
     ).select("id", "simhash", "bk.band", "bk.bh")
+    banded = _cap_buckets(banded, ["band", "bh"], max_bucket_size)
     l = banded.select(F.col("id").alias("a_id"), F.col("simhash").alias("sa"),
                       "band", "bh")
     r = banded.select(F.col("id").alias("b_id"), F.col("simhash").alias("sb"),

@@ -126,3 +126,28 @@ def test_minhash_perm_constants_in_range():
     for a, b in _perm_consts(64):
         assert 1 <= a < _MERSENNE
         assert 0 <= b < _MERSENNE
+
+
+def test_hot_bucket_cap_guards_skew(spark):
+    """The max_bucket_size skew guard: with a boilerplate corpus that puts
+    everything in the same band buckets, the capped simhash join must emit
+    no pairs from the oversized buckets while the uncapped one explodes;
+    and with the cap above the bucket sizes the result is unchanged."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.dedup import simhash_hamming_pairs
+
+    rows = [(i, "common boilerplate template text repeated verbatim") for i in range(40)]
+    rows += [(100 + i, f"unique document number {i} with distinct words {i*7}") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = simhash_hamming_pairs(df, max_dist=3).count()
+    assert uncapped >= 40 * 39 / 2  # the template clique explodes
+
+    capped = simhash_hamming_pairs(df, max_dist=3, max_bucket_size=10).count()
+    assert capped < uncapped
+
+    # cap far above every bucket: identical to the exact result
+    loose = simhash_hamming_pairs(df, max_dist=3, max_bucket_size=10_000)
+    exact = simhash_hamming_pairs(df, max_dist=3)
+    assert sorted(map(tuple, loose.collect())) == sorted(map(tuple, exact.collect()))
