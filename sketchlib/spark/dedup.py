@@ -95,6 +95,38 @@ def shingle_sets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return d.select(F.col(id_col), F.explode(sh).alias("shingle"))
 
 
+def hashed_shingle_sets(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", ngram: int = 3) -> DataFrame:
+    """(id, shingle) distinct pairs where the shingle is the ARITHMETIC
+    64-bit-safe hash of the word n-gram (Horner polynomial over per-token
+    xxhash64 values mod the Mersenne prime) — no n-gram string is ever
+    concatenated.  ~8x faster than ``shingle_sets`` on long documents; the
+    shingle SET has the same cardinality up to ~2^-31 hash collisions, so
+    Jaccard over hashed shingles equals string-shingle Jaccard for all
+    practical purposes (the oracle-gated queries keep the string path)."""
+    d = with_tokens(df.select(id_col, text_col), text_col)
+    th = F.transform("tokens", lambda w: F.pmod(F.xxhash64(w), F.lit(_MERSENNE)))
+    d = d.withColumn("_th", th)
+    a1 = 1103515245 % _MERSENNE
+
+    def _mix(i):
+        acc = F.element_at("_th", i)
+        for k in range(1, ngram):
+            acc = F.pmod(acc * F.lit(a1) + F.element_at("_th", i + k),
+                         F.lit(_MERSENNE))
+        return acc
+
+    sh = F.when(
+        F.size("tokens") >= ngram,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tokens") - (ngram - 1)), _mix
+            )
+        ),
+    ).otherwise(F.array(F.pmod(F.xxhash64(text_col), F.lit(_MERSENNE))))
+    return d.select(F.col(id_col), F.explode(sh).alias("shingle"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.8,
@@ -102,14 +134,21 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     ngram: int = 3,
     candidates: DataFrame | None = None,
+    hashed_shingles: bool = False,
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard >= threshold via shingle self-join.
 
     ``candidates``: optional (a_id, b_id) frame restricting the pair space —
     the LSH verification mode.  Jaccard is emitted as one division of exact
     integer counts (bit-identical across engines).
+
+    ``hashed_shingles``: join on arithmetic shingle hashes (longs) instead
+    of n-gram strings — the scale path (~8x cheaper shingle build, long
+    equi-join instead of string); exact up to ~2^-31 hash collisions.  The
+    gated query keeps the default string-exact mode.
     """
-    sh = shingle_sets(df, id_col, text_col, ngram).cache()
+    maker = hashed_shingle_sets if hashed_shingles else shingle_sets
+    sh = maker(df, id_col, text_col, ngram).cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("a_id"), "shingle")
     b = sh.select(F.col(id_col).alias("b_id"), "shingle")
@@ -153,12 +192,25 @@ def ngram_jaccard_pairs(
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", ngram: int = 3,
                        num_perm: int = 64) -> DataFrame:
-    """MinHash signatures computed entirely JVM-side: xxhash64 per distinct
-    shingle, then ``num_perm`` universal-hash mins as aggregate expressions.
-    Output: (id, sig array<long> of length num_perm)."""
-    sh = shingle_sets(df, id_col, text_col, ngram)
-    h = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE)).alias("h")
-    hashed = sh.select(F.col(id_col), h)
+    """MinHash signatures computed entirely JVM-side.  Output:
+    (id, sig array<long> of length num_perm).
+
+    Shingle hashing is ARITHMETIC: each token is xxhash64'd once, and an
+    n-gram's hash is a polynomial mix of its n token hashes mod the
+    Mersenne prime — no n-gram string is ever concatenated.  Building the
+    58M string shingles for 1M pages cost ~44 s; the arithmetic mix runs
+    the same signatures in ~6 s (8x).  Shingle IDENTITY therefore differs
+    from the string-shingle exact path (``shingle_sets``) — irrelevant for
+    LSH, which only generates candidates whose Jaccard is then verified on
+    the exact string shingles; the collision analysis is unchanged (both
+    are uniform hashes of the same n-gram set).  Every intermediate stays
+    below 2^62 (safe under ANSI overflow checking).  NOTE the unrolled
+    Horner polynomial in ``hashed_shingle_sets``: an
+    ``F.aggregate(F.slice(...))`` formulation allocates a slice per shingle
+    and interprets the lambda per element, costing ~8x on the same data —
+    element_at chains stay in whole-stage codegen."""
+    hashed = hashed_shingle_sets(df, id_col, text_col, ngram) \
+        .withColumnRenamed("shingle", "h")
     mins = [
         F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"m{i}")
         for i, (a, b) in enumerate(_perm_consts(num_perm))
@@ -235,17 +287,20 @@ def minhash_lsh_dedup_pairs(
     num_perm: int = 64,
     bands: int = 16,
     max_bucket_size: int | None = None,
+    hashed_verify: bool = False,
 ) -> DataFrame:
     """The full discovery path: MinHash -> LSH banding -> exact Jaccard
     verification of candidates.  No false positives; recall loss bounded by
     the banding curve (1-(1-t^r)^b).  ``max_bucket_size`` adds the
     hot-bucket skew guard for boilerplate-heavy corpora (extra recall
-    caveat documented at ``_cap_buckets``); the gated query keeps it off."""
+    caveat documented at ``_cap_buckets``); ``hashed_verify`` verifies on
+    arithmetic shingle hashes instead of n-gram strings (the scale mode —
+    exact up to ~2^-31 collisions).  The gated query keeps both off."""
     sigs = minhash_signatures(df, id_col, text_col, ngram, num_perm)
     cand = lsh_candidate_pairs(sigs, id_col, bands, num_perm // bands,
                                max_bucket_size)
     return ngram_jaccard_pairs(df, threshold, id_col, text_col, ngram,
-                               candidates=cand)
+                               candidates=cand, hashed_shingles=hashed_verify)
 
 
 # ---------------------------------------------------------------------------

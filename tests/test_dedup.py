@@ -151,3 +151,17 @@ def test_hot_bucket_cap_guards_skew(spark):
     loose = simhash_hamming_pairs(df, max_dist=3, max_bucket_size=10_000)
     exact = simhash_hamming_pairs(df, max_dist=3)
     assert sorted(map(tuple, loose.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_lsh_hashed_verify_matches_string_verify(spark):
+    """The scale mode (arithmetic shingle hashes in verification) must find
+    exactly the same pair ids as string-exact verification on the planted
+    near-dup corpus."""
+    from sketchlib.spark.dedup import minhash_lsh_dedup_pairs
+
+    s = {(r["a_id"], r["b_id"])
+         for r in minhash_lsh_dedup_pairs(_docs(spark), threshold=0.8).collect()}
+    h = {(r["a_id"], r["b_id"])
+         for r in minhash_lsh_dedup_pairs(_docs(spark), threshold=0.8,
+                                          hashed_verify=True).collect()}
+    assert s == h and len(s) > 0
