@@ -506,9 +506,9 @@ a property of this virtualized single-kernel box, not of the Spark plan
 only shuffle moves ~KB digest rows).  On a real cluster each executor node
 brings its own kernel and memory, so the same plan scales with node count.
 The **local[2] -> local[8]** pair runs below that contention threshold and
-is the meaningful "N vs 4N cores" measurement on this machine; across five
-independent full runs its e2e efficiency was 0.905-1.105 (latest 0.963,
-scan+build 0.856).
+is the meaningful "N vs 4N cores" measurement on this machine; across six
+independent full runs its e2e efficiency ranged 0.84-1.11 (the table above
+shows the latest run).
 The host also shows strong noisy-neighbor drift over tens of minutes, which
 is why the bench interleaves rounds across levels and takes per-level bests.
 
