@@ -38,6 +38,11 @@ def main() -> None:
     ap.add_argument("--discrete", action="store_true")
     ap.add_argument("--n-parts", type=int, default=64)
     ap.add_argument("--run-id", default=None)
+    ap.add_argument("--sketch", default="tdigest",
+                    choices=["tdigest", "hll", "cms", "bloom", "kll", "kmv"],
+                    help="sketch kind to build (default t-digest)")
+    ap.add_argument("--sketch-params", default="{}",
+                    help='JSON params for sibling sketches, e.g. \'{"p":14}\'')
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -52,7 +57,8 @@ def main() -> None:
     ck = TDigestCheckpointer(
         spark, args.checkpoint, keys, args.value_col, args.id_col,
         n_parts=args.n_parts, delta=args.delta, discrete=args.discrete,
-        run_id=args.run_id,
+        run_id=args.run_id, sketch=args.sketch,
+        params=json.loads(args.sketch_params),
     )
     df = spark.read.parquet(args.input)
     t0 = time.time()

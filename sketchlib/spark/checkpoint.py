@@ -45,6 +45,15 @@ CHECKPOINT_SCHEMA = (
 
 
 class TDigestCheckpointer:
+    """Checkpointer for any sketch kind; named for its default.
+
+    ``sketch='tdigest'`` (default) ingests the value column as float64 and
+    finalizes via lossless digest union + compress.  Sibling kinds
+    ('hll'/'cms'/'bloom'/'kll'/'kmv', see ``sketch_ops.SKETCHES``) ingest
+    via the same JVM-side xxhash64 projection as the batch path and
+    finalize via their own merge; for the order-insensitive kinds the
+    byte-identical-resume guarantee holds exactly as for digests."""
+
     def __init__(
         self,
         spark: SparkSession,
@@ -56,6 +65,8 @@ class TDigestCheckpointer:
         delta: float = 0.01,
         discrete: bool = False,
         run_id: str | None = None,
+        sketch: str = "tdigest",
+        params: dict | None = None,
     ) -> None:
         self.spark = spark
         self.ckpt_path = ckpt_path
@@ -66,6 +77,13 @@ class TDigestCheckpointer:
         self.delta = delta
         self.discrete = discrete
         self.run_id = run_id or uuid.uuid4().hex[:12]
+        self.sketch = sketch
+        self.params = dict(params or {})
+        if sketch != "tdigest":
+            from sketchlib.spark.sketch_ops import SKETCHES
+
+            if sketch not in SKETCHES:
+                raise ValueError(f"unknown sketch kind {sketch!r}")
 
     # -- helpers ---------------------------------------------------------------
 
@@ -94,7 +112,17 @@ class TDigestCheckpointer:
         from sketchlib.spark.shipping import ensure_on_workers
 
         ensure_on_workers(self.spark)
-        tagged = self._with_part_id(df.select(self.id_col, *self.keys, self.value_col))
+        hashed = False
+        if self.sketch != "tdigest":
+            from sketchlib.spark.sketch_ops import _HASHED
+
+            hashed = self.sketch in _HASHED
+        # project the value into an internal column: keeps the plan valid
+        # when value_col == id_col (or a key), and carries the hash for the
+        # hashed sketch kinds
+        val = (F.xxhash64(self.value_col) if hashed
+               else F.col(self.value_col)).alias("_v")
+        tagged = self._with_part_id(df.select(self.id_col, *self.keys, val))
         done = self.completed_parts()
         pending = tagged.join(
             F.broadcast(done.withColumnRenamed("part_id", "_part_id")),
@@ -114,21 +142,41 @@ class TDigestCheckpointer:
         run_id, ckpt_path, input_snapshot = (
             self.run_id, self.ckpt_path, self._input_snapshot(df),
         )
+        sketch, params = self.sketch, self.params
+        if sketch == "tdigest":
+            lineage = (f"tdigest(delta={delta},discrete={discrete})"
+                       f"<-{value_col} by {','.join(keys)}")
+        else:
+            lineage = f"{sketch}({params})<-{value_col} by {','.join(keys)}"
 
         def build(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import numpy as np
 
+            if sketch == "tdigest":
+                make = lambda: MergingDigest(delta=delta, discrete=discrete)  # noqa: E731
+            else:
+                from sketchlib.spark.sketch_ops import SKETCHES
+
+                cls = SKETCHES[sketch]
+                make = lambda: cls(**params)  # noqa: E731
+
             t0 = time.time()
-            aggs: dict[tuple, MergingDigest] = {}
+            aggs: dict[tuple, object] = {}
             rows_per_part: dict[int, int] = {}
             for pdf in batches:
-                vals = pdf[value_col].to_numpy(dtype="float64", na_value=np.nan)
+                if hashed:
+                    vals = pdf["_v"].to_numpy(dtype="int64").view(np.uint64)
+                else:
+                    vals = pdf["_v"].to_numpy(dtype="float64", na_value=np.nan)
                 for gk, idx in pdf.groupby(["_part_id"] + keys, sort=False).indices.items():
                     gk = gk if isinstance(gk, tuple) else (gk,)
                     agg = aggs.get(gk)
                     if agg is None:
-                        agg = aggs[gk] = MergingDigest(delta=delta, discrete=discrete)
-                    agg.update_batch(vals[idx])
+                        agg = aggs[gk] = make()
+                    if hashed:
+                        agg.update_hashed(vals[idx])
+                    else:
+                        agg.update_batch(vals[idx])
                     rows_per_part[gk[0]] = rows_per_part.get(gk[0], 0) + len(idx)
             if not aggs:
                 return
@@ -142,8 +190,7 @@ class TDigestCheckpointer:
                     "rows": [rows_per_part[gk[0]] for gk in aggs],
                     "wall_ms": wall,
                     "input_snapshot": input_snapshot,
-                    "lineage": f"tdigest(delta={delta},discrete={discrete})"
-                               f"<-{value_col} by {','.join(keys)}",
+                    "lineage": lineage,
                 }
             )
             yield out
@@ -162,12 +209,21 @@ class TDigestCheckpointer:
     # -- finalize ---------------------------------------------------------------
 
     def finalize(self) -> DataFrame:
-        """Merge all checkpointed partials into one digest per key —
-        order-independent, so interrupted and clean runs agree byte-for-byte."""
-        from sketchlib.spark.tdigest_ops import tdigest_merge
-
+        """Merge all checkpointed partials into one sketch per key —
+        order-independent, so interrupted and clean runs agree byte-for-byte
+        (exactly, for the order-insensitive kinds)."""
         ckpt = self.spark.read.parquet(self.ckpt_path)
         # deduplicate retried partitions (same part_id written twice): partials
         # are deterministic per (part_id, key), keep one
         partials = ckpt.dropDuplicates(["part_id", "key"]).select("key", "digest")
-        return tdigest_merge(partials, ["key"], self.delta, self.discrete, compress=True)
+        if self.sketch == "tdigest":
+            from sketchlib.spark.tdigest_ops import tdigest_merge
+
+            return tdigest_merge(partials, ["key"], self.delta, self.discrete,
+                                 compress=True)
+        from sketchlib.spark.sketch_ops import sketch_merge
+
+        return sketch_merge(
+            partials.withColumnRenamed("digest", "sketch"), ["key"],
+            self.sketch, self.params,
+        ).withColumnRenamed("sketch", "digest")

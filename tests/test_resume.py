@@ -112,3 +112,32 @@ def test_tree_merge_compressed_within_bound(spark, docs):
         for p, est in zip([0.5, 0.99], r["qs"]):
             rank = np.searchsorted(vals, est) / len(vals)
             assert abs(rank - p) < 0.02, (r["lang"], p, rank)
+
+
+def test_resume_sibling_sketch_byte_identical(spark, docs, tmp_path):
+    """The generalized checkpointer: an interrupted HLL build resumes and
+    finalizes byte-identically to an uninterrupted one, and the estimate
+    tracks the exact distinct count."""
+    from sketchlib.hll import HLL
+    from sketchlib.spark.checkpoint import TDigestCheckpointer
+
+    kw = dict(
+        spark=spark, keys=["lang"], value_col="doc_id", id_col="doc_id",
+        n_parts=8, sketch="hll", params={"p": 12},
+    )
+    clean = TDigestCheckpointer(ckpt_path=str(tmp_path / "hclean"), **kw)
+    assert clean.run(docs) == 8
+    want = _final_digests(clean)
+
+    ck = TDigestCheckpointer(ckpt_path=str(tmp_path / "hcrash"), **kw)
+    assert ck.run(docs, fail_after_parts=3) == 3
+    resumed = TDigestCheckpointer(ckpt_path=str(tmp_path / "hcrash"), **kw)
+    assert resumed.run(docs) == 5  # only the pending 5
+    got = _final_digests(resumed)
+    assert got == want
+
+    exact = {r["lang"]: r["n"] for r in
+             docs.groupBy("lang").agg(F.countDistinct("doc_id").alias("n")).collect()}
+    for key, blob in got.items():
+        est = HLL.deserialize(blob).estimate()
+        assert abs(est - exact[key]) / exact[key] < 0.05, (key, est)
