@@ -84,6 +84,33 @@ class KMV(Aggregator):
     def finish(self) -> float:
         return self.estimate()
 
+    # -- set operations (the coordinated-sampling payoff) --------------------
+
+    def jaccard(self, other: "KMV") -> float:
+        """Jaccard similarity estimate between the two sketched sets.
+
+        Because hashing is coordinated (same value → same hash everywhere),
+        the bottom-k of the UNION is a uniform sample of the union, and the
+        fraction of that sample present in both sketches estimates
+        |A∩B|/|A∪B| (Beyer et al. 2007).  σ ≈ √(J(1−J)/k)."""
+        if other.k != self.k:
+            raise ValueError(f"KMV jaccard k mismatch: {self.k} vs {other.k}")
+        u = np.unique(np.concatenate([self.hashes, other.hashes]))[: self.k]
+        if len(u) == 0:
+            return 0.0
+        in_both = np.isin(u, self.hashes) & np.isin(u, other.hashes)
+        return float(in_both.mean())
+
+    def union_estimate(self, other: "KMV") -> float:
+        """Distinct count of the union (merge without mutating either)."""
+        out = KMV(k=self.k)
+        out.hashes = np.unique(np.concatenate([self.hashes, other.hashes]))[: self.k]
+        return out.estimate()
+
+    def intersection_estimate(self, other: "KMV") -> float:
+        """|A∩B| ≈ J(A,B) · |A∪B| — both factors from the same sketches."""
+        return self.jaccard(other) * self.union_estimate(other)
+
     # -- serde ---------------------------------------------------------------
 
     def serialize(self) -> bytes:

@@ -706,6 +706,72 @@ FROM kept
 """
 
 
+def q_kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-set overlap from coordinated samples: one KMV per event_type
+    over user_id, then the pairwise Jaccard ESTIMATE from the sketches is
+    gated against the exact Jaccard — |est − exact| ≤ 0.05 per pair (σ ≈
+    √(J(1−J)/k) ≈ 0.016 at k=1024).  This is the operation HLL cannot do
+    without inclusion-exclusion error blowup and the reason the bottom-k
+    sample is coordinated.  Exact side: distinct (type,user) self-join —
+    the verification oracle, not the scale path."""
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    from sketchlib.kmv import KMV
+    from sketchlib.spark.sketch_ops import sketch_aggregate
+
+    ev = load(spark, sf_dir, "events")
+    sk = sketch_aggregate(ev, ["event_type"], "user_id", "kmv", {"k": 1024})
+
+    @pandas_udf(DoubleType())
+    def jac(sa, sb):
+        return pd.Series([
+            KMV.deserialize(bytes(x)).jaccard(KMV.deserialize(bytes(y)))
+            for x, y in zip(sa, sb)
+        ])
+
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("sketch").alias("sa"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("sketch").alias("sb"))
+    est = (
+        a.crossJoin(b)
+        .filter(F.col("type_a") < F.col("type_b"))
+        .select("type_a", "type_b", jac("sa", "sb").alias("_jest"))
+    )
+
+    u = ev.select("event_type", "user_id").distinct()
+    sizes = u.groupBy("event_type").agg(F.count("*").alias("n"))
+    common = (
+        u.select(F.col("event_type").alias("type_a"), "user_id")
+        .join(u.select(F.col("event_type").alias("type_b"), "user_id"), "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    exact = (
+        common.join(F.broadcast(sizes.withColumnRenamed("event_type", "type_a")
+                                .withColumnRenamed("n", "na")), "type_a")
+        .join(F.broadcast(sizes.withColumnRenamed("event_type", "type_b")
+                          .withColumnRenamed("n", "nb")), "type_b")
+        .withColumn("_jexact",
+                    F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")))
+    )
+    return exact.join(F.broadcast(est), ["type_a", "type_b"]).select(
+        "type_a", "type_b", "n_common",
+        (F.abs(F.col("_jest") - F.col("_jexact")) <= 0.05).alias("jaccard_ok"),
+    )
+
+
+_KMV_OVERLAP_SQL = """
+WITH u AS (SELECT DISTINCT event_type, user_id FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(*) AS n_common, TRUE AS jaccard_ok
+FROM u a JOIN u b USING (user_id)
+WHERE a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
 def q_td_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style time rollup on sketches: ONE scan builds per-
     (event_type × hour) digests; the per-(event_type × day) digests are then
@@ -1061,6 +1127,7 @@ QUERIES = {
     "emb_signlsh_precision": q_emb_signlsh_precision,
     "top_sources_by_lang": q_top_sources_by_lang,
     "kmv_sample_by_lang": q_kmv_sample_by_lang,
+    "kmv_user_overlap": q_kmv_user_overlap,
     "td_hourly_rollup": q_td_hourly_rollup,
     "td_cube_lang_source": q_td_cube_lang_source,
     "td_weighted_lineitem": q_td_weighted_lineitem,
@@ -1139,6 +1206,7 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 """,
     "top_sources_by_lang": _TOP_SOURCES_SQL,
     "kmv_sample_by_lang": _KMV_SQL,
+    "kmv_user_overlap": _KMV_OVERLAP_SQL,
     "td_hourly_rollup": _ROLLUP_SQL,
     "td_cube_lang_source": _cube_sql(),
     "td_weighted_lineitem": _WEIGHTED_SQL,

@@ -119,3 +119,33 @@ def test_kmv_spark_two_phase(spark):
         # hash draw per lang — allow a wide band; real accuracy is pinned
         # by test_kmv_estimate_tolerance at k=1024 over random draws
         assert abs(est - exact[lang]) / exact[lang] < 0.6, lang
+
+
+def test_kmv_set_operations():
+    """Coordinated-sample set ops: Jaccard / union / intersection estimates
+    within estimator bounds at partial overlap, exact when unsaturated."""
+    rng = np.random.default_rng(17)
+    A = rng.choice(10_000_000, 60_000, replace=False)
+    B = np.concatenate([A[:20_000],
+                        rng.choice(np.arange(10_000_000, 20_000_000), 40_000,
+                                   replace=False)])
+    ka, kb = KMV(k=2048), KMV(k=2048)
+    ka.update_batch(A.astype(np.int64))
+    kb.update_batch(B.astype(np.int64))
+    j_true = 20_000 / 100_000
+    assert abs(ka.jaccard(kb) - j_true) < 0.03          # sigma ~ 0.009
+    assert abs(ka.union_estimate(kb) / 100_000 - 1) < 0.1
+    assert abs(ka.intersection_estimate(kb) / 20_000 - 1) < 0.2
+    # symmetric
+    assert ka.jaccard(kb) == kb.jaccard(ka)
+
+    # unsaturated: exact
+    sa, sb = KMV(k=512), KMV(k=512)
+    sa.update_batch(np.arange(100, dtype=np.int64))
+    sb.update_batch(np.arange(50, 150, dtype=np.int64))
+    assert sa.jaccard(sb) == 50 / 150
+    assert sa.union_estimate(sb) == 150.0
+    assert abs(sa.intersection_estimate(sb) - 50.0) < 1e-9
+
+    with pytest.raises(ValueError, match="k mismatch"):
+        sa.jaccard(KMV(k=64))
