@@ -911,6 +911,36 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, query_ids=list(range(8)), k=10, n_lists=16, nprobe=16)
 
 
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate the IVF *partial-probe* trade (nprobe=4 of 16 lists ⇒ ~25% scan
+    fraction): overall recall@10 against exact brute force must clear 0.5.
+    Deterministic (seeded centroids, hash-ordered training sample), so the
+    verdict boolean is driver-hashable; the oracle asserts TRUE."""
+    from sketchlib.spark.ann import ivf_topk, topk_neighbors
+
+    emb = load(spark, sf_dir, "embeddings")
+    qids = list(range(8))
+    exact = topk_neighbors(emb, query_ids=qids, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    part = ivf_topk(emb, query_ids=qids, k=10, n_lists=16, nprobe=4).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact.join(part, ["query_id", "neighbor_id"], "left_semi")
+    return exact.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+    ).crossJoin(
+        hits.agg((F.count("*") >= F.lit(0.5 * 10 * len(qids)))
+                 .alias("recall_ge_half"))
+    )
+
+
+_IVF_RECALL_SQL = """
+SELECT count(DISTINCT vec_id) AS n_queries, TRUE AS recall_ge_half
+FROM embeddings WHERE vec_id < 8
+"""
+
+
 def q_media_sniff_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: build deterministic binary media
     payloads from documents, then parse the typed header back out of the
@@ -1124,6 +1154,7 @@ QUERIES = {
     "media_frame_sample": q_media_frame_sample,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_recall": q_ann_ivf_recall,
     "emb_signlsh_precision": q_emb_signlsh_precision,
     "top_sources_by_lang": q_top_sources_by_lang,
     "kmv_sample_by_lang": q_kmv_sample_by_lang,
@@ -1199,6 +1230,7 @@ FROM documents
     "media_frame_sample": _MEDIA_FRAMES_SQL,
     "pipeline_clean_corpus": _PIPELINE_SQL,
     "ann_ivf_topk": _ANN_TOPK_SQL,
+    "ann_ivf_recall": _IVF_RECALL_SQL,
     "emb_signlsh_precision": """
 SELECT count(*) AS n_exact_pairs, TRUE AS lsh_precision_1
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
