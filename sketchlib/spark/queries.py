@@ -772,6 +772,106 @@ GROUP BY 1, 2
 """
 
 
+def q_td_order_value_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketches composed with relational joins (TPC-H shape): digest of
+    order values per customer nation — orders ⋈ customer ⋈ nation with both
+    dimension sides broadcast (facts never shuffle for the join), then the
+    two-phase discrete digest.  At 100 TB: the fact scan streams through
+    two broadcast hash joins into the partials stage; the only wide shuffle
+    is digest rows per nation."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    facts = (
+        orders.select("o_custkey", "o_totalprice")
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .select(F.col("n_name").alias("nation"), "o_totalprice")
+    )
+    dig = tdigest_aggregate(facts, ["nation"], "o_totalprice", discrete=True)
+    q = tdigest_quantiles_udf([0.5, 0.95], discrete=True)
+    return dig.select(
+        "nation",
+        q("digest")[0].alias("q50"),
+        q("digest")[1].alias("q95"),
+        tdigest_count_udf("digest").alias("n_orders"),
+    )
+
+
+_ORDER_NATION_SQL = """
+WITH facts AS (
+  SELECT n.n_name AS nation, CAST(o.o_totalprice AS DOUBLE) AS v
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+               JOIN nation n ON c.c_nationkey = n.n_nationkey
+), g AS (
+  SELECT nation, v, CAST(count(*) AS DOUBLE) AS c FROM facts GROUP BY nation, v
+), s AS (
+  SELECT nation, v,
+         sum(c) OVER (PARTITION BY nation ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY nation) AS total
+  FROM g
+)
+SELECT nation,
+       min(v) FILTER (WHERE cum >= total * 0.5) AS q50,
+       min(v) FILTER (WHERE cum >= total * 0.95) AS q95,
+       max(total) AS n_orders
+FROM s GROUP BY nation
+"""
+
+
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gap > 30 min splits a user's session) as pure window
+    functions: lag + conditional cumsum assigns session ids, then per-user
+    session stats.  Exactly SQL-expressible, so fully hash-gated; the
+    stateful-streaming analog is ``applyInPandasWithState`` with a session
+    timeout, which shares this batch oracle."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", F.unix_timestamp(F.col("ts").cast("timestamp")).alias("_e")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("_e") - F.lag("_e").over(w)
+    sess = (
+        ev.withColumn("_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("session_id", F.sum("_new").over(w))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max("_e") - F.min("_e")).alias("duration_s"),
+    ).groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("duration_s").alias("max_session_s"),
+    )
+
+
+_SESSIONS_SQL = """
+WITH e AS (
+  -- floor to whole epoch seconds per ROW, matching Spark's unix_timestamp
+  SELECT user_id, ts, floor(epoch(ts))::BIGINT AS es FROM events
+), g AS (
+  SELECT user_id, ts, es,
+         CASE WHEN es - lag(es) OVER (PARTITION BY user_id ORDER BY ts) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+), s AS (
+  SELECT user_id, ts, es,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+), per AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+         max(es) - min(es) AS duration_s
+  FROM s GROUP BY user_id, session_id
+)
+SELECT user_id, count(*) AS n_sessions, sum(n_events)::BIGINT AS n_events,
+       max(duration_s) AS max_session_s
+FROM per GROUP BY user_id
+"""
+
+
 def q_td_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style time rollup on sketches: ONE scan builds per-
     (event_type × hour) digests; the per-(event_type × day) digests are then
@@ -1160,6 +1260,8 @@ QUERIES = {
     "kmv_sample_by_lang": q_kmv_sample_by_lang,
     "kmv_user_overlap": q_kmv_user_overlap,
     "td_hourly_rollup": q_td_hourly_rollup,
+    "td_order_value_by_nation": q_td_order_value_by_nation,
+    "event_sessions": q_event_sessions,
     "td_cube_lang_source": q_td_cube_lang_source,
     "td_weighted_lineitem": q_td_weighted_lineitem,
     "td_info_by_lang": q_td_info_by_lang,
@@ -1240,6 +1342,8 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
     "kmv_sample_by_lang": _KMV_SQL,
     "kmv_user_overlap": _KMV_OVERLAP_SQL,
     "td_hourly_rollup": _ROLLUP_SQL,
+    "td_order_value_by_nation": _ORDER_NATION_SQL,
+    "event_sessions": _SESSIONS_SQL,
     "td_cube_lang_source": _cube_sql(),
     "td_weighted_lineitem": _WEIGHTED_SQL,
     "td_info_by_lang": _INFO_SQL,

@@ -178,6 +178,19 @@ def main():
     if not ok:
         FAIL.append("kmv: no partial WindowGroupLimit below the Exchange")
 
+    # 6h. dimension-join digest: both dimension sides broadcast (the fact
+    # table must never shuffle for the join)
+    from sketchlib.spark.queries import q_td_order_value_by_nation
+
+    p = plan_of(q_td_order_value_by_nation(spark, sf_dir))
+    n_bhj = len(re.findall(r"\(\d+\) BroadcastHashJoin", p))
+    n_smj = len(re.findall(r"SortMergeJoin", p))
+    ok = n_bhj >= 2 and n_smj == 0
+    print(f"{'nation-join digest broadcasts dims':40s} {'OK' if ok else 'FAIL'} "
+          f"(bhj={n_bhj}, smj={n_smj})")
+    if not ok:
+        FAIL.append(f"nation join: bhj={n_bhj} smj={n_smj}, want >=2 broadcast, 0 smj")
+
     # 7. checkpoint resume: anti-join against completed parts is broadcast
     from sketchlib.spark.checkpoint import TDigestCheckpointer
 
