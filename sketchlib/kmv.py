@@ -86,6 +86,11 @@ class KMV(Aggregator):
 
     # -- set operations (the coordinated-sampling payoff) --------------------
 
+    def _union_bottom_k(self, other: "KMV") -> np.ndarray:
+        if other.k != self.k:
+            raise ValueError(f"KMV set-op k mismatch: {self.k} vs {other.k}")
+        return np.unique(np.concatenate([self.hashes, other.hashes]))[: self.k]
+
     def jaccard(self, other: "KMV") -> float:
         """Jaccard similarity estimate between the two sketched sets.
 
@@ -93,9 +98,7 @@ class KMV(Aggregator):
         the bottom-k of the UNION is a uniform sample of the union, and the
         fraction of that sample present in both sketches estimates
         |A∩B|/|A∪B| (Beyer et al. 2007).  σ ≈ √(J(1−J)/k)."""
-        if other.k != self.k:
-            raise ValueError(f"KMV jaccard k mismatch: {self.k} vs {other.k}")
-        u = np.unique(np.concatenate([self.hashes, other.hashes]))[: self.k]
+        u = self._union_bottom_k(other)
         if len(u) == 0:
             return 0.0
         in_both = np.isin(u, self.hashes) & np.isin(u, other.hashes)
@@ -104,12 +107,19 @@ class KMV(Aggregator):
     def union_estimate(self, other: "KMV") -> float:
         """Distinct count of the union (merge without mutating either)."""
         out = KMV(k=self.k)
-        out.hashes = np.unique(np.concatenate([self.hashes, other.hashes]))[: self.k]
+        out.hashes = self._union_bottom_k(other)
         return out.estimate()
 
     def intersection_estimate(self, other: "KMV") -> float:
-        """|A∩B| ≈ J(A,B) · |A∪B| — both factors from the same sketches."""
-        return self.jaccard(other) * self.union_estimate(other)
+        """|A∩B| ≈ J(A,B) · |A∪B| — both factors derived from ONE union
+        bottom-k so they can never disagree about the sample."""
+        u = self._union_bottom_k(other)
+        if len(u) == 0:
+            return 0.0
+        in_both = np.isin(u, self.hashes) & np.isin(u, other.hashes)
+        out = KMV(k=self.k)
+        out.hashes = u
+        return float(in_both.mean()) * out.estimate()
 
     # -- serde ---------------------------------------------------------------
 

@@ -92,14 +92,31 @@ class TDigestCheckpointer:
             "_part_id", F.pmod(F.xxhash64(self.id_col), F.lit(self.n_parts)).cast("int")
         )
 
+    def _lineage(self) -> str:
+        if self.sketch == "tdigest":
+            return (f"tdigest(delta={self.delta},discrete={self.discrete})"
+                    f"<-{self.value_col} by {','.join(self.keys)}")
+        return f"{self.sketch}({self.params})<-{self.value_col} by {','.join(self.keys)}"
+
     def completed_parts(self) -> DataFrame:
         """Distinct part_ids already checkpointed (any run attempt counts:
-        partials are deterministic per partition)."""
+        partials are deterministic per partition).  Refuses to resume a
+        checkpoint whose recorded lineage (sketch kind/params/value/keys)
+        differs from this configuration — mixing incompatible partials
+        would either crash late (merge param mismatch) or finalize silently
+        wrong."""
         spark = self.spark
         try:
             done = spark.read.parquet(self.ckpt_path)
         except Exception:
             return spark.createDataFrame([], "part_id int")
+        lineages = [r["lineage"] for r in done.select("lineage").distinct().collect()]
+        if lineages and set(lineages) != {self._lineage()}:
+            raise ValueError(
+                f"checkpoint at {self.ckpt_path} was written with lineage "
+                f"{lineages} but this run is {self._lineage()!r}; use a fresh "
+                "--checkpoint path (or matching parameters) to resume"
+            )
         return done.select("part_id").distinct()
 
     # -- run -------------------------------------------------------------------
@@ -118,10 +135,11 @@ class TDigestCheckpointer:
 
             hashed = self.sketch in _HASHED
         # project the value into an internal column: keeps the plan valid
-        # when value_col == id_col (or a key), and carries the hash for the
-        # hashed sketch kinds
+        # when value_col == id_col (or a key), carries the hash for the
+        # hashed kinds, and casts to double for the numeric kinds exactly
+        # like the batch path (sketch_ops.sketch_partials / tdigest_partials)
         val = (F.xxhash64(self.value_col) if hashed
-               else F.col(self.value_col)).alias("_v")
+               else F.col(self.value_col).cast("double")).alias("_v")
         tagged = self._with_part_id(df.select(self.id_col, *self.keys, val))
         done = self.completed_parts()
         pending = tagged.join(
@@ -143,11 +161,7 @@ class TDigestCheckpointer:
             self.run_id, self.ckpt_path, self._input_snapshot(df),
         )
         sketch, params = self.sketch, self.params
-        if sketch == "tdigest":
-            lineage = (f"tdigest(delta={delta},discrete={discrete})"
-                       f"<-{value_col} by {','.join(keys)}")
-        else:
-            lineage = f"{sketch}({params})<-{value_col} by {','.join(keys)}"
+        lineage = self._lineage()
 
         def build(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import numpy as np

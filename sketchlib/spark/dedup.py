@@ -123,7 +123,15 @@ def hashed_shingle_sets(df: DataFrame, id_col: str = "doc_id",
                 F.sequence(F.lit(1), F.size("tokens") - (ngram - 1)), _mix
             )
         ),
-    ).otherwise(F.array(F.pmod(F.xxhash64(text_col), F.lit(_MERSENNE))))
+    ).otherwise(
+        # NULL text must stay NULL (dropped by every equi-join) — matching
+        # shingle_sets; xxhash64(NULL) would otherwise hash to the seed and
+        # pair every null-text doc with every other
+        F.array(
+            F.when(F.col(text_col).isNotNull(),
+                   F.pmod(F.xxhash64(text_col), F.lit(_MERSENNE)))
+        )
+    )
     return d.select(F.col(id_col), F.explode(sh).alias("shingle"))
 
 
@@ -198,8 +206,9 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     Shingle hashing is ARITHMETIC: each token is xxhash64'd once, and an
     n-gram's hash is a polynomial mix of its n token hashes mod the
     Mersenne prime — no n-gram string is ever concatenated.  Building the
-    58M string shingles for 1M pages cost ~44 s; the arithmetic mix runs
-    the same signatures in ~6 s (8x).  Shingle IDENTITY therefore differs
+    58M string shingles for 1M pages cost ~44 s of the 46 s signature
+    stage; the arithmetic mix runs the same signatures in ~8.5 s (~5x,
+    BENCH/BASELINE.md).  Shingle IDENTITY therefore differs
     from the string-shingle exact path (``shingle_sets``) — irrelevant for
     LSH, which only generates candidates whose Jaccard is then verified on
     the exact string shingles; the collision analysis is unchanged (both

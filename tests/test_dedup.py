@@ -165,3 +165,17 @@ def test_lsh_hashed_verify_matches_string_verify(spark):
          for r in minhash_lsh_dedup_pairs(_docs(spark), threshold=0.8,
                                           hashed_verify=True).collect()}
     assert s == h and len(s) > 0
+
+
+def test_hashed_shingles_null_text_matches_string_mode(spark):
+    """NULL-text documents must produce no pairs in BOTH verification modes
+    (xxhash64(NULL) hashes to the seed — without the guard every null-text
+    pair would come back as an exact near-dup in hashed mode)."""
+    from sketchlib.spark.dedup import minhash_lsh_dedup_pairs
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, None), (4, "real document text body here")],
+        "doc_id long, text string",
+    )
+    assert minhash_lsh_dedup_pairs(df, 0.8).count() == 0
+    assert minhash_lsh_dedup_pairs(df, 0.8, hashed_verify=True).count() == 0

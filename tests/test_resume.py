@@ -141,3 +141,22 @@ def test_resume_sibling_sketch_byte_identical(spark, docs, tmp_path):
     for key, blob in got.items():
         est = HLL.deserialize(blob).estimate()
         assert abs(est - exact[key]) / exact[key] < 0.05, (key, est)
+
+
+def test_resume_rejects_mismatched_lineage(spark, docs, tmp_path):
+    """Resuming a checkpoint with different sketch params must fail fast
+    instead of mixing incompatible partials."""
+    from sketchlib.spark.checkpoint import TDigestCheckpointer
+
+    kw = dict(spark=spark, keys=["lang"], value_col="doc_id", id_col="doc_id",
+              n_parts=4)
+    ck = TDigestCheckpointer(ckpt_path=str(tmp_path / "lin"), sketch="hll",
+                             params={"p": 12}, **kw)
+    assert ck.run(docs) == 4
+    bad = TDigestCheckpointer(ckpt_path=str(tmp_path / "lin"), sketch="hll",
+                              params={"p": 14}, **kw)
+    with pytest.raises(ValueError, match="lineage"):
+        bad.run(docs)
+    worse = TDigestCheckpointer(ckpt_path=str(tmp_path / "lin"), **kw)
+    with pytest.raises(ValueError, match="lineage"):
+        worse.finalize_guarded() if hasattr(worse, "finalize_guarded") else worse.run(docs)
