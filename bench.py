@@ -81,11 +81,30 @@ def main() -> None:
     build_sec, n_docs = flagship_throughput(spark, SF_DIR)
     times["flagship_build_d001"] = round(build_sec, 3)
     total = round(time.time() - t_all0, 3)
+    # apples-to-apples across rounds: the catalog grows every round, so also
+    # report the subtotal over the round-1 query set
+    r01 = {
+        "td_quantiles_by_lang", "td_discrete_quantiles_by_lang",
+        "td_cdf_by_lang", "td_digest_stats_by_lang", "td_events_by_type",
+        "td_lineitem_price", "td_compressed_by_lang",
+        "bloom_membership_by_source", "cms_source_counts",
+        "hll_users_by_type", "kll_nearest_rank_by_lang", "text_token_stats",
+        "text_quality_by_lang", "lang_id_confusion", "doc_fingerprint",
+        "dedup_exact_keepers", "dedup_jaccard_pairs",
+        "dedup_minhash_lsh_pairs", "dedup_simhash_hamming",
+        "ann_topk_cosine", "emb_cosine_pairs", "media_sniff_meta",
+        "media_frame_sample", "pipeline_clean_corpus", "ann_ivf_topk",
+        "td_cube_lang_source", "td_weighted_lineitem", "td_info_by_lang",
+    }
     out = {
         "metric": "sketchlib_headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "n_queries": len(times) - 1,
+        "r01_query_subtotal_sec": round(
+            sum(t for n, t in times.items() if n in r01), 3
+        ),
         "sf": _sf_of(SF_DIR),
         "docs_per_sec": round(n_docs / build_sec, 1),
         "cpus": CPUS,
