@@ -367,10 +367,35 @@ def signrandom_lsh_pairs(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Approximate near-dup discovery: sign-LSH banding for candidates, then
     exact cosine verification (precision 1.0; recall follows the banding
-    curve over the angle).  The scan never materializes O(n^2)."""
+    curve over the angle).  The scan never materializes O(n^2).
+
+    ``max_bucket_size`` enables the hot-bucket skew guard (shared with the
+    MinHash/SimHash paths, ``dedup._cap_buckets``): on clustered embedding
+    corpora, MODERATE-similarity clusters (well below the threshold) still
+    band-collide often enough to flood the candidate join with b² pairs per
+    bucket — measured: 1M vectors in 500 loose clusters produced hundreds
+    of millions of candidates.  The cap bounds each bucket's contribution;
+    true near-dup pairs above the threshold still meet in their other
+    (smaller) band buckets with high probability.
+
+    SIZE THE BANDS TO n: band-hash space is 2^(n_bits/bands), and expected
+    random candidates ≈ bands · C(n,2) / 2^width — at n=1M the default 8
+    bands (8-bit buckets, 256 values) puts ~4k vectors in EVERY bucket.
+    Measured at 1M vectors / 64 bits, planted dups at cos≈0.999 (recall
+    tracks the banding curve 1-(1-p_bit^width)^bands exactly):
+
+      bands=2 (width 32): recall 0.85,  6 s
+      bands=3 (width 21): recall 0.98,  66 s
+      bands=4 (width 16): recall 1.00,  510 s
+
+    The default bands=8 suits ≤~10^4 rows (the gated corpus); at web scale
+    pick 2-4 bands (or raise n_bits) plus a cap."""
+    from sketchlib.spark.dedup import _cap_buckets
+
     sigs = signrandom_signatures(df, n_bits, dim, seed, id_col, vec_col)
     width = n_bits // bands
     mask = (1 << width) - 1
@@ -387,6 +412,7 @@ def signrandom_lsh_pairs(
             ])
         ).alias("bk"),
     ).select("id", "bk.band", "bk.bh")
+    banded = _cap_buckets(banded, ["band", "bh"], max_bucket_size)
     cand = (
         banded.alias("l")
         .join(banded.alias("r"), ["band", "bh"])
