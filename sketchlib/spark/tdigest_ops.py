@@ -307,6 +307,25 @@ def tdigest_centroids_udf(dig: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def tdigest_trimmed_mean_udf(lo: float = 0.1, hi: float = 0.9):
+    """double: mean of the mass between rank quantiles [lo, hi) per digest
+    row (robust-stats companion; exact in exact/discrete mode)."""
+    from sketchlib.tdigest.core import trimmed_mean_of_centroids
+
+    @pandas_udf(DoubleType())
+    def f(dig: pd.Series) -> pd.Series:
+        out = []
+        for b in dig:
+            if b is None or len(b) == 0:
+                out.append(float("nan"))
+            else:
+                m, n = bytes_to_centroids(bytes(b))
+                out.append(trimmed_mean_of_centroids(m, n, lo, hi))
+        return pd.Series(out)
+
+    return f
+
+
 def tdigest_wire_udf(delta: float, discrete: bool = False):
     """binary(raw payload) → binary(versioned wire blob): prefixes the
     SKB1/TDIG header carrying the digest's delta/discrete settings, so a

@@ -360,6 +360,35 @@ def cdf_of_centroids(
     return out
 
 
+def trimmed_mean_of_centroids(
+    means: np.ndarray,
+    ns: np.ndarray,
+    lo: float = 0.1,
+    hi: float = 0.9,
+) -> float:
+    """Mean of the mass between rank quantiles [lo, hi) — the robust-stats
+    companion query (beyond the reference's API; standard t-digest kin).
+
+    Each centroid spans rank interval [cum−n, cum); its contribution is the
+    overlap of that interval with [N·lo, N·hi).  In exact/discrete mode
+    (one centroid per distinct value) this IS the exact trimmed mean; in
+    compressed mode it inherits the digest's rank-error bound at the two
+    cut points.  Empty digest or empty trim window → NaN.
+    """
+    if not 0.0 <= lo < hi <= 1.0:
+        raise ValueError(f"trimmed_mean: need 0 <= lo < hi <= 1, got {lo},{hi}")
+    if len(means) == 0:
+        return float("nan")
+    cum = np.cumsum(ns)
+    total = cum[-1]
+    w = np.minimum(cum, hi * total) - np.maximum(cum - ns, lo * total)
+    w = np.clip(w, 0.0, None)
+    ws = w.sum()
+    if ws <= 0.0:
+        return float("nan")
+    return float((means * w).sum() / ws)
+
+
 # ---------------------------------------------------------------------------
 # Sequential reference-parity digest
 # ---------------------------------------------------------------------------
@@ -876,3 +905,7 @@ class MergingDigest:
     def cdf(self, qs) -> np.ndarray:
         self._flush(compress=False)
         return cdf_of_centroids(self._means, self._ns, np.atleast_1d(qs), self.discrete)
+
+    def trimmed_mean(self, lo: float = 0.1, hi: float = 0.9) -> float:
+        self._flush(compress=False)
+        return trimmed_mean_of_centroids(self._means, self._ns, lo, hi)

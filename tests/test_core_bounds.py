@@ -99,3 +99,45 @@ def test_weighted_ingest_matches_repeated_values():
     b.update_batch(np.array([1.0, 5.0, 9.0]), weights=np.array([1.0, 3.0, 2.0]))
     assert a.centroids() == b.centroids()
     assert a.serialize() == b.serialize()
+
+
+def test_trimmed_mean_exact_mode_equals_numpy():
+    """In exact mode (delta=0) the digest's trimmed mean IS the exact
+    trimmed mean (including fractional boundary weights)."""
+    import numpy as np
+
+    from sketchlib.tdigest.core import MergingDigest
+
+    rng = np.random.default_rng(12)
+    vals = rng.lognormal(2, 1, 5003)  # odd n: fractional rank cuts
+    d = MergingDigest(delta=0.0)
+    d.update_batch(vals)
+    for lo, hi in ((0.1, 0.9), (0.25, 0.75), (0.0, 1.0)):
+        got = d.trimmed_mean(lo, hi)
+        s = np.sort(vals)
+        n = len(s)
+        # exact fractional-weight trimmed mean
+        idx = np.arange(1, n + 1, dtype=np.float64)
+        w = np.clip(np.minimum(idx, hi * n) - np.maximum(idx - 1, lo * n), 0, None)
+        want = float((s * w).sum() / w.sum())
+        assert abs(got - want) / want < 1e-12, (lo, hi, got, want)
+    # compressed mode: within the rank-error bound of exact
+    c = MergingDigest(delta=0.01)
+    c.update_batch(vals)
+    c.compress()
+    got = c.trimmed_mean(0.1, 0.9)
+    s = np.sort(vals)
+    exact = float(s[int(0.1 * len(s)) : int(0.9 * len(s))].mean())
+    assert abs(got - exact) / exact < 0.01, (got, exact)
+
+
+def test_trimmed_mean_validation_and_edges():
+    import numpy as np
+    import pytest
+
+    from sketchlib.tdigest.core import MergingDigest, trimmed_mean_of_centroids
+
+    d = MergingDigest(delta=0.0)
+    assert np.isnan(d.trimmed_mean())  # empty
+    with pytest.raises(ValueError):
+        trimmed_mean_of_centroids(np.array([1.0]), np.array([1.0]), 0.9, 0.1)
