@@ -82,6 +82,19 @@ def register_sql_functions(spark: SparkSession, delta: float = 0.01) -> None:
                 out.append(float(cdf_of_centroids(m, n, [float(qq)])[0]))
         return pd.Series(out)
 
+    @pandas_udf(DoubleType())
+    def tdigest_trimmed_mean(dig: pd.Series, lo: pd.Series, hi: pd.Series) -> pd.Series:
+        from sketchlib.tdigest.core import trimmed_mean_of_centroids
+
+        out = []
+        for b, l, h in zip(dig, lo, hi):
+            if b is None or len(b) == 0 or l is None or h is None:
+                out.append(float("nan"))
+            else:
+                m, n = bytes_to_centroids(bytes(b))
+                out.append(trimmed_mean_of_centroids(m, n, float(l), float(h)))
+        return pd.Series(out)
+
     @pandas_udf(IntegerType())
     def tdigest_size(dig: pd.Series) -> pd.Series:
         return pd.Series([0 if b is None else len(b) // 16 for b in dig],
@@ -118,6 +131,7 @@ def register_sql_functions(spark: SparkSession, delta: float = 0.01) -> None:
     spark.udf.register("tdigest_from_wire", tdigest_from_wire)
     spark.udf.register("tdigest_quantile", tdigest_quantile)
     spark.udf.register("tdigest_cdf", tdigest_cdf)
+    spark.udf.register("tdigest_trimmed_mean", tdigest_trimmed_mean)
     spark.udf.register("tdigest_size", tdigest_size)
     spark.udf.register("tdigest_count", tdigest_count)
 
