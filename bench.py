@@ -78,6 +78,7 @@ def main() -> None:
 
     t_all0 = time.time()
     times = run_queries(spark, SF_DIR)
+    n_queries = len(times)  # before any non-query timing entries join
     build_sec, n_docs = flagship_throughput(spark, SF_DIR)
     times["flagship_build_d001"] = round(build_sec, 3)
     total = round(time.time() - t_all0, 3)
@@ -96,15 +97,18 @@ def main() -> None:
         "media_frame_sample", "pipeline_clean_corpus", "ann_ivf_topk",
         "td_cube_lang_source", "td_weighted_lineitem", "td_info_by_lang",
     }
+    missing_r01 = sorted(r01 - set(times))
     out = {
         "metric": "sketchlib_headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": times,
-        "n_queries": len(times) - 1,
+        "n_queries": n_queries,
         "r01_query_subtotal_sec": round(
             sum(t for n, t in times.items() if n in r01), 3
         ),
+        # a renamed/removed r01 query must not read as a phantom speedup
+        **({"r01_queries_missing": missing_r01} if missing_r01 else {}),
         "sf": _sf_of(SF_DIR),
         "docs_per_sec": round(n_docs / build_sec, 1),
         "cpus": CPUS,

@@ -34,6 +34,7 @@ from sketchlib.tdigest.core import (
     merge_centroid_arrays,
     parse_tdigest_wire,
     quantiles_of_centroids,
+    trimmed_mean_of_centroids,
     wrap_tdigest_wire,
 )
 
@@ -84,11 +85,16 @@ def register_sql_functions(spark: SparkSession, delta: float = 0.01) -> None:
 
     @pandas_udf(DoubleType())
     def tdigest_trimmed_mean(dig: pd.Series, lo: pd.Series, hi: pd.Series) -> pd.Series:
-        from sketchlib.tdigest.core import trimmed_mean_of_centroids
+        import math
 
         out = []
         for b, l, h in zip(dig, lo, hi):
-            if b is None or len(b) == 0 or l is None or h is None:
+            # SQL NULL doubles arrive as NaN (not None) through Arrow, and
+            # invalid bounds must degrade per-row, not abort the job
+            if (
+                b is None or len(b) == 0 or l is None or h is None
+                or math.isnan(l) or math.isnan(h) or not 0.0 <= l < h <= 1.0
+            ):
                 out.append(float("nan"))
             else:
                 m, n = bytes_to_centroids(bytes(b))

@@ -312,6 +312,9 @@ def tdigest_trimmed_mean_udf(lo: float = 0.1, hi: float = 0.9):
     row (robust-stats companion; exact in exact/discrete mode)."""
     from sketchlib.tdigest.core import trimmed_mean_of_centroids
 
+    if not 0.0 <= lo < hi <= 1.0:  # fail fast at plan-build, not in a task
+        raise ValueError(f"trimmed_mean: need 0 <= lo < hi <= 1, got {lo},{hi}")
+
     @pandas_udf(DoubleType())
     def f(dig: pd.Series) -> pd.Series:
         out = []
