@@ -297,15 +297,19 @@ def ivf_topk(
 
     def local_topk(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         q_ids_, qn_, probe_set_ = bc.value
+        # vectorized probe membership: one sorted int array per query, tested
+        # with np.isin over the whole Arrow batch (no per-row Python)
+        probe_arrs = {
+            int(q): np.fromiter(sorted(probe_set_[int(q)]), dtype=np.int64)
+            for q in q_ids_
+        }
         for pdf in batches:
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             lists = pdf["list_id"].to_numpy(dtype=np.int64)
             m = _norm_rows(np.array(list(pdf[vec_col]), dtype=np.float64))
             sims = qn_ @ m.T
             for qi, qid in enumerate(q_ids_):
-                keep = np.array(
-                    [l in probe_set_[int(qid)] for l in lists], dtype=bool
-                ) & (ids != qid)
+                keep = np.isin(lists, probe_arrs[int(qid)]) & (ids != qid)
                 s, nid = sims[qi][keep], ids[keep]
                 if len(s) > k:
                     top = np.argpartition(-s, k)[:k]

@@ -235,32 +235,42 @@ def q_td_compressed_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _parquet_row_count(sf_dir: str, name: str) -> int:
-    """Row count straight from the parquet footers — metadata reads only, no
-    table scan.  (On a production catalog this is the table-statistics
-    lookup; here it kills the extra full scan that ``df.count()`` would
-    cost just to size a Bloom filter.)"""
-    import pyarrow.dataset as ds
-
-    return ds.dataset(f"{sf_dir}/{name}.parquet").count_rows()
+# filled in by q_bloom_membership_by_source for inspection/benchmarking:
+# {source: serialized filter bytes} of the most recent run
+LAST_BLOOM_FILTER_BYTES: dict[str, int] = {}
 
 
 def q_bloom_membership_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build a per-source Bloom filter over doc_ids (distributed two-phase),
     broadcast the filters, and probe every doc_id — zero false negatives
-    means the matched count equals the row count exactly."""
+    means the matched count equals the row count exactly.
+
+    Each source's filter is sized to ITS row count (one cheap JVM
+    ``groupBy(source).count()`` whose output is #sources rows), not the
+    global table count: with S sources, global sizing makes the collected
+    filter set S× larger than needed — at web scale that is S × GB-scale
+    broadcast.  Per-key sizing keeps total broadcast bytes ≈ n_total·9.6
+    bits regardless of S.  Sizes are recorded in LAST_BLOOM_FILTER_BYTES."""
     import pandas as pd
 
     from sketchlib.bloom import Bloom
     from sketchlib.spark.sketch_ops import sketch_aggregate
 
     docs = load(spark, sf_dir, "documents")
-    params = {"expected_n": max(_parquet_row_count(sf_dir, "documents"), 1000),
-              "fpr": 0.01}
+    counts = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    per_key = {(s,): {"expected_n": max(n, 1000)} for s, n in counts.items()}
     filters = {
         r["source"]: bytes(r["sketch"])
-        for r in sketch_aggregate(docs, ["source"], "doc_id", "bloom", params).collect()
+        for r in sketch_aggregate(
+            docs, ["source"], "doc_id", "bloom", {"fpr": 0.01},
+            params_by_key=spark.sparkContext.broadcast(per_key),
+        ).collect()
     }
+    LAST_BLOOM_FILTER_BYTES.clear()
+    LAST_BLOOM_FILTER_BYTES.update({s: len(b) for s, b in filters.items()})
     bc = spark.sparkContext.broadcast(filters)
 
     probe = docs.select("source", F.xxhash64("doc_id").alias("h"))
@@ -288,8 +298,14 @@ def q_bloom_membership_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cms_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global count-min over the source column; point-query each distinct
     source.  With w≫#keys the min over 5 rows is collision-free, so the
-    estimates equal the exact counts (CMS never undercounts)."""
-    import numpy as np
+    estimates equal the exact counts (CMS never undercounts).
+
+    The probe is DISTRIBUTED: the fixed-size CMS blob (w*d*8 bytes,
+    ~640 KB here) is broadcast and each executor queries its own slice of
+    the distinct-key frame in one vectorized ``query_hashed`` call per
+    Arrow batch — nothing but the one-row global sketch ever reaches the
+    driver, so an unbounded key domain (source ≈ web domain) stays safe."""
+    import pandas as pd
 
     from sketchlib.cms import CMS
     from sketchlib.spark.sketch_ops import sketch_aggregate
@@ -299,15 +315,22 @@ def q_cms_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         sketch_aggregate(docs, [], "source", "cms", {"width": 16384, "depth": 5})
         .collect()[0]["sketch"]
     )
-    cms = CMS.deserialize(blob)
-    keys = (
-        docs.select("source", F.xxhash64("source").alias("h")).distinct().collect()
-    )
-    est = cms.query_hashed(np.array([r["h"] for r in keys], dtype=np.int64).view(np.uint64))
-    return spark.createDataFrame(
-        [(r["source"], int(e)) for r, e in zip(keys, est)],
-        "source string, est_count long",
-    )
+    bc = spark.sparkContext.broadcast(blob)
+    keys = docs.select("source", F.xxhash64("source").alias("h")).distinct()
+
+    def probe(batches):
+        import numpy as np
+
+        cms = CMS.deserialize(bc.value)
+        for pdf in batches:
+            est = cms.query_hashed(
+                pdf["h"].to_numpy(dtype="int64").view(np.uint64)
+            )
+            yield pd.DataFrame(
+                {"source": pdf["source"], "est_count": est.astype("int64")}
+            )
+
+    return keys.mapInPandas(probe, schema="source string, est_count long")
 
 
 def q_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -41,7 +41,15 @@ def sketch_partials(
     value_col: str,
     sketch: str,
     params: dict | None = None,
+    params_by_key=None,
 ) -> DataFrame:
+    """``params_by_key``: optional per-group constructor overrides — a dict
+    (or ``sparkContext.broadcast`` of one, preferred when the key domain is
+    large) mapping the normalized key tuple to a params patch, e.g.
+    ``{("cnn.com",): {"expected_n": 48211}}``.  Lets each group's sketch be
+    sized to ITS cardinality instead of the global row count — without it,
+    S Bloom groups each carry m ≈ n_total·9.6 bits and the collected filter
+    set is S× larger than needed (the 100-TB failure mode)."""
     from sketchlib.spark.shipping import ensure_on_workers
 
     ensure_on_workers(df.sparkSession)
@@ -59,6 +67,11 @@ def sketch_partials(
     )
 
     def build(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        overrides = (
+            params_by_key.value
+            if hasattr(params_by_key, "value")
+            else (params_by_key or {})
+        )
         aggs: dict[tuple, object] = {}
         for pdf in batches:
             if hashed:
@@ -74,7 +87,8 @@ def sketch_partials(
                 key = _norm_key(key)
                 agg = aggs.get(key)
                 if agg is None:
-                    agg = aggs[key] = cls(**params)
+                    p = params if not overrides else {**params, **overrides.get(key, {})}
+                    agg = aggs[key] = cls(**p)
                 if hashed:
                     agg.update_hashed(vals[idx])
                 else:
@@ -139,5 +153,9 @@ def sketch_aggregate(
     value_col: str,
     sketch: str,
     params: dict | None = None,
+    params_by_key=None,
 ) -> DataFrame:
-    return sketch_merge(sketch_partials(df, keys, value_col, sketch, params), keys, sketch, params)
+    return sketch_merge(
+        sketch_partials(df, keys, value_col, sketch, params, params_by_key),
+        keys, sketch, params,
+    )

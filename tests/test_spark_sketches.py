@@ -51,6 +51,66 @@ def test_partition_invariance_bytes(spark, events, sketch, params):
     assert a == b
 
 
+def test_bloom_per_key_sizing(spark):
+    """params_by_key sizes each group's filter to ITS cardinality: every
+    per-source filter must be far smaller than a global-count-sized one,
+    total broadcast bytes must stay near n_total*9.6 bits, and the
+    zero-false-negative guarantee must hold per source."""
+    from sketchlib.bloom import Bloom
+    from sketchlib.spark.queries import (
+        LAST_BLOOM_FILTER_BYTES,
+        q_bloom_membership_by_source,
+    )
+
+    out = {
+        r["source"]: (r["n_members"], r["n_docs"])
+        for r in q_bloom_membership_by_source(spark, SF_MED).collect()
+    }
+    assert out and all(m == n for m, n in out.values())  # no false negatives
+
+    sizes = LAST_BLOOM_FILTER_BYTES
+    assert set(sizes) == set(out)
+
+    # bit capacity m must follow the PER-SOURCE count, not the global count
+    from sketchlib.spark.sketch_ops import sketch_aggregate
+
+    docs = spark.read.parquet(f"{SF_MED}/documents.parquet")
+    per_key = {(s,): {"expected_n": max(n, 1000)} for s, (_, n) in out.items()}
+    built = sketch_aggregate(
+        docs, ["source"], "doc_id", "bloom", {"fpr": 0.01},
+        params_by_key=per_key,
+    ).collect()
+    n_total = sum(n for _, n in out.values())
+    global_m = Bloom(expected_n=max(n_total, 1000), fpr=0.01).m
+    for r in built:
+        b = Bloom.deserialize(bytes(r["sketch"]))
+        want_m = Bloom(expected_n=max(out[r["source"]][1], 1000), fpr=0.01).m
+        assert b.m == want_m, (r["source"], b.m, want_m)
+        assert b.m <= global_m  # equality only when the 1000-doc floor binds
+    # total serialized broadcast bytes bounded by ~2 global-sized filters
+    # (vs S of them under global sizing), plus per-source floor overhead
+    global_bytes = (global_m + 7) // 8 + 64
+    assert sum(sizes.values()) < 2 * global_bytes + 1500 * len(sizes)
+
+    # skewed synthetic groups: capacity must actually FOLLOW the group size
+    from pyspark.sql import functions as F
+
+    skewed = spark.range(11_000).select(
+        F.when(F.col("id") < 10_000, F.lit("big")).otherwise(F.lit("small"))
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    pk = {("big",): {"expected_n": 10_000}, ("small",): {"expected_n": 1_000}}
+    got = {
+        r["k"]: Bloom.deserialize(bytes(r["sketch"])).m
+        for r in sketch_aggregate(skewed, ["k"], "v", "bloom", {"fpr": 0.01},
+                                  params_by_key=pk).collect()
+    }
+    assert got["big"] == Bloom(expected_n=10_000, fpr=0.01).m
+    assert got["small"] == Bloom(expected_n=1_000, fpr=0.01).m
+    assert got["small"] < got["big"]
+
+
 def test_kll_spark_rank_error(spark, events):
     from sketchlib.kll import KLL
     from sketchlib.spark.sketch_ops import sketch_aggregate

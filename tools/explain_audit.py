@@ -191,6 +191,17 @@ def main():
     if not ok:
         FAIL.append(f"nation join: bhj={n_bhj} smj={n_smj}, want >=2 broadcast, 0 smj")
 
+    # 6i. CMS point queries: the probe is DISTRIBUTED — the result frame is
+    # a MapInPandas over the distinct-key scan, never a driver-built
+    # LocalTableScan / parallelized ExistingRDD (the old shape collected the
+    # key domain and createDataFrame'd the answers)
+    from sketchlib.spark.queries import q_cms_source_counts
+
+    p = plan_of(q_cms_source_counts(spark, sf_dir))
+    check("cms probe distributed (no local scan)", p,
+          must=[r"MapInPandas", r"Scan parquet"],
+          must_not=[r"LocalTableScan|Scan ExistingRDD"])
+
     # 7. checkpoint resume: anti-join against completed parts is broadcast
     from sketchlib.spark.checkpoint import TDigestCheckpointer
 
