@@ -10,7 +10,7 @@ the contract Spark's two-phase aggregation needs:
     deserialize() / merge() ...          (reduce side, per key)
     finish()                             (final compress / estimate)
 
-``sketchlib.spark.agg`` lifts any Aggregator into a DataFrame-level
+``sketchlib.spark.sketch_ops`` lifts any Aggregator into a DataFrame-level
 partial/merge plan (mapInPandas partials + applyInPandas merge).
 """
 

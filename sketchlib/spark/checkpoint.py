@@ -96,7 +96,22 @@ class TDigestCheckpointer:
         if self.sketch == "tdigest":
             return (f"tdigest(delta={self.delta},discrete={self.discrete})"
                     f"<-{self.value_col} by {','.join(self.keys)}")
-        return f"{self.sketch}({self.params})<-{self.value_col} by {','.join(self.keys)}"
+        # canonical params rendering: the same logical config must produce
+        # the same lineage string regardless of dict insertion order or
+        # integral-float spelling (p=14 vs p=14.0), or a legitimate resume
+        # would be refused
+        import json
+
+        def _canon_v(v):
+            if isinstance(v, float) and not isinstance(v, bool) and v.is_integer():
+                return int(v)
+            return v
+
+        canon = json.dumps(
+            {k: _canon_v(v) for k, v in self.params.items()},
+            sort_keys=True, separators=(",", ":"),
+        )
+        return f"{self.sketch}({canon})<-{self.value_col} by {','.join(self.keys)}"
 
     def completed_parts(self) -> DataFrame:
         """Distinct part_ids already checkpointed (any run attempt counts:

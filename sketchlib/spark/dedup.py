@@ -33,24 +33,17 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from sketchlib.spark.textops import with_tokens
 
-# deterministic multipliers/offsets for the 64 minhash permutations
-# h_i(x) = (A[i]*x + B[i]) mod 2^31-1 — the 31-bit Mersenne prime keeps every
-# intermediate product < 2^62, inside int64 (Spark ANSI overflow-safe); a
-# 31-bit hash space is ample for minhash collision rates (P[collision] ~ n/2^31
-# per shingle pair)
-_MERSENNE = (1 << 31) - 1
-
-
-def _perm_consts(num_perm: int) -> list[tuple[int, int]]:
-    consts = []
-    a, b = 0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F
-    for i in range(num_perm):
-        a = (a * 6364136223846793005 + 1442695040888963407) % _MERSENNE
-        b = (b * 6364136223846793005 + 1442695040888963407) % _MERSENNE
-        # (a|1) can equal _MERSENNE itself (prob ~2^-31), whose residue 0
-        # would degenerate the permutation to a constant — clamp into [1, p-1]
-        consts.append((max(1, (a | 1) % _MERSENNE), b))
-    return consts
+# Shingle identity and the minhash family both live in the FULL 64-bit
+# xxhash64 space: an n-gram's hash is one chained xxhash64 over its n tokens
+# (Spark folds multi-arg hashes left-to-right, seeding each value's hash with
+# the previous result, so ("ab","c") and ("a","bc") differ), and minhash
+# function i is xxhash64(i, shingle_hash).  An earlier revision used affine
+# permutations mod the 31-bit Mersenne prime to keep products inside int64;
+# that shrank the shingle space to 2^31, and at ~10^8 shingles per huge
+# document the within-document birthday collisions (~s²/2^32) shaved a
+# percent-level bite off large docs' shingle sets, biasing hashed-verify
+# Jaccard upward.  64-bit identity puts collisions at ~s²/2^65 — negligible
+# at any document size — with no modular arithmetic at all.
 
 
 # ---------------------------------------------------------------------------
@@ -97,24 +90,17 @@ def shingle_sets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 def hashed_shingle_sets(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", ngram: int = 3) -> DataFrame:
-    """(id, shingle) distinct pairs where the shingle is the ARITHMETIC
-    64-bit-safe hash of the word n-gram (Horner polynomial over per-token
-    xxhash64 values mod the Mersenne prime) — no n-gram string is ever
+    """(id, shingle) distinct pairs where the shingle is the full 64-bit
+    chained xxhash64 of the n-gram's tokens — no n-gram string is ever
     concatenated.  ~8x faster than ``shingle_sets`` on long documents; the
-    shingle SET has the same cardinality up to ~2^-31 hash collisions, so
+    shingle SET has the same cardinality up to ~s²/2^65 within-document
+    birthday collisions (negligible even at 10^8-shingle documents), so
     Jaccard over hashed shingles equals string-shingle Jaccard for all
     practical purposes (the oracle-gated queries keep the string path)."""
     d = with_tokens(df.select(id_col, text_col), text_col)
-    th = F.transform("tokens", lambda w: F.pmod(F.xxhash64(w), F.lit(_MERSENNE)))
-    d = d.withColumn("_th", th)
-    a1 = 1103515245 % _MERSENNE
 
     def _mix(i):
-        acc = F.element_at("_th", i)
-        for k in range(1, ngram):
-            acc = F.pmod(acc * F.lit(a1) + F.element_at("_th", i + k),
-                         F.lit(_MERSENNE))
-        return acc
+        return F.xxhash64(*[F.element_at("tokens", i + k) for k in range(ngram)])
 
     sh = F.when(
         F.size("tokens") >= ngram,
@@ -128,8 +114,7 @@ def hashed_shingle_sets(df: DataFrame, id_col: str = "doc_id",
         # shingle_sets; xxhash64(NULL) would otherwise hash to the seed and
         # pair every null-text doc with every other
         F.array(
-            F.when(F.col(text_col).isNotNull(),
-                   F.pmod(F.xxhash64(text_col), F.lit(_MERSENNE)))
+            F.when(F.col(text_col).isNotNull(), F.xxhash64(text_col))
         )
     )
     return d.select(F.col(id_col), F.explode(sh).alias("shingle"))
@@ -143,28 +128,54 @@ def ngram_jaccard_pairs(
     ngram: int = 3,
     candidates: DataFrame | None = None,
     hashed_shingles: bool = False,
+    shingle_storage: str = "memory",
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard >= threshold via shingle self-join.
 
     ``candidates``: optional (a_id, b_id) frame restricting the pair space —
     the LSH verification mode.  Jaccard is emitted as one division of exact
-    integer counts (bit-identical across engines).
+    integer counts (bit-identical across engines).  In this mode the
+    exploded shingle frame is pruned to candidate documents BEFORE it is
+    persisted or aggregated, so the cached/materialized volume is bounded
+    by the candidate set, never the corpus.
 
-    ``hashed_shingles``: join on arithmetic shingle hashes (longs) instead
-    of n-gram strings — the scale path (~8x cheaper shingle build, long
-    equi-join instead of string); exact up to ~2^-31 hash collisions.  The
+    ``hashed_shingles``: join on 64-bit shingle hashes (longs) instead of
+    n-gram strings — the scale path (~8x cheaper shingle build, long
+    equi-join instead of string); exact up to ~s²/2^65 collisions.  The
     gated query keeps the default string-exact mode.
+
+    ``shingle_storage``: persistence for the triple-use shingle frame —
+    ``"memory"`` (MEMORY_AND_DISK; right when it fits), ``"disk"``
+    (DISK_ONLY; the full-corpus mode at web scale, where the exploded frame
+    is ~60x corpus rows and memory caching is a spill storm), or ``"none"``
+    (recompute per use; right when a rescan is cheaper than materializing).
     """
+    from pyspark.storagelevel import StorageLevel
+
     maker = hashed_shingle_sets if hashed_shingles else shingle_sets
-    sh = maker(df, id_col, text_col, ngram).cache()
+    sh = maker(df, id_col, text_col, ngram)
+    if candidates is not None:
+        # LSH verification mode: the whole point of LSH is never
+        # materializing the O(n^2) shingle join — prune shingles to docs
+        # that appear in ANY candidate pair before persisting (sizes only
+        # matter for those docs), then restrict each join side further
+        candidates = candidates.cache()
+        cand_ids = (
+            candidates.select(F.col("a_id").alias(id_col))
+            .union(candidates.select(F.col("b_id").alias(id_col)))
+            .distinct()
+        )
+        sh = sh.join(F.broadcast(cand_ids), id_col, "left_semi")
+    if shingle_storage == "memory":
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    elif shingle_storage == "disk":
+        sh = sh.persist(StorageLevel.DISK_ONLY)
+    elif shingle_storage != "none":
+        raise ValueError(f"unknown shingle_storage {shingle_storage!r}")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("a_id"), "shingle")
     b = sh.select(F.col(id_col).alias("b_id"), "shingle")
     if candidates is not None:
-        # LSH verification mode: restrict BOTH join sides to candidate docs
-        # and prune to candidate pairs BEFORE the count aggregation — the
-        # whole point of LSH is never materializing the O(n^2) shingle join
-        candidates = candidates.cache()
         a = a.join(
             F.broadcast(candidates.select("a_id").distinct()), "a_id", "left_semi"
         )
@@ -203,26 +214,28 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     """MinHash signatures computed entirely JVM-side.  Output:
     (id, sig array<long> of length num_perm).
 
-    Shingle hashing is ARITHMETIC: each token is xxhash64'd once, and an
-    n-gram's hash is a polynomial mix of its n token hashes mod the
-    Mersenne prime — no n-gram string is ever concatenated.  Building the
-    58M string shingles for 1M pages cost ~44 s of the 46 s signature
-    stage; the arithmetic mix runs the same signatures in ~8.5 s (~5x,
-    BENCH/BASELINE.md).  Shingle IDENTITY therefore differs
-    from the string-shingle exact path (``shingle_sets``) — irrelevant for
-    LSH, which only generates candidates whose Jaccard is then verified on
-    the exact string shingles; the collision analysis is unchanged (both
-    are uniform hashes of the same n-gram set).  Every intermediate stays
-    below 2^62 (safe under ANSI overflow checking).  NOTE the unrolled
-    Horner polynomial in ``hashed_shingle_sets``: an
+    Shingle hashing is ARITHMETIC: an n-gram's hash is one chained
+    xxhash64 over its n tokens — no n-gram string is ever concatenated.
+    Building the 58M string shingles for 1M pages cost ~44 s of the 46 s
+    signature stage; the hash mix runs the same signatures in ~8.5 s (~5x,
+    BENCH/BASELINE.md).  Shingle IDENTITY therefore differs from the
+    string-shingle exact path (``shingle_sets``) — irrelevant for LSH,
+    which only generates candidates whose Jaccard is then verified on the
+    exact string shingles; the collision analysis is unchanged (both are
+    uniform hashes of the same n-gram set).  The minhash family is the
+    k-hash-functions variant: function i is ``xxhash64(i, shingle_hash)``
+    (full signed-int64 range, min over a uniform 64-bit space), not an
+    affine permutation of one hash — 64 independent uniform hashes give
+    the same Pr[min collision] = J analysis without modular arithmetic.
+    NOTE: keep the per-element expression an element_at/xxhash64 chain; an
     ``F.aggregate(F.slice(...))`` formulation allocates a slice per shingle
     and interprets the lambda per element, costing ~8x on the same data —
-    element_at chains stay in whole-stage codegen."""
+    these chains stay in whole-stage codegen."""
     hashed = hashed_shingle_sets(df, id_col, text_col, ngram) \
         .withColumnRenamed("shingle", "h")
     mins = [
-        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"m{i}")
-        for i, (a, b) in enumerate(_perm_consts(num_perm))
+        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"m{i}")
+        for i in range(num_perm)
     ]
     agg = hashed.groupBy(id_col).agg(*mins)
     return agg.select(
@@ -297,6 +310,7 @@ def minhash_lsh_dedup_pairs(
     bands: int = 16,
     max_bucket_size: int | None = None,
     hashed_verify: bool = False,
+    shingle_storage: str = "memory",
 ) -> DataFrame:
     """The full discovery path: MinHash -> LSH banding -> exact Jaccard
     verification of candidates.  No false positives; recall loss bounded by
@@ -309,7 +323,8 @@ def minhash_lsh_dedup_pairs(
     cand = lsh_candidate_pairs(sigs, id_col, bands, num_perm // bands,
                                max_bucket_size)
     return ngram_jaccard_pairs(df, threshold, id_col, text_col, ngram,
-                               candidates=cand, hashed_shingles=hashed_verify)
+                               candidates=cand, hashed_shingles=hashed_verify,
+                               shingle_storage=shingle_storage)
 
 
 # ---------------------------------------------------------------------------

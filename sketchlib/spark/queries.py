@@ -621,7 +621,8 @@ FROM (
     return "\nUNION ALL\n".join(blocks)
 
 
-def q_emb_signlsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_emb_signlsh_precision(spark: SparkSession, sf_dir: str,
+                            dim: int = 64) -> DataFrame:
     """Gate the ANN *scale path*'s exactness law: sign-LSH discovery
     verifies candidates exactly, so its precision is 1.0 by construction —
     every pair it emits must appear in the exact >= threshold pair set.
@@ -631,7 +632,9 @@ def q_emb_signlsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sketchlib.spark.ann import cosine_pairs_exact, signrandom_lsh_pairs
 
     emb = load(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
+    # dim is a parameter (testdata embeddings are 64-wide); array<float>
+    # carries no length in the schema, and probing a row just to learn it
+    # would cost a Spark job at plan-build time
     # one pass over each side: full-outer join marks membership, a single
     # aggregation derives both the exact-pair count and the precision
     # verdict (the expensive block-matmul plan executes ONCE)
@@ -1251,6 +1254,61 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 """
 
 
+def q_td_trimmed_mean_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-mode digest trimmed mean (10–90% rank window) per lang,
+    gated by the exactness law: a discrete digest IS the full weighted
+    value histogram, so its trimmed mean must equal the exact
+    overlap-weight formula computed with pure JVM window arithmetic on the
+    same table — to 1e-9, the verdict-boolean trick that absorbs
+    summation-order float drift between the two paths (and between
+    engines; pytest separately checks the centroid formula vs DuckDB to
+    1e-12).  Robust-stats companion of percentile — reference kin
+    src/tdigest.ml:437-456."""
+    from pyspark.sql import Window
+
+    from sketchlib.spark.tdigest_ops import tdigest_trimmed_mean_udf
+
+    lo, hi = 0.1, 0.9
+    docs = load(spark, sf_dir, "documents")
+    dig = tdigest_aggregate(docs, ["lang"], "n_chars", discrete=True)
+    approx = dig.select(
+        "lang", tdigest_trimmed_mean_udf(lo, hi)("digest").alias("_tm")
+    )
+    g = (
+        docs.filter(F.col("n_chars").isNotNull())
+        .groupBy("lang", "n_chars")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    w = Window.partitionBy("lang").orderBy("n_chars")
+    s = g.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "total", F.sum("c").over(Window.partitionBy("lang"))
+    )
+    wgt = F.greatest(
+        F.least(F.col("cum"), F.lit(hi) * F.col("total"))
+        - F.greatest(F.col("cum") - F.col("c"), F.lit(lo) * F.col("total")),
+        F.lit(0.0),
+    )
+    exact = (
+        s.withColumn("w", wgt)
+        .groupBy("lang")
+        .agg(
+            (F.sum(F.col("n_chars") * F.col("w")) / F.sum("w")).alias("_exact"),
+            F.sum("c").cast("long").alias("n_docs"),
+        )
+    )
+    return exact.join(approx, "lang").select(
+        "lang",
+        "n_docs",
+        (F.abs(F.col("_tm") - F.col("_exact")) < 1e-9).alias("tm_ok"),
+    )
+
+
+_TRIMMED_MEAN_SQL = """
+SELECT lang, count(*) AS n_docs, TRUE AS tm_ok
+FROM documents WHERE n_chars IS NOT NULL GROUP BY lang
+"""
+
+
 QUERIES = {
     "td_quantiles_by_lang": q_td_quantiles_by_lang,
     "td_discrete_quantiles_by_lang": q_td_discrete_quantiles_by_lang,
@@ -1288,6 +1346,7 @@ QUERIES = {
     "td_cube_lang_source": q_td_cube_lang_source,
     "td_weighted_lineitem": q_td_weighted_lineitem,
     "td_info_by_lang": q_td_info_by_lang,
+    "td_trimmed_mean_by_lang": q_td_trimmed_mean_by_lang,
 }
 
 ORACLES = {
@@ -1370,4 +1429,5 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
     "td_cube_lang_source": _cube_sql(),
     "td_weighted_lineitem": _WEIGHTED_SQL,
     "td_info_by_lang": _INFO_SQL,
+    "td_trimmed_mean_by_lang": _TRIMMED_MEAN_SQL,
 }

@@ -127,12 +127,39 @@ def parse_tdigest_wire(data: bytes) -> tuple[bytes, float | None, bool | None]:
 
     Disambiguation is by magic AND length: a legacy payload is always a
     multiple of 16 bytes while a headered blob is ≡ 4 (mod 16) (20-byte
-    header + 16 B/centroid), so a raw payload whose first centroid mean
-    happens to start with the magic bytes is still parsed as legacy
-    instead of being corrupted.
+    header + 16 B/centroid).  A magic-prefixed blob whose length is a
+    multiple of 16 is ambiguous — a TRUNCATED headered blob could land
+    there (e.g. header + 12 bytes), which must not be silently decoded as
+    garbage centroids — so it is accepted as legacy only when the legacy
+    interpretation is *plausible* (finite strictly-ascending means,
+    positive finite weights; a float64 mean whose low bytes spell "SKB1"
+    passes at P ≈ 2⁻³²), and raises otherwise.  Any other magic-prefixed
+    residue (mod 16 ∉ {0, 4}) is a hard error.
     """
-    if not data.startswith(WIRE_MAGIC) or len(data) % 16 == 0:
+    if not data.startswith(WIRE_MAGIC):
         return data, None, None
+    rem = len(data) % 16
+    if rem == 0:
+        flat = np.frombuffer(data, dtype="<f8")
+        means, ns = flat[0::2], flat[1::2]
+        if (
+            len(data) > 0
+            and np.all(np.isfinite(means))
+            and np.all(np.diff(means) > 0)
+            and np.all(ns > 0)
+            and np.all(np.isfinite(ns))
+        ):
+            return data, None, None
+        raise ValueError(
+            "tdigest wire: magic-prefixed blob is neither a well-formed "
+            "headered digest (length % 16 == 4) nor a plausible legacy "
+            "payload — likely truncated"
+        )
+    if rem != 4:
+        raise ValueError(
+            f"tdigest wire: magic-prefixed blob has invalid length "
+            f"{len(data)} (% 16 == {rem}, want 4) — likely truncated"
+        )
     if len(data) < _WIRE_HEADER.size:
         raise ValueError("tdigest wire: truncated header")
     magic, typ, version, flags, delta = _WIRE_HEADER.unpack_from(data)

@@ -55,6 +55,25 @@ def test_cosine_pairs_match_bruteforce(spark):
     assert got == want
 
 
+@pytest.mark.parametrize("sf_dir", [SF_SMALL, "/root/testdata/sf0.01"])
+def test_gate_threshold_has_margin(sf_dir):
+    """The 0.45 cosine gate threshold (emb_cosine_pairs /
+    emb_signlsh_precision / ann oracles) is compared across THREE float
+    paths: Spark block matmul, the LSH verify path, and DuckDB
+    list_cosine_similarity.  Accumulation-order noise is ~1e-15; assert no
+    pair in the gated corpora sits within 1e-6 of the threshold, so no
+    engine disagreement can ever flip a pair in or out of the result."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    S = mat @ mat.T
+    iu = np.triu_indices(len(mat), k=1)
+    margin = np.min(np.abs(S[iu] - 0.45))
+    assert margin > 1e-6, f"{sf_dir}: borderline pair at |sim-0.45|={margin}"
+
+
 def test_signlsh_finds_planted_neardups(spark):
     """Plant 10 near-duplicate vectors (tiny perturbations); sign-LSH must
     recover them with perfect precision and near-perfect recall."""

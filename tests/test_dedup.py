@@ -118,14 +118,27 @@ def test_simhash_matches_python(spark):
         assert got[doc_id] == sig, doc_id
 
 
-def test_minhash_perm_constants_in_range():
-    """Every generated permutation multiplier must be a unit mod the Mersenne
-    prime (a degenerate a=0 would collapse that permutation to a constant)."""
-    from sketchlib.spark.dedup import _MERSENNE, _perm_consts
+def test_minhash_hash_family_distinct_and_64bit(spark):
+    """The 64 minhash functions (xxhash64 seeded by index) must be pairwise
+    distinct on real data, and the shingle space must be genuinely 64-bit —
+    signature values far outside the old 2^31 Mersenne range must occur
+    (negative min-hashes are the norm over signed int64)."""
+    from sketchlib.spark.dedup import minhash_signatures
 
-    for a, b in _perm_consts(64):
-        assert 1 <= a < _MERSENNE
-        assert 0 <= b < _MERSENNE
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    sigs = [r["sig"] for r in minhash_signatures(docs).collect()]
+    assert sigs and all(len(s) == 64 for s in sigs)
+    # functions are distinct: no two signature positions identical everywhere
+    import numpy as np
+
+    m = np.array(sigs, dtype=np.int64)
+    for i in range(64):
+        for j in range(i + 1, 64):
+            if (m[:, i] == m[:, j]).all():
+                raise AssertionError(f"minhash functions {i} and {j} identical")
+    # min of ~uniform int64 over many shingles is deep negative — far below
+    # the old [0, 2^31) band
+    assert m.min() < -(1 << 60)
 
 
 def test_hot_bucket_cap_guards_skew(spark):

@@ -230,6 +230,24 @@ def test_wire_rejects_foreign_type_and_version():
     assert wrap_tdigest_wire(b"", 0.01, True)[:4] == WIRE_MAGIC
 
 
+def test_wire_truncated_headered_blob_raises_not_garbage():
+    """A headered blob truncated onto a 16-byte boundary (header + 12 bytes
+    = 32) must raise, not silently decode header bytes as centroids; and
+    magic-prefixed lengths ∉ {0, 4} mod 16 are hard errors."""
+    from sketchlib.tdigest.core import (
+        WIRE_MAGIC,
+        parse_tdigest_wire,
+        wrap_tdigest_wire,
+    )
+
+    truncated = wrap_tdigest_wire(b"", 0.01, False) + b"\x00" * 12
+    assert truncated.startswith(WIRE_MAGIC) and len(truncated) % 16 == 0
+    with pytest.raises(ValueError, match="truncated|plausible"):
+        parse_tdigest_wire(truncated)
+    with pytest.raises(ValueError, match="invalid length"):
+        parse_tdigest_wire(WIRE_MAGIC + b"\x00" * 4)  # len 8 ≡ 8 (mod 16)
+
+
 def test_wire_magic_collision_in_raw_payload_parses_as_legacy():
     """A legacy raw payload whose first centroid mean's LE bytes happen to
     start with the wire magic must still parse as legacy (disambiguated by
