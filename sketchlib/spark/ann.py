@@ -362,16 +362,51 @@ def signrandom_signatures(
     return df.select(id_col, vec_col).mapInPandas(sig, schema=schema)
 
 
+def signlsh_auto_bands(
+    n_rows: int, n_bits: int = 64, cand_per_row: float = 4.0
+) -> tuple[int, int]:
+    """Size sign-LSH banding to the corpus: returns (bands, max_bucket_size).
+
+    Picks the LARGEST band count (recall is monotone in bands) whose band
+    width w = n_bits/bands keeps the EXPECTED random-pair candidate volume
+    C(n,2) · bands · 2^-w under ``cand_per_row · n`` — the codified form of
+    the measured rule on the docstring of ``signrandom_lsh_pairs`` (bands=2
+    at 1M vectors / 64 bits; the old fixed default of 8 is degenerate
+    there).  The returned bucket cap is ~64× the expected bucket size
+    n/2^w (floored at 256), so only pathological clusters are trimmed.
+
+    Note the threshold does NOT enter the choice: with b·w = n_bits fixed,
+    recall 1−(1−p_bit^w)^b is monotone in b for ANY threshold, so the
+    max-b-within-budget pick is optimal regardless — but the ACHIEVED
+    recall still follows the banding curve, which at 64 bits is only
+    useful for near-duplicate thresholds (cos ≳ 0.95, p_bit ≳ 0.9); for
+    moderate-similarity search use IVF (``ivf_topk``), not sign-LSH.
+    """
+    if n_rows < 2:
+        return min(8, n_bits), 256
+    best = 1
+    for b in range(1, n_bits + 1):
+        if n_bits % b:
+            continue
+        w = n_bits // b
+        if 0.5 * n_rows * (n_rows - 1) * b * (2.0 ** -w) <= cand_per_row * n_rows:
+            best = b
+    w = n_bits // best
+    cap = max(256, int(64 * n_rows / float(2 ** w)))
+    return best, cap
+
+
 def signrandom_lsh_pairs(
     df: DataFrame,
     threshold: float,
     n_bits: int = 64,
-    bands: int = 8,
+    bands: int | str = 8,
     dim: int = 64,
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket_size: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Approximate near-dup discovery: sign-LSH banding for candidates, then
     exact cosine verification (precision 1.0; recall follows the banding
@@ -397,9 +432,16 @@ def signrandom_lsh_pairs(
       bands=4 (width 16): recall 1.00,  510 s
 
     The default bands=8 suits ≤~10^4 rows (the gated corpus); at web scale
-    pick 2-4 bands (or raise n_bits) plus a cap."""
+    pass ``bands="auto"`` — it applies ``signlsh_auto_bands`` to ``n_rows``
+    (one cheap JVM count when the hint isn't supplied) and also fills in
+    ``max_bucket_size`` unless explicitly given."""
     from sketchlib.spark.dedup import _cap_buckets
 
+    if bands == "auto":
+        n = n_rows if n_rows is not None else df.count()
+        bands, default_cap = signlsh_auto_bands(n, n_bits)
+        if max_bucket_size is None:
+            max_bucket_size = default_cap
     sigs = signrandom_signatures(df, n_bits, dim, seed, id_col, vec_col)
     width = n_bits // bands
     mask = (1 << width) - 1

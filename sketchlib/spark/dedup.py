@@ -268,6 +268,50 @@ def _cap_buckets(banded: DataFrame, bucket_cols: list[str],
     )
 
 
+def minhash_auto_bands(
+    threshold: float,
+    num_perm: int = 64,
+    n_rows: int | None = None,
+    recall_target: float = 0.9,
+) -> tuple[int, int | None]:
+    """Pick (bands, default max_bucket_size) for MinHash LSH.
+
+    Band count: over the divisor pairs b·r = num_perm with banding curve
+    P[candidate|s] = 1−(1−s^r)^b (standard tuning; MMDS ch.3), take the
+    candidate-CHEAPEST b — minimal wasted-verification integral
+    fp = ∫₀ᵗ P ds — among those whose recall AT the threshold clears
+    ``recall_target`` (discovery must not drop just-above-threshold pairs;
+    a symmetric fp/fn objective would, badly).  Falls back to max-recall if
+    nothing clears the bar.  At t=0.8 / 64 perms this reproduces the
+    hand-chosen default (b=16, r=4).
+
+    Unlike sign-LSH, random-pair collisions are not the driver here (band
+    hashes live in the full 64-bit xxhash64 space), so sizing keys off the
+    threshold; the corpus size only sets the bucket cap — boilerplate
+    templates put near-identical docs in one bucket, and a bucket of k docs
+    costs k² join rows, so cap at ~√n (floor 256), keeping any single
+    bucket's candidate contribution ≤ n.  ``n_rows=None`` → cap None
+    (lossless mode)."""
+    import numpy as np
+
+    s = np.linspace(0.0, 1.0, 501)
+    feasible, fallback = [], (1, 0.0)
+    for b in range(1, num_perm + 1):
+        if num_perm % b:
+            continue
+        r = num_perm // b
+        recall = 1.0 - (1.0 - threshold ** r) ** b
+        p = 1.0 - (1.0 - s ** r) ** b
+        fp = float(np.trapz(np.where(s < threshold, p, 0.0), s))
+        if recall >= recall_target:
+            feasible.append((fp, b))
+        if recall > fallback[1]:
+            fallback = (b, recall)
+    best = min(feasible)[1] if feasible else fallback[0]
+    cap = max(256, int(n_rows ** 0.5)) if n_rows else None
+    return best, cap
+
+
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
                         bands: int = 16, rows_per_band: int = 4,
                         max_bucket_size: int | None = None) -> DataFrame:
@@ -307,18 +351,27 @@ def minhash_lsh_dedup_pairs(
     text_col: str = "text",
     ngram: int = 3,
     num_perm: int = 64,
-    bands: int = 16,
+    bands: int | str = 16,
     max_bucket_size: int | None = None,
     hashed_verify: bool = False,
     shingle_storage: str = "memory",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """The full discovery path: MinHash -> LSH banding -> exact Jaccard
     verification of candidates.  No false positives; recall loss bounded by
     the banding curve (1-(1-t^r)^b).  ``max_bucket_size`` adds the
     hot-bucket skew guard for boilerplate-heavy corpora (extra recall
     caveat documented at ``_cap_buckets``); ``hashed_verify`` verifies on
-    arithmetic shingle hashes instead of n-gram strings (the scale mode —
-    exact up to ~2^-31 collisions).  The gated query keeps both off."""
+    64-bit shingle hashes instead of n-gram strings (the scale mode — exact
+    up to ~s²/2^65 collisions).  ``bands="auto"`` tunes the banding curve
+    to the threshold and caps buckets at ~√n (``minhash_auto_bands``; one
+    cheap count when ``n_rows`` isn't supplied).  The gated query keeps all
+    scale levers off."""
+    if bands == "auto":
+        n = n_rows if n_rows is not None else df.count()
+        bands, default_cap = minhash_auto_bands(threshold, num_perm, n)
+        if max_bucket_size is None:
+            max_bucket_size = default_cap
     sigs = minhash_signatures(df, id_col, text_col, ngram, num_perm)
     cand = lsh_candidate_pairs(sigs, id_col, bands, num_perm // bands,
                                max_bucket_size)

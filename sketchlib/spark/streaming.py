@@ -38,6 +38,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     BinaryType,
+    LongType,
     StructField,
     StructType,
     TimestampType,
@@ -260,6 +261,137 @@ def streaming_tdigest_final(
     return _stateful_windowed(
         stream, keys, F.col(value_col).cast("double"), restore, ingest,
         "digest", ts_col, window, watermark, mode="append",
+    )
+
+
+def _merge_sessions(starts, lasts, ns, gap_s: int):
+    """Merge (start, last, n_events) interval triples whose gaps are
+    ≤ gap_s — fully vectorized (argsort + cummax + reduceat segment
+    reduction), no per-row Python.  Events enter as degenerate (t, t, 1)
+    intervals; merging is associative and handles a late event BRIDGING two
+    previously-separate sessions, which is why sessions may only close once
+    the watermark has passed last_event + gap."""
+    import numpy as np
+
+    order = np.argsort(starts, kind="stable")
+    s, l, n = starts[order], lasts[order], ns[order]
+    cm = np.maximum.accumulate(l)
+    new_seg = np.ones(len(s), dtype=bool)
+    if len(s) > 1:
+        new_seg[1:] = s[1:] > cm[:-1] + gap_s
+    idx = np.nonzero(new_seg)[0]
+    return s[idx], np.maximum.reduceat(l, idx), np.add.reduceat(n, idx)
+
+
+def streaming_sessions(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming sessionization: one output row per CLOSED session —
+    (user, session_start_s, session_end_s, n_events, duration_s), epoch
+    seconds.  The streaming analog of the batch ``q_event_sessions``
+    lag+cumsum plan (queries.py), with identical gap semantics.
+
+    Semantics (mirrors Spark's session_window rules, custom state so the
+    session carries an event count):
+
+    - state per user = the set of OPEN sessions as (start, last, n) epoch-
+      second triples (one int64 blob; sessions within the watermark horizon,
+      so the set is small and bounded by horizon/gap);
+    - new events merge in as degenerate intervals — a late event can extend
+      a session OR bridge two (the vectorized interval-merge handles both);
+    - a session is emitted exactly once, when the event-time watermark
+      passes its last event + gap (checked on every update; an event-time
+      timeout armed at the earliest such close time guarantees emission
+      even if the user goes quiet).
+
+    Epoch seconds are projected JVM-side (``unix_timestamp``) so no
+    timestamp crosses the Arrow state boundary in either direction — the
+    tz asymmetries documented on ``_epoch_ms``/``_key_ts_out`` are
+    sidestepped entirely.
+    """
+    import numpy as np
+
+    from sketchlib.spark.shipping import ensure_on_workers
+
+    ensure_on_workers(stream.sparkSession)
+    keyed = (
+        stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .select(
+            F.col(user_col).alias("_user"),
+            F.unix_timestamp(F.col(ts_col)).alias("_es"),
+            F.col(ts_col),  # watermarked column must reach the operator
+        )
+    )
+    user_field = keyed.schema["_user"]
+    out_schema = StructType([
+        StructField(user_col, user_field.dataType, True),
+        StructField("session_start_s", LongType(), True),
+        StructField("session_end_s", LongType(), True),
+        StructField("n_events", LongType(), True),
+        StructField("duration_s", LongType(), True),
+    ])
+    state_schema = StructType([StructField("sessions", BinaryType(), True)])
+
+    def _load(state) -> tuple:
+        if state.exists:
+            (blob,) = state.get
+            if blob:
+                arr = np.frombuffer(bytes(blob), dtype=np.int64).reshape(-1, 3)
+                return arr[:, 0].copy(), arr[:, 1].copy(), arr[:, 2].copy()
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z
+
+    def _rows(user, s, l, n) -> pd.DataFrame:
+        return pd.DataFrame({
+            user_col: np.repeat(user, len(s)),
+            "session_start_s": s,
+            "session_end_s": l,
+            "n_events": n,
+            "duration_s": l - s,
+        })
+
+    def _finish(state, user, s, l, n, wm_s: int):
+        """Emit closed sessions, persist/arm the rest."""
+        closed = l + gap_s < wm_s
+        out = _rows(user, s[closed], l[closed], n[closed]) if closed.any() else None
+        s, l, n = s[~closed], l[~closed], n[~closed]
+        if len(s):
+            state.update((np.column_stack([s, l, n]).tobytes(),))
+            state.setTimeoutTimestamp(
+                max(int(l.min() + gap_s + 1) * 1000, (wm_s + 1) * 1000)
+            )
+        elif state.exists:
+            state.remove()
+        return out
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        user = key[0]
+        wm_s = state.getCurrentWatermarkMs() // 1000
+        s, l, n = _load(state)
+        if not state.hasTimedOut:
+            es = [pdf["_es"].to_numpy(dtype=np.int64) for pdf in pdfs]
+            new = np.concatenate(es) if es else np.empty(0, dtype=np.int64)
+            if len(new):
+                s = np.concatenate([s, new])
+                l = np.concatenate([l, new])
+                n = np.concatenate([n, np.ones(len(new), dtype=np.int64)])
+        if len(s):
+            s, l, n = _merge_sessions(s, l, n, gap_s)
+        out = _finish(state, user, s, l, n, wm_s)
+        if out is not None:
+            yield out
+
+    return keyed.groupBy("_user").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 

@@ -57,6 +57,35 @@ def _norm_key(key) -> tuple:
     return key if isinstance(key, tuple) else (key,)
 
 
+class TDigestMetrics:
+    """The reference's engine counters (``info.cumulates_count`` /
+    ``compress_count`` / ``auto_compress_count``, src/tdigest.ml:42-58,
+    161-168) surfaced operationally as Spark ACCUMULATORS — the SURVEY §1.1
+    promise that counters become metrics rows.  Pass one to
+    ``tdigest_partials`` / ``tdigest_merge`` / ``tdigest_aggregate``; every
+    worker adds its digests' counters as it emits them, and after an action
+    ``snapshot()`` on the driver reads the cluster-wide totals (Python
+    accumulator updates flow back with task completion)."""
+
+    def __init__(self, spark) -> None:
+        sc = spark.sparkContext
+        self.cumulates = sc.accumulator(0)
+        self.compresses = sc.accumulator(0)
+        self.auto_compresses = sc.accumulator(0)
+
+    def add_from(self, d: MergingDigest) -> None:
+        self.cumulates += d.cumulates_count
+        self.compresses += d.compress_count
+        self.auto_compresses += d.auto_compress_count
+
+    def snapshot(self) -> dict:
+        return {
+            "cumulates_count": self.cumulates.value,
+            "compress_count": self.compresses.value,
+            "auto_compress_count": self.auto_compresses.value,
+        }
+
+
 def tdigest_partials(
     df: DataFrame,
     keys: list[str],
@@ -66,6 +95,7 @@ def tdigest_partials(
     weight_col: str | None = None,
     value_fn=None,
     input_cols: list[str] | None = None,
+    metrics: TDigestMetrics | None = None,
 ) -> DataFrame:
     """Phase 1: one partial digest row per (input partition × key).
 
@@ -120,6 +150,9 @@ def tdigest_partials(
                 name: [k[i] for k in aggs] for i, name in enumerate(keys)
             }
             rows["digest"] = [a.serialize() for a in aggs.values()]
+            if metrics is not None:
+                for a in aggs.values():
+                    metrics.add_from(a)
             yield pd.DataFrame(rows, columns=keys + ["digest"])
 
     return narrow.mapInPandas(build, schema=out_schema)
@@ -132,6 +165,7 @@ def tdigest_merge(
     discrete: bool = False,
     compress: bool = True,
     digest_col: str = "digest",
+    metrics: TDigestMetrics | None = None,
 ) -> DataFrame:
     """Phase 2: merge partial digests per key (byte-concat union + one
     deterministic compress).  Empty-digest partials are the monoid identity.
@@ -176,6 +210,9 @@ def tdigest_merge(
                     d.compress()
             rows = {name: [k[i] for k in acc] for i, name in enumerate(keys)}
             rows["digest"] = [d.serialize() for d in acc.values()]
+            if metrics is not None:
+                for d in acc.values():
+                    metrics.add_from(d)
             yield pd.DataFrame(rows, columns=keys + ["digest"])
 
     if keys:
@@ -193,10 +230,13 @@ def tdigest_aggregate(
     discrete: bool = False,
     weight_col: str | None = None,
     compress: bool = True,
+    metrics: TDigestMetrics | None = None,
 ) -> DataFrame:
     """The full two-phase plan: keys + a final ``digest`` binary column."""
-    partials = tdigest_partials(df, keys, value_col, delta, discrete, weight_col)
-    return tdigest_merge(partials, keys, delta, discrete, compress)
+    partials = tdigest_partials(df, keys, value_col, delta, discrete, weight_col,
+                                metrics=metrics)
+    return tdigest_merge(partials, keys, delta, discrete, compress,
+                         metrics=metrics)
 
 
 # ---------------------------------------------------------------------------
@@ -275,8 +315,10 @@ def tdigest_info_udf(dig: pd.Series) -> pd.DataFrame:
     """Reference ``info`` (src/tdigest.ml:161-168) as one struct: total
     weight, centroid count, exact min/max means (the protected tail
     singletons), serialized size.  The reference's compress/cumulate
-    counters are engine internals that don't exist in the batch path —
-    Spark metrics cover the operational side."""
+    counters are per-PROCESS engine state, not a property of the serialized
+    bytes this UDF sees — they are surfaced cluster-wide through
+    ``TDigestMetrics`` accumulators (and per-object via
+    ``MergingDigest.info()``)."""
     counts, sizes, mins, maxs, nbytes = [], [], [], [], []
     for b in dig:
         if b is None or len(b) == 0:

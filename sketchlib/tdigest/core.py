@@ -771,7 +771,8 @@ class MergingDigest:
     """
 
     __slots__ = ("delta", "discrete", "buffer_size", "max_size",
-                 "_means", "_ns", "_buf_v", "_buf_w", "_buf_len")
+                 "_means", "_ns", "_buf_v", "_buf_w", "_buf_len",
+                 "cumulates_count", "compress_count", "auto_compress_count")
 
     def __init__(
         self,
@@ -797,6 +798,14 @@ class MergingDigest:
         self._buf_v: list[np.ndarray] = []
         self._buf_w: list[np.ndarray] = []
         self._buf_len = 0
+        # engine counters (reference info counters, src/tdigest.ml:42-58):
+        # cumulates = buffer flushes into the centroid arrays; auto = size-cap
+        # compressions; compress = explicit compress() calls.  Process-local
+        # (reset by deserialize); the Spark path sums them into accumulators
+        # via tdigest_ops.TDigestMetrics.
+        self.cumulates_count = 0
+        self.compress_count = 0
+        self.auto_compress_count = 0
 
     # -- Aggregator interface -------------------------------------------------
 
@@ -839,8 +848,10 @@ class MergingDigest:
         if not parts:
             return
         means, ns = merge_centroid_arrays(parts)
+        self.cumulates_count += 1
         if compress and not self.discrete and self.max_size is not None and len(means) > self.max_size:
             means, ns = compress_centroids_vec(means, ns, self.delta, self.discrete)
+            self.auto_compress_count += 1
         self._means, self._ns = means, ns
         self._buf_v, self._buf_w, self._buf_len = [], [], 0
 
@@ -865,6 +876,7 @@ class MergingDigest:
         self._flush(compress=False)
         d = self.delta if delta is None else delta
         self._means, self._ns = compress_centroids_vec(self._means, self._ns, d, self.discrete)
+        self.compress_count += 1
         return self
 
     def serialize(self) -> bytes:
@@ -874,6 +886,7 @@ class MergingDigest:
             self._means, self._ns = compress_centroids_vec(
                 self._means, self._ns, self.delta, self.discrete
             )
+            self.auto_compress_count += 1
         return centroids_to_bytes(self._means, self._ns)
 
     @classmethod
@@ -936,3 +949,18 @@ class MergingDigest:
     def trimmed_mean(self, lo: float = 0.1, hi: float = 0.9) -> float:
         self._flush(compress=False)
         return trimmed_mean_of_centroids(self._means, self._ns, lo, hi)
+
+    def info(self) -> dict:
+        """Reference ``info`` parity (src/tdigest.ml:161-168) including the
+        engine counters — the production-path analog of ``TDigest.info``.
+        Counters are process-local (zero after ``deserialize``); the Spark
+        path aggregates them across workers via
+        ``tdigest_ops.TDigestMetrics``."""
+        self._flush(compress=False)
+        return {
+            "count": self.count,
+            "size": self.size,
+            "cumulates_count": self.cumulates_count,
+            "compress_count": self.compress_count,
+            "auto_compress_count": self.auto_compress_count,
+        }

@@ -141,3 +141,32 @@ def test_trimmed_mean_validation_and_edges():
     assert np.isnan(d.trimmed_mean())  # empty
     with pytest.raises(ValueError):
         trimmed_mean_of_centroids(np.array([1.0]), np.array([1.0]), 0.9, 0.1)
+
+
+def test_merging_digest_info_counters_advance():
+    """MergingDigest engine counters (reference info counters,
+    src/tdigest.ml:42-58): cumulates advance on buffer flushes, auto
+    compressions fire under the size cap, explicit compress() counts."""
+    import numpy as np
+
+    from sketchlib.tdigest.core import MergingDigest
+
+    d = MergingDigest(delta=0.01, buffer_size=1000)
+    base = d.info()
+    assert base["cumulates_count"] == 0 and base["compress_count"] == 0
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        d.update_batch(rng.standard_normal(1000))  # == buffer_size → flush
+    info = d.info()
+    assert info["cumulates_count"] >= 5
+    assert info["count"] == 5000.0
+    d.compress()
+    assert d.info()["compress_count"] == 1
+    # size-cap auto compression: max_size = 25/0.01 = 2500 distinct values
+    big = MergingDigest(delta=0.01, buffer_size=1000)
+    big.update_batch(np.arange(10_000, dtype="float64"))
+    big.serialize()
+    assert big.info()["auto_compress_count"] >= 1
+    # deserialize resets counters (process-local state, not wire state)
+    rt = MergingDigest.deserialize(big.serialize(), delta=0.01)
+    assert rt.info()["auto_compress_count"] == 0

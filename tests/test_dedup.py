@@ -141,6 +141,43 @@ def test_minhash_hash_family_distinct_and_64bit(spark):
     assert m.min() < -(1 << 60)
 
 
+def test_signlsh_auto_bands_bounds_random_candidates():
+    """The chosen band width must keep EXPECTED random-pair candidates
+    (C(n,2)·b·2^-w) under the 4-per-row budget at every corpus size, while
+    never under-banding a corpus that could afford more recall."""
+    from sketchlib.spark.ann import signlsh_auto_bands
+
+    for n in (10_000, 1_000_000, 1_000_000_000):
+        b, cap = signlsh_auto_bands(n, n_bits=64)
+        w = 64 // b
+        exp_cand = 0.5 * n * (n - 1) * b * 2.0 ** -w
+        assert exp_cand <= 4.0 * n, (n, b, exp_cand)
+        # the next-larger divisor band count must violate the budget
+        # (i.e. we picked the max-recall feasible width)
+        nxt = next((x for x in range(b + 1, 65) if 64 % x == 0), None)
+        if nxt:
+            wn = 64 // nxt
+            assert 0.5 * n * (n - 1) * nxt * 2.0 ** -wn > 4.0 * n
+        assert cap >= 256
+    # measured rule from the 1M-vector sweep: 2 bands there
+    assert signlsh_auto_bands(1_000_000)[0] == 2
+
+
+def test_minhash_auto_bands_tracks_threshold():
+    """Recall at the threshold must clear the target for the chosen b, and
+    the hand-tuned default (b=16 at t=0.8, 64 perms) must be reproduced."""
+    from sketchlib.spark.dedup import minhash_auto_bands
+
+    for t in (0.5, 0.7, 0.8, 0.9, 0.95):
+        b, cap = minhash_auto_bands(t, 64, 1_000_000)
+        r = 64 // b
+        recall = 1.0 - (1.0 - t ** r) ** b
+        assert recall >= 0.9, (t, b, recall)
+        assert cap == max(256, int(1_000_000 ** 0.5))
+    assert minhash_auto_bands(0.8, 64)[0] == 16
+    assert minhash_auto_bands(0.8, 64)[1] is None  # lossless default
+
+
 def test_hot_bucket_cap_guards_skew(spark):
     """The max_bucket_size skew guard: with a boilerplate corpus that puts
     everything in the same band buckets, the capped simhash join must emit

@@ -135,3 +135,21 @@ def test_centroids_relational_view(spark, docs):
         f"WHERE lang='en' GROUP BY n_chars"
     ).fetchall()
     assert got == {("en", m): c for m, c in exact}
+
+
+def test_tdigest_metrics_accumulators(spark, docs):
+    """TDigestMetrics: worker-side engine counters must flow back to the
+    driver through Spark accumulators after an action — the SURVEY §1.1
+    'counters become metrics rows' promise, now on the production path."""
+    from sketchlib.spark.tdigest_ops import TDigestMetrics, tdigest_aggregate
+
+    m = TDigestMetrics(spark)
+    out = tdigest_aggregate(docs, ["lang"], "n_chars", delta=0.01, metrics=m)
+    assert m.snapshot()["cumulates_count"] == 0  # lazy: nothing ran yet
+    out.collect()
+    snap = m.snapshot()
+    # every emitted digest flushed at least once, and the merge phase runs
+    # one explicit compress per key group
+    assert snap["cumulates_count"] > 0
+    assert snap["compress_count"] >= 1
+    assert snap["auto_compress_count"] >= 0

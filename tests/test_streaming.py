@@ -190,6 +190,79 @@ def test_streaming_production_delta_rank_error(spark, tmp_path):
             assert hi >= p - 0.01 and lo <= p + 0.01, (key, p, est, lo, hi)
 
 
+def test_streaming_sessions_match_batch(spark, tmp_path):
+    """streaming_sessions must reproduce the batch lag+cumsum session stats
+    (q_event_sessions semantics) on the same input, fed out of order across
+    4 file triggers — including late events that EXTEND or BRIDGE sessions.
+    A far-future sentinel (fresh user) pushes the watermark past every real
+    session's close so all of them emit within processAllAvailable()."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.streaming import streaming_sessions
+
+    rng = np.random.default_rng(123)
+    base = np.datetime64("2025-03-01T00:00:00")
+    n = 1200
+    pdf = pd.DataFrame({
+        "user_id": rng.integers(0, 25, n).astype("int64"),
+        # clustered arrivals with multi-hour quiet stretches → real sessions
+        "ts": pd.Series(
+            base
+            + (rng.integers(0, 40, n) * 3600
+               + rng.integers(0, 2400, n)).astype("timedelta64[s]")
+        ),
+    })
+    src = str(tmp_path / "sess")
+    os.makedirs(src)
+    # shuffle rows, split into 4 files: arrival order is decoupled from
+    # event time, so sessions grow/bridge via late events
+    shuffled = pdf.sample(frac=1.0, random_state=7).reset_index(drop=True)
+    for f in range(4):
+        shuffled.iloc[f::4].to_parquet(os.path.join(src, f"chunk-{f}.parquet"))
+    pd.DataFrame({
+        "user_id": np.array([999_999], dtype="int64"),
+        "ts": pd.Series(np.array(["2025-03-20T00:00:00"], dtype="datetime64[s]")),
+    }).to_parquet(os.path.join(src, "zz-sentinel.parquet"))
+
+    static = spark.read.parquet(src)
+    stream = spark.readStream.schema(static.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    out = streaming_sessions(stream, "user_id", "ts", gap_s=1800,
+                             watermark="200 hours")
+    got = []
+    q = out.writeStream.outputMode("append").foreachBatch(
+        lambda bdf, _id: got.extend(bdf.collect())
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    sessions = [r for r in got if r["user_id"] != 999_999]
+    key = lambda r: (r["user_id"], r["session_start_s"])  # noqa: E731
+    assert len({key(r) for r in sessions}) == len(sessions), "dup session"
+
+    # batch oracle: same lag+cumsum shape as q_event_sessions
+    from pyspark.sql import Window
+
+    ev = static.filter(F.col("user_id") != 999_999).select(
+        "user_id", F.unix_timestamp("ts").alias("es")
+    )
+    w = Window.partitionBy("user_id").orderBy("es")
+    gap = F.col("es") - F.lag("es").over(w)
+    ref = (
+        ev.withColumn("_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("sid", F.sum("_new").over(w))
+        .groupBy("user_id", "sid")
+        .agg(F.min("es").alias("s"), F.max("es").alias("e"),
+             F.count("*").alias("n"))
+        .collect()
+    )
+    want = {(r["user_id"], r["s"]): (r["e"], r["n"]) for r in ref}
+    have = {key(r): (r["session_end_s"], r["n_events"]) for r in sessions}
+    assert have == want
+
+
 def test_streaming_sibling_sketches_match_batch(spark, tmp_path):
     """streaming_sketch: windowed HLL/CMS/Bloom states must be byte-identical
     to the batch two-phase build over the same rows (all three are
