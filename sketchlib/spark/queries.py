@@ -235,6 +235,14 @@ def q_td_compressed_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _parquet_row_count(sf_dir: str, name: str) -> int:
+    """Row count straight from the parquet footers — metadata reads only, no
+    table scan (the table-statistics lookup a production catalog provides)."""
+    import pyarrow.dataset as ds
+
+    return ds.dataset(f"{sf_dir}/{name}.parquet").count_rows()
+
+
 # filled in by q_bloom_membership_by_source for inspection/benchmarking:
 # {source: serialized filter bytes} of the most recent run
 LAST_BLOOM_FILTER_BYTES: dict[str, int] = {}
@@ -331,6 +339,98 @@ def q_cms_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return keys.mapInPandas(probe, schema="source string, est_count long")
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str,
+                        phi: float = 0.2) -> DataFrame:
+    """Heavy hitters (langs with ≥ φ·N docs; en ≈ 44% of the corpus is the
+    only one at φ=0.2) the sketch way: one global CMS pass, a DISTRIBUTED
+    probe of the distinct keys keeps candidates with estimate ≥ φ·N — a
+    SUPERSET of the truth, because CMS never undercounts — then ONE exact
+    count over only the candidates' fact rows (broadcast semi-join)
+    confirms them.  At web scale the candidate set is tiny, so the verify
+    pass groups a sliver of the table; with w ≫ #keys the estimates here
+    equal the exact counts, making the whole result SQL-exact."""
+    import math
+
+    import pandas as pd
+
+    from sketchlib.cms import CMS
+    from sketchlib.spark.sketch_ops import sketch_aggregate
+
+    docs = load(spark, sf_dir, "documents")
+    thr = int(math.ceil(phi * _parquet_row_count(sf_dir, "documents")))
+    blob = bytes(
+        sketch_aggregate(docs, [], "lang", "cms", {"width": 16384, "depth": 5})
+        .collect()[0]["sketch"]
+    )
+    bc = spark.sparkContext.broadcast(blob)
+    keys = docs.select("lang", F.xxhash64("lang").alias("h")).distinct()
+
+    def probe(batches):
+        import numpy as np
+
+        cms = CMS.deserialize(bc.value)
+        for pdf in batches:
+            est = cms.query_hashed(
+                pdf["h"].to_numpy(dtype="int64").view(np.uint64)
+            )
+            yield pd.DataFrame(
+                {"lang": pdf["lang"], "est_count": est.astype("int64")}
+            )
+
+    cand = keys.mapInPandas(probe, schema="lang string, est_count long") \
+        .filter(F.col("est_count") >= thr)
+    exact = (
+        docs.join(F.broadcast(cand.select("lang")), "lang", "left_semi")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return (
+        cand.join(exact, "lang")
+        .filter(F.col("n_docs") >= thr)
+        .select("lang", "est_count", "n_docs")
+    )
+
+
+def q_hll_union_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL as a semilattice: the UNION of the per-event-type user sketches
+    must (a) estimate the overall distinct-user count within 2% and (b) be
+    byte-identical to a direct global build — register-max union is
+    commutative/associative/idempotent, so composing stored per-type
+    sketches answers the cross-type question with zero fact rescans.
+    Both laws are emitted as driver-hashable booleans; the oracle asserts
+    them TRUE next to the exact count."""
+    from sketchlib.hll import HLL
+    from sketchlib.spark.sketch_ops import sketch_aggregate, sketch_merge
+
+    ev = load(spark, sf_dir, "events")
+    per_type = sketch_aggregate(ev, ["event_type"], "user_id", "hll", {"p": 14})
+    unioned = sketch_merge(per_type.select("sketch"), [], "hll", {"p": 14})
+    direct = sketch_aggregate(ev, [], "user_id", "hll", {"p": 14})
+    # three tiny frames (1 row each / #types rows) — the comparison work is
+    # O(sketch bytes), legitimately driver-side
+    u_blob = bytes(unioned.collect()[0]["sketch"])
+    d_blob = bytes(direct.collect()[0]["sketch"])
+    est = HLL.deserialize(u_blob).estimate()
+    return ev.agg(F.countDistinct("user_id").alias("n_exact")).select(
+        "n_exact",
+        (F.abs(F.lit(est) / F.col("n_exact") - 1.0) < 0.02).alias("union_within_2pct"),
+        F.lit(u_blob == d_blob).alias("union_equals_direct"),
+    )
+
+
+_CMS_HH_SQL = """
+SELECT lang, count(*) AS est_count, count(*) AS n_docs
+FROM documents GROUP BY lang
+HAVING count(*) >= ceil(0.2 * (SELECT count(*) FROM documents))
+"""
+
+_HLL_UNION_SQL = """
+SELECT count(DISTINCT user_id) AS n_exact,
+       TRUE AS union_within_2pct, TRUE AS union_equals_direct
+FROM events
+"""
 
 
 def q_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1347,6 +1447,8 @@ QUERIES = {
     "td_weighted_lineitem": q_td_weighted_lineitem,
     "td_info_by_lang": q_td_info_by_lang,
     "td_trimmed_mean_by_lang": q_td_trimmed_mean_by_lang,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "hll_union_users": q_hll_union_users,
 }
 
 ORACLES = {
@@ -1430,4 +1532,6 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
     "td_weighted_lineitem": _WEIGHTED_SQL,
     "td_info_by_lang": _INFO_SQL,
     "td_trimmed_mean_by_lang": _TRIMMED_MEAN_SQL,
+    "cms_heavy_hitters": _CMS_HH_SQL,
+    "hll_union_users": _HLL_UNION_SQL,
 }
