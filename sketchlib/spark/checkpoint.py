@@ -67,6 +67,7 @@ class TDigestCheckpointer:
         run_id: str | None = None,
         sketch: str = "tdigest",
         params: dict | None = None,
+        table_format: str = "parquet",
     ) -> None:
         self.spark = spark
         self.ckpt_path = ckpt_path
@@ -79,6 +80,14 @@ class TDigestCheckpointer:
         self.run_id = run_id or uuid.uuid4().hex[:12]
         self.sketch = sketch
         self.params = dict(params or {})
+        # checkpoint table format: any Spark batch source with append
+        # support works (parquet default; orc exercised in tests) — the
+        # state is plain (part_id, key, digest, metrics) rows, which is
+        # also why the Iceberg mapping is a one-line writeTo().append()
+        # when a catalog exists (tools/probe_iceberg.py)
+        if table_format not in ("parquet", "orc"):
+            raise ValueError(f"unsupported checkpoint format {table_format!r}")
+        self.table_format = table_format
         if sketch != "tdigest":
             from sketchlib.spark.sketch_ops import SKETCHES
 
@@ -122,7 +131,7 @@ class TDigestCheckpointer:
         wrong."""
         spark = self.spark
         try:
-            done = spark.read.parquet(self.ckpt_path)
+            done = spark.read.format(self.table_format).load(self.ckpt_path)
         except Exception:
             return spark.createDataFrame([], "part_id int")
         lineages = [r["lineage"] for r in done.select("lineage").distinct().collect()]
@@ -228,7 +237,7 @@ class TDigestCheckpointer:
             pending.repartition(len(pending_ids), "_part_id")
             .mapInPandas(build, schema=CHECKPOINT_SCHEMA)
         )
-        ckpt_rows.write.mode("append").parquet(ckpt_path)
+        ckpt_rows.write.mode("append").format(self.table_format).save(ckpt_path)
         return len(pending_ids)
 
     def _input_snapshot(self, df: DataFrame) -> str:
@@ -241,7 +250,7 @@ class TDigestCheckpointer:
         """Merge all checkpointed partials into one sketch per key —
         order-independent, so interrupted and clean runs agree byte-for-byte
         (exactly, for the order-insensitive kinds)."""
-        ckpt = self.spark.read.parquet(self.ckpt_path)
+        ckpt = self.spark.read.format(self.table_format).load(self.ckpt_path)
         # deduplicate retried partitions (same part_id written twice): partials
         # are deterministic per (part_id, key), keep one
         partials = ckpt.dropDuplicates(["part_id", "key"]).select("key", "digest")

@@ -160,3 +160,32 @@ def test_resume_rejects_mismatched_lineage(spark, docs, tmp_path):
     worse = TDigestCheckpointer(ckpt_path=str(tmp_path / "lin"), **kw)
     with pytest.raises(ValueError, match="lineage"):
         worse.finalize_guarded() if hasattr(worse, "finalize_guarded") else worse.run(docs)
+
+
+def test_checkpoint_orc_format_byte_identical(spark, docs, tmp_path):
+    """The checkpoint state is plain rows, so any Spark batch sink works:
+    an ORC-backed checkpoint (kill + resume included) must finalize to the
+    same bytes as the parquet-backed one."""
+    from sketchlib.spark.checkpoint import TDigestCheckpointer
+
+    kw = dict(
+        spark=spark, keys=["lang"], value_col="n_chars", id_col="doc_id",
+        n_parts=8, delta=0.0,
+    )
+    pq = TDigestCheckpointer(ckpt_path=str(tmp_path / "pq"), **kw)
+    assert pq.run(docs) == 8
+    want = _final_digests(pq)
+
+    orc = TDigestCheckpointer(ckpt_path=str(tmp_path / "orc"),
+                              table_format="orc", **kw)
+    assert orc.run(docs, fail_after_parts=3) == 3
+    resumed = TDigestCheckpointer(ckpt_path=str(tmp_path / "orc"),
+                                  table_format="orc", **kw)
+    assert resumed.run(docs) == 5
+    assert _final_digests(resumed) == want
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported checkpoint format"):
+        TDigestCheckpointer(ckpt_path=str(tmp_path / "x"),
+                            table_format="csv", **kw)

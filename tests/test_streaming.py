@@ -190,18 +190,20 @@ def test_streaming_production_delta_rank_error(spark, tmp_path):
             assert hi >= p - 0.01 and lo <= p + 0.01, (key, p, est, lo, hi)
 
 
-def test_streaming_sessions_match_batch(spark, tmp_path):
+@pytest.mark.parametrize("seed", [123, 7, 99])
+def test_streaming_sessions_match_batch(spark, tmp_path, seed):
     """streaming_sessions must reproduce the batch lag+cumsum session stats
     (q_event_sessions semantics) on the same input, fed out of order across
     4 file triggers — including late events that EXTEND or BRIDGE sessions.
     A far-future sentinel (fresh user) pushes the watermark past every real
-    session's close so all of them emit within processAllAvailable()."""
+    session's close so all of them emit within processAllAvailable().
+    Parameterized over arrival shuffles/user mixes (property-style)."""
     import pandas as pd
     from pyspark.sql import functions as F
 
     from sketchlib.spark.streaming import streaming_sessions
 
-    rng = np.random.default_rng(123)
+    rng = np.random.default_rng(seed)
     base = np.datetime64("2025-03-01T00:00:00")
     n = 1200
     pdf = pd.DataFrame({
@@ -213,11 +215,11 @@ def test_streaming_sessions_match_batch(spark, tmp_path):
                + rng.integers(0, 2400, n)).astype("timedelta64[s]")
         ),
     })
-    src = str(tmp_path / "sess")
+    src = str(tmp_path / f"sess{seed}")
     os.makedirs(src)
     # shuffle rows, split into 4 files: arrival order is decoupled from
     # event time, so sessions grow/bridge via late events
-    shuffled = pdf.sample(frac=1.0, random_state=7).reset_index(drop=True)
+    shuffled = pdf.sample(frac=1.0, random_state=seed + 1).reset_index(drop=True)
     for f in range(4):
         shuffled.iloc[f::4].to_parquet(os.path.join(src, f"chunk-{f}.parquet"))
     pd.DataFrame({

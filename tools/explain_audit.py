@@ -202,6 +202,16 @@ def main():
           must=[r"MapInPandas", r"Scan parquet"],
           must_not=[r"LocalTableScan|Scan ExistingRDD"])
 
+    # 6j. CMS heavy hitters: the exact verification must touch only the
+    # CANDIDATES' rows — a broadcast LeftSemi join under the count, plus
+    # the distributed MapInPandas probe; no local result construction
+    from sketchlib.spark.queries import q_cms_heavy_hitters
+
+    p = plan_of(q_cms_heavy_hitters(spark, sf_dir))
+    check("cms heavy hitters verify semi-join", p,
+          must=[r"BroadcastHashJoin [^\n]*LeftSemi", r"MapInPandas"],
+          must_not=[r"LocalTableScan|Scan ExistingRDD"])
+
     # 7. checkpoint resume: anti-join against completed parts is broadcast
     from sketchlib.spark.checkpoint import TDigestCheckpointer
 
