@@ -264,6 +264,37 @@ def streaming_tdigest_final(
     )
 
 
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "warc_ts",
+    watermark: str = "2 hours",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Streaming exact dedup: emit only the FIRST document per content hash
+    (md5 of the text, matching ``dedup.exact_dedup_keepers``'s grouping),
+    with duplicate suppression state bounded by the watermark horizon.
+
+    Entirely built-in: ``dropDuplicates`` on a streaming frame is Spark's
+    native stateful dedup operator — the hash is computed JVM-side, the
+    state store holds one 16-byte key per distinct hash inside the horizon,
+    and rows older than the watermark are dropped upstream.  At web scale
+    the state is bounded by (ingest rate × horizon) distinct hashes, not
+    corpus size; for whole-corpus dedup run the batch operator on the
+    accumulated table.  Late duplicates beyond the horizon re-emit (the
+    documented streaming-dedup trade; exactly Spark's own semantics).
+    """
+    cols = keep_cols or [c for c in stream.columns if c != text_col]
+    hashed = (
+        stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .withColumn("content_hash", F.md5(F.encode(F.col(text_col), "UTF-8")))
+    )
+    return hashed.dropDuplicates(["content_hash"]).select(
+        "content_hash", *dict.fromkeys(cols)
+    )
+
+
 def _merge_sessions(starts, lasts, ns, gap_s: int):
     """Merge (start, last, n_events) interval triples whose gaps are
     ≤ gap_s — fully vectorized (argsort + cummax + reduceat segment

@@ -337,3 +337,42 @@ def test_streaming_sibling_sketches_match_batch(spark, tmp_path):
         est = float(np.atleast_1d(KLL.deserialize(latest[k]).quantile([0.5]))[0])
         rank = np.searchsorted(vs, est, side="right") / len(vs)
         assert abs(rank - 0.5) < 0.05, (k, est, rank)
+
+
+def test_streaming_exact_dedup_first_wins(spark, tmp_path):
+    """streaming_exact_dedup: across triggers, exactly one row survives per
+    distinct text (Spark's native stateful dedup), and the surviving set of
+    content hashes equals the batch distinct set."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.streaming import streaming_exact_dedup
+
+    src = str(tmp_path / "dd")
+    os.makedirs(src)
+    base = np.datetime64("2025-03-01T00:00:00")
+    texts = [f"document body {i % 7}" for i in range(40)]  # 7 distinct
+    for f in range(4):
+        pd.DataFrame({
+            "doc_id": np.arange(f * 10, f * 10 + 10, dtype="int64"),
+            "warc_ts": pd.Series(base + np.arange(10).astype("timedelta64[s]")),
+            "text": texts[f * 10:(f + 1) * 10],
+        }).to_parquet(os.path.join(src, f"chunk-{f}.parquet"))
+
+    static = spark.read.parquet(src)
+    stream = spark.readStream.schema(static.schema).option(
+        "maxFilesPerTrigger", "1").parquet(src)
+    got = []
+    q = (streaming_exact_dedup(stream, "text", "warc_ts", watermark="1 hour")
+         .writeStream.outputMode("append")
+         .foreachBatch(lambda bdf, _id: got.extend(bdf.collect())).start())
+    q.processAllAvailable()
+    q.stop()
+
+    hashes = [r["content_hash"] for r in got]
+    assert len(hashes) == len(set(hashes)) == 7
+    want = {r[0] for r in static.select(
+        F.md5(F.encode("text", "UTF-8"))).distinct().collect()}
+    assert set(hashes) == want
+    # schema keeps the non-text columns
+    assert {"content_hash", "doc_id", "warc_ts"} <= set(got[0].asDict())
