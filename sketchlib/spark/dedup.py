@@ -9,13 +9,14 @@ Scale design (100 TB / 10^12 docs):
   O(sum of shingle-bucket^2); it is the *verification* oracle, not the
   discovery path — at scale it only ever runs on LSH candidate subsets.
 - **MinHash+LSH (discovery path)**: signatures are computed entirely
-  JVM-side — xxhash64 per shingle, then 64 universal-hash permutations as 64
-  ``min()`` aggregate expressions (no Python worker in the signature scan).
-  Banding (16 bands x 4 rows) turns near-dup search into an equi-join on
-  (band, band_hash): shuffle volume is docs x 16 tiny rows.  Candidates are
-  then exactly verified with true Jaccard, so false positives are impossible
-  and the only approximation is recall (P[miss | J=0.9] ~= 4e-8 at these
-  parameters).
+  JVM-side — one chained xxhash64 per shingle, then the 64-member hash
+  family ``xxhash64(i, shingle_hash)`` as 64 ``min()`` aggregate
+  expressions (no Python worker in the signature scan).  Banding (16
+  bands x 4 rows by default; ``bands="auto"`` tunes to the threshold)
+  turns near-dup search into an equi-join on (band, band_hash): shuffle
+  volume is docs x 16 tiny rows.  Candidates are then exactly verified
+  with true Jaccard, so false positives are impossible and the only
+  approximation is recall (P[miss | J=0.9] ~= 4e-8 at these parameters).
 - **SimHash**: 60-bit signature from md5-derived token hashes (md5 so the
   DuckDB oracle can reproduce it bit-for-bit; xxhash64 would be faster but
   is Spark-only).  Hamming-distance<=d pair search uses (d+1)-band blocking,

@@ -23,8 +23,13 @@ byte-identical to the batch build over the same rows, regardless of trigger
 boundaries or arrival order — asserted in tests/test_streaming.py; the same
 holds for the order-insensitive sibling sketches (HLL/CMS/Bloom/KMV).
 
-All three public operators share one skeleton (``_stateful_windowed``) so
-the empirically-measured timezone and timeout semantics live in ONE place.
+The three windowed sketch operators share one skeleton
+(``_stateful_windowed``) so the empirically-measured timezone and timeout
+semantics live in ONE place.  Two further streaming pipeline ops live
+here: ``streaming_sessions`` (gap-based session windows with full
+late-event bridge/extend semantics, custom interval-merge state) and
+``streaming_exact_dedup`` (Spark's native stateful ``dropDuplicates`` on
+the content hash, watermark-bounded state).
 """
 
 from __future__ import annotations
