@@ -1,0 +1,143 @@
+"""Production job: deduplicate a web-text corpus — the training-data
+pipeline's spark-submit entry point.
+
+    spark-submit --master <cluster> --py-files dist/sketchlib.zip \
+        jobs/dedup_corpus.py \
+        --input s3://.../pages/ --output /warehouse/keepers \
+        --id-col doc_id --text-col text \
+        [--mode exact|near|both] [--threshold 0.8] [--ngram 3]
+
+Duplicate evidence is collected as an EDGE LIST and collapsed once:
+
+1. **exact** — content-hash grouping (`exact_dedup_keepers`): the shuffle
+   carries md5 hashes + ids, never text; each non-keeper contributes one
+   (keeper, id) edge.
+2. **near** — MinHash + LSH discovery with every scale lever on:
+   ``bands="auto"`` (threshold-tuned banding + √n bucket cap), 64-bit
+   hashed-shingle verification, DISK_ONLY shingle persistence; each
+   verified pair is an edge.
+
+Min-id propagation over the combined edges (see
+``propagate_min_keeper``) assigns every connected component its minimum
+id — transitively correct across exact AND near evidence (a near-dup of
+an exact-dup lands in one group).  Output: (id, keeper_id) for every
+input row; ``id != keeper_id`` is the drop set.  One JSON summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def propagate_min_keeper(edges):
+    """Collapse duplicate-evidence EDGES into keep-min-id groups:
+    iterate keeper[x] = min(keeper over neighbors ∪ self) to fixpoint.
+    Each round is one aggregation shuffle over the edge list (tiny next to
+    the corpus); min propagates along both edge directions each round, so
+    a transitive chain of length L converges in ≤⌈log₂L⌉+1 rounds.
+    Returns (id, keeper_id) for ids that appear in any edge."""
+    from pyspark.sql import functions as F
+
+    # localCheckpoint per round: iterative plans otherwise nest one join
+    # tree PER ROUND and the optimizer itself OOMs long before the data
+    # does (classic iterative-algorithm lineage explosion; on a cluster
+    # with unreliable executors prefer checkpoint() to reliable storage)
+    both = edges.select("a_id", "b_id").union(
+        edges.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    ).distinct().localCheckpoint()
+    keeper = both.select(F.col("a_id").alias("id")).distinct().withColumn(
+        "keeper_id", F.col("id")
+    ).localCheckpoint()
+    for _ in range(32):  # far above any real chain depth (log2 scale)
+        neigh = (
+            both.join(keeper, both.b_id == keeper.id)
+            .groupBy("a_id").agg(F.min("keeper_id").alias("nk"))
+        )
+        nxt = (
+            keeper.join(neigh, keeper.id == neigh.a_id, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("keeper_id"),
+                    F.coalesce(F.col("nk"), F.col("keeper_id")),
+                ).alias("keeper_id"),
+            )
+        ).localCheckpoint()
+        changed = (
+            nxt.withColumnRenamed("keeper_id", "nv")
+            .join(keeper, "id")
+            .filter(F.col("nv") != F.col("keeper_id"))
+            .limit(1).count()
+        )
+        keeper = nxt
+        if changed == 0:
+            break
+    return keeper
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--mode", default="both", choices=["exact", "near", "both"])
+    ap.add_argument("--threshold", type=float, default=0.8)
+    ap.add_argument("--ngram", type=int, default=3)
+    ap.add_argument("--num-perm", type=int, default=64)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = SparkSession.builder.appName("sketchlib-dedup-corpus").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from sketchlib.spark.dedup import exact_dedup_keepers, minhash_lsh_dedup_pairs
+
+    df = spark.read.parquet(args.input)
+    t0 = time.time()
+    idc = args.id_col
+
+    edge_frames = []
+    if args.mode in ("exact", "both"):
+        ek = exact_dedup_keepers(df, idc, args.text_col)
+        edge_frames.append(
+            ek.filter(F.col(idc) != F.col("keeper_id")).select(
+                F.col("keeper_id").alias("a_id"), F.col(idc).alias("b_id")
+            )
+        )
+    if args.mode in ("near", "both"):
+        edge_frames.append(
+            minhash_lsh_dedup_pairs(
+                df, args.threshold, idc, args.text_col, args.ngram,
+                args.num_perm, bands="auto", hashed_verify=True,
+                shingle_storage="disk",
+            ).select("a_id", "b_id")
+        )
+    edges = edge_frames[0]
+    for e in edge_frames[1:]:
+        edges = edges.union(e)
+
+    grouped = propagate_min_keeper(edges)
+    keeper = (
+        df.select(F.col(idc).alias("id"))
+        .join(grouped, "id", "left")
+        .select("id", F.coalesce("keeper_id", F.col("id")).alias("keeper_id"))
+    )
+    keeper.write.mode("overwrite").parquet(args.output)
+    out = spark.read.parquet(args.output)
+    print(json.dumps({
+        "rows": out.count(),
+        "dropped": out.filter(F.col("id") != F.col("keeper_id")).count(),
+        "wall_sec": round(time.time() - t0, 2),
+        "mode": args.mode,
+        "output": args.output,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

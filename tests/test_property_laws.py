@@ -158,3 +158,47 @@ def test_wire_parser_never_misparses_junk(junk):
         assert payload == junk[20:]
     else:
         assert (payload, delta, discrete) == (junk, None, None)
+
+
+@given(
+    ts=st.lists(st.integers(min_value=0, max_value=50_000), min_size=1,
+                max_size=120),
+    splits=st.lists(st.integers(min_value=0, max_value=119), max_size=6),
+    gap=st.sampled_from([1, 60, 1800]),
+)
+@settings(max_examples=150, deadline=None)
+def test_session_interval_merge_incremental_equals_batch(ts, splits, gap):
+    """streaming_sessions' core law: folding events into the open-session
+    state in ANY arrival batching (late events included) yields exactly the
+    sessions of a single batch pass — the associativity that makes the
+    streaming operator equal the batch lag+cumsum query."""
+    from sketchlib.spark.streaming import _merge_sessions
+
+    arr = np.array(ts, dtype=np.int64)
+
+    def batch_sessions(events):
+        s = np.sort(events)
+        bounds = np.nonzero(np.diff(s) > gap)[0]
+        starts = np.concatenate([[0], bounds + 1])
+        ends = np.concatenate([bounds, [len(s) - 1]])
+        return [(int(s[a]), int(s[b]), int(b - a + 1))
+                for a, b in zip(starts, ends)]
+
+    # arbitrary arrival order and batching
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(len(arr))
+    cuts = sorted({min(c, len(arr)) for c in splits})
+    pieces = np.split(arr[perm], cuts)
+
+    z = np.empty(0, dtype=np.int64)
+    s, l, n = z, z, z
+    for piece in pieces:
+        if len(piece) == 0:
+            continue
+        s = np.concatenate([s, piece])
+        l = np.concatenate([l, piece])
+        n = np.concatenate([n, np.ones(len(piece), dtype=np.int64)])
+        s, l, n = _merge_sessions(s, l, n, gap)
+
+    got = sorted(zip(s.tolist(), l.tolist(), n.tolist()))
+    assert got == sorted(batch_sessions(arr))
