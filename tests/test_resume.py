@@ -189,3 +189,20 @@ def test_checkpoint_orc_format_byte_identical(spark, docs, tmp_path):
     with _pytest.raises(ValueError, match="unsupported checkpoint format"):
         TDigestCheckpointer(ckpt_path=str(tmp_path / "x"),
                             table_format="csv", **kw)
+
+
+def test_choose_salts_collects_only_hot_keys(spark):
+    """The row-level salting knob must only bring HOT keys to the driver
+    (bounded dict on open key domains); cold keys default to salt 1."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.plan import choose_salts_from_counts
+
+    df = spark.range(10_000).select(
+        F.when(F.col("id") < 9_000, F.lit("hot")).otherwise(
+            F.concat(F.lit("cold"), (F.col("id") % 50).cast("string"))
+        ).alias("k")
+    )
+    salts = choose_salts_from_counts(df, "k", rows_per_salt=1_000)
+    assert set(salts) == {"hot"}
+    assert salts["hot"] == 9_000 // 1_000 + 1
