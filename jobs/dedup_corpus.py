@@ -32,12 +32,18 @@ import sys
 import time
 
 
-def propagate_min_keeper(edges):
-    """Collapse duplicate-evidence EDGES into keep-min-id groups:
-    iterate keeper[x] = min(keeper over neighbors ∪ self) to fixpoint.
-    Each round is one aggregation shuffle over the edge list (tiny next to
-    the corpus); min propagates along both edge directions each round, so
-    a transitive chain of length L converges in ≤⌈log₂L⌉+1 rounds.
+def propagate_min_keeper(edges, max_rounds: int = 32):
+    """Collapse duplicate-evidence EDGES into keep-min-id groups.
+
+    Each round does TWO min steps: (a) hash-to-min over direct neighbors
+    (keeper[x] = min over x's neighbors' keepers ∪ self) and (b) pointer
+    jumping (keeper[x] = keeper[keeper[x]]).  Step (a) alone spreads the
+    min one hop per round (linear in chain length); the jump step doubles
+    the reach each round, so convergence is O(log L) rounds for chains of
+    length L — two shuffles per round over the edge list only (tiny next
+    to the corpus).  Raises if ``max_rounds`` is hit without a fixpoint —
+    a silently under-merged keeper mapping must never ship.
+
     Returns (id, keeper_id) for ids that appear in any edge."""
     from pyspark.sql import functions as F
 
@@ -51,18 +57,28 @@ def propagate_min_keeper(edges):
     keeper = both.select(F.col("a_id").alias("id")).distinct().withColumn(
         "keeper_id", F.col("id")
     ).localCheckpoint()
-    for _ in range(32):  # far above any real chain depth (log2 scale)
+    for _ in range(max_rounds):
         neigh = (
             both.join(keeper, both.b_id == keeper.id)
             .groupBy("a_id").agg(F.min("keeper_id").alias("nk"))
         )
+        stepped = keeper.join(neigh, keeper.id == neigh.a_id, "left").select(
+            "id",
+            F.least(
+                F.col("keeper_id"),
+                F.coalesce(F.col("nk"), F.col("keeper_id")),
+            ).alias("keeper_id"),
+        )
+        # pointer jumping: keeper[x] <- keeper[keeper[x]]
+        parent = stepped.select(
+            F.col("id").alias("pid"), F.col("keeper_id").alias("pk")
+        )
         nxt = (
-            keeper.join(neigh, keeper.id == neigh.a_id, "left")
+            stepped.join(parent, stepped.keeper_id == parent.pid, "left")
             .select(
                 "id",
                 F.least(
-                    F.col("keeper_id"),
-                    F.coalesce(F.col("nk"), F.col("keeper_id")),
+                    F.col("keeper_id"), F.coalesce("pk", F.col("keeper_id"))
                 ).alias("keeper_id"),
             )
         ).localCheckpoint()
@@ -74,8 +90,11 @@ def propagate_min_keeper(edges):
         )
         keeper = nxt
         if changed == 0:
-            break
-    return keeper
+            return keeper
+    raise RuntimeError(
+        f"propagate_min_keeper: no fixpoint after {max_rounds} rounds — "
+        f"duplicate groups would be under-merged; raise max_rounds"
+    )
 
 
 def main() -> None:
@@ -103,7 +122,12 @@ def main() -> None:
 
     edge_frames = []
     if args.mode in ("exact", "both"):
-        ek = exact_dedup_keepers(df, idc, args.text_col)
+        # NULL text (failed fetches) must never form a duplicate group:
+        # md5(NULL) is NULL and the keeper window would lump every
+        # null-text row together — mirror the near path's NULL guard
+        ek = exact_dedup_keepers(
+            df.filter(F.col(args.text_col).isNotNull()), idc, args.text_col
+        )
         edge_frames.append(
             ek.filter(F.col(idc) != F.col("keeper_id")).select(
                 F.col("keeper_id").alias("a_id"), F.col(idc).alias("b_id")

@@ -383,7 +383,10 @@ def signlsh_auto_bands(
     moderate-similarity search use IVF (``ivf_topk``), not sign-LSH.
     """
     if n_rows < 2:
-        return min(8, n_bits), 256
+        # largest divisor of n_bits that is <= 8 (bands must tile the
+        # signature exactly; min(8, n_bits) need not divide n_bits)
+        b = next(d for d in range(min(8, n_bits), 0, -1) if n_bits % d == 0)
+        return b, 256
     best = 1
     for b in range(1, n_bits + 1):
         if n_bits % b:

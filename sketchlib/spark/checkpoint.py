@@ -122,6 +122,14 @@ class TDigestCheckpointer:
         )
         return f"{self.sketch}({canon})<-{self.value_col} by {','.join(self.keys)}"
 
+    def _lineage_legacy(self) -> str:
+        """The pre-canonicalization spelling (params dict repr) — accepted
+        on read so checkpoints written before the format change stay
+        resumable; new rows are always written in canonical form."""
+        if self.sketch == "tdigest":
+            return self._lineage()
+        return f"{self.sketch}({self.params})<-{self.value_col} by {','.join(self.keys)}"
+
     def completed_parts(self) -> DataFrame:
         """Distinct part_ids already checkpointed (any run attempt counts:
         partials are deterministic per partition).  Refuses to resume a
@@ -132,10 +140,23 @@ class TDigestCheckpointer:
         spark = self.spark
         try:
             done = spark.read.format(self.table_format).load(self.ckpt_path)
-        except Exception:
-            return spark.createDataFrame([], "part_id int")
+        except Exception as e:
+            # ONLY a missing path means "fresh run".  Any other read error
+            # (e.g. resuming a parquet checkpoint with table_format="orc")
+            # must be a hard stop: silently returning the empty set would
+            # restart from scratch and append mixed-format files into the
+            # same directory.
+            msg = str(e)
+            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                return spark.createDataFrame([], "part_id int")
+            raise ValueError(
+                f"checkpoint at {self.ckpt_path} exists but is unreadable as "
+                f"{self.table_format!r} — wrong table_format for an existing "
+                f"checkpoint? ({msg.splitlines()[0]})"
+            ) from e
         lineages = [r["lineage"] for r in done.select("lineage").distinct().collect()]
-        if lineages and set(lineages) != {self._lineage()}:
+        ok = {self._lineage(), self._lineage_legacy()}
+        if lineages and not set(lineages) <= ok:
             raise ValueError(
                 f"checkpoint at {self.ckpt_path} was written with lineage "
                 f"{lineages} but this run is {self._lineage()!r}; use a fresh "

@@ -379,8 +379,10 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str,
                 {"lang": pdf["lang"], "est_count": est.astype("int64")}
             )
 
+    # the candidate frame feeds BOTH the semi-join build side and the final
+    # join — cache it so the distinct+probe runs once, not twice
     cand = keys.mapInPandas(probe, schema="lang string, est_count long") \
-        .filter(F.col("est_count") >= thr)
+        .filter(F.col("est_count") >= thr).cache()
     exact = (
         docs.join(F.broadcast(cand.select("lang")), "lang", "left_semi")
         .groupBy("lang")

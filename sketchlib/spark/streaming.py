@@ -280,11 +280,14 @@ def streaming_exact_dedup(
     (md5 of the text, matching ``dedup.exact_dedup_keepers``'s grouping),
     with duplicate suppression state bounded by the watermark horizon.
 
-    Entirely built-in: ``dropDuplicates`` on a streaming frame is Spark's
-    native stateful dedup operator — the hash is computed JVM-side, the
-    state store holds one 16-byte key per distinct hash inside the horizon,
-    and rows older than the watermark are dropped upstream.  At web scale
-    the state is bounded by (ingest rate × horizon) distinct hashes, not
+    Entirely built-in: ``dropDuplicatesWithinWatermark`` is Spark's native
+    stateful dedup operator WITH watermark-driven state eviction — the
+    hash is computed JVM-side, the state store holds one 16-byte key per
+    distinct hash inside the horizon, and entries whose event time falls
+    behind the watermark are evicted.  (Plain ``dropDuplicates`` on a
+    non-time key would retain one entry per distinct hash EVER seen —
+    unbounded on a long-running ingest.)  At web scale the state is
+    therefore bounded by (ingest rate × horizon) distinct hashes, not
     corpus size; for whole-corpus dedup run the batch operator on the
     accumulated table.  Late duplicates beyond the horizon re-emit (the
     documented streaming-dedup trade; exactly Spark's own semantics).
@@ -295,7 +298,7 @@ def streaming_exact_dedup(
         .withWatermark(ts_col, watermark)
         .withColumn("content_hash", F.md5(F.encode(F.col(text_col), "UTF-8")))
     )
-    return hashed.dropDuplicates(["content_hash"]).select(
+    return hashed.dropDuplicatesWithinWatermark(["content_hash"]).select(
         "content_hash", *dict.fromkeys(cols)
     )
 

@@ -65,7 +65,13 @@ class TDigestMetrics:
     ``tdigest_partials`` / ``tdigest_merge`` / ``tdigest_aggregate``; every
     worker adds its digests' counters as it emits them, and after an action
     ``snapshot()`` on the driver reads the cluster-wide totals (Python
-    accumulator updates flow back with task completion)."""
+    accumulator updates flow back with task completion).
+
+    CAVEAT: updates happen inside transformations, so Spark's exactly-once
+    accumulator guarantee does not apply — a retried or speculatively
+    re-executed task counts twice.  Treat the totals as at-least-once
+    operational telemetry (like the reference's counters), not an exact
+    audit."""
 
     def __init__(self, spark) -> None:
         sc = spark.sparkContext

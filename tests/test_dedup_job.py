@@ -89,3 +89,22 @@ def test_dedup_job_pipeline_on_sf001(spark, tmp_path):
     for i, k in got.items():
         want = find(i) if i in parent else i
         assert k == want, (i, k, want)
+
+
+def test_propagate_min_keeper_log_convergence_and_cap_error(spark):
+    """Pointer jumping must give O(log L) convergence: a 100-link chain
+    converges within 10 rounds; and hitting the round cap without a
+    fixpoint must RAISE, never return an under-merged mapping."""
+    import sys
+
+    sys.path.insert(0, "jobs")
+    from dedup_corpus import propagate_min_keeper
+
+    chain = [(i, i + 1) for i in range(1000, 1100)]
+    df = spark.createDataFrame(chain, "a_id long, b_id long")
+    got = {r["id"]: r["keeper_id"]
+           for r in propagate_min_keeper(df, max_rounds=10).collect()}
+    assert set(got.values()) == {1000}
+
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        propagate_min_keeper(df, max_rounds=1)

@@ -206,3 +206,37 @@ def test_choose_salts_collects_only_hot_keys(spark):
     salts = choose_salts_from_counts(df, "k", rows_per_salt=1_000)
     assert set(salts) == {"hot"}
     assert salts["hot"] == 9_000 // 1_000 + 1
+
+
+def test_legacy_lineage_still_resumes(spark, docs, tmp_path):
+    """Checkpoints written with the pre-canonicalization lineage spelling
+    (params dict repr) must stay resumable after the format change."""
+    from sketchlib.spark.checkpoint import TDigestCheckpointer
+
+    kw = dict(spark=spark, keys=["lang"], value_col="n_chars",
+              id_col="doc_id", n_parts=4, sketch="hll", params={"p": 12})
+    old = TDigestCheckpointer(ckpt_path=str(tmp_path / "legacy"), **kw)
+    legacy = old._lineage_legacy()
+    assert legacy != old._lineage()  # the formats genuinely differ
+    old._lineage = lambda: legacy  # simulate a pre-change writer
+    assert old.run(docs) == 4
+
+    new = TDigestCheckpointer(ckpt_path=str(tmp_path / "legacy"), **kw)
+    assert new.completed_parts().count() == 4
+    assert new.run(docs) == 0  # nothing recomputed
+
+
+def test_wrong_checkpoint_format_raises_not_restarts(spark, docs, tmp_path):
+    """Resuming an existing parquet checkpoint with table_format='orc' must
+    be a hard error — a silent empty completed-set would recompute from
+    scratch and append mixed-format files into the same directory."""
+    from sketchlib.spark.checkpoint import TDigestCheckpointer
+
+    kw = dict(spark=spark, keys=["lang"], value_col="n_chars",
+              id_col="doc_id", n_parts=4, delta=0.0)
+    pq = TDigestCheckpointer(ckpt_path=str(tmp_path / "fmt"), **kw)
+    assert pq.run(docs) == 4
+    bad = TDigestCheckpointer(ckpt_path=str(tmp_path / "fmt"),
+                              table_format="orc", **kw)
+    with pytest.raises(ValueError, match="unreadable"):
+        bad.completed_parts()
