@@ -32,69 +32,10 @@ import sys
 import time
 
 
-def propagate_min_keeper(edges, max_rounds: int = 32):
-    """Collapse duplicate-evidence EDGES into keep-min-id groups.
-
-    Each round does TWO min steps: (a) hash-to-min over direct neighbors
-    (keeper[x] = min over x's neighbors' keepers ∪ self) and (b) pointer
-    jumping (keeper[x] = keeper[keeper[x]]).  Step (a) alone spreads the
-    min one hop per round (linear in chain length); the jump step doubles
-    the reach each round, so convergence is O(log L) rounds for chains of
-    length L — two shuffles per round over the edge list only (tiny next
-    to the corpus).  Raises if ``max_rounds`` is hit without a fixpoint —
-    a silently under-merged keeper mapping must never ship.
-
-    Returns (id, keeper_id) for ids that appear in any edge."""
-    from pyspark.sql import functions as F
-
-    # localCheckpoint per round: iterative plans otherwise nest one join
-    # tree PER ROUND and the optimizer itself OOMs long before the data
-    # does (classic iterative-algorithm lineage explosion; on a cluster
-    # with unreliable executors prefer checkpoint() to reliable storage)
-    both = edges.select("a_id", "b_id").union(
-        edges.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
-    ).distinct().localCheckpoint()
-    keeper = both.select(F.col("a_id").alias("id")).distinct().withColumn(
-        "keeper_id", F.col("id")
-    ).localCheckpoint()
-    for _ in range(max_rounds):
-        neigh = (
-            both.join(keeper, both.b_id == keeper.id)
-            .groupBy("a_id").agg(F.min("keeper_id").alias("nk"))
-        )
-        stepped = keeper.join(neigh, keeper.id == neigh.a_id, "left").select(
-            "id",
-            F.least(
-                F.col("keeper_id"),
-                F.coalesce(F.col("nk"), F.col("keeper_id")),
-            ).alias("keeper_id"),
-        )
-        # pointer jumping: keeper[x] <- keeper[keeper[x]]
-        parent = stepped.select(
-            F.col("id").alias("pid"), F.col("keeper_id").alias("pk")
-        )
-        nxt = (
-            stepped.join(parent, stepped.keeper_id == parent.pid, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("keeper_id"), F.coalesce("pk", F.col("keeper_id"))
-                ).alias("keeper_id"),
-            )
-        ).localCheckpoint()
-        changed = (
-            nxt.withColumnRenamed("keeper_id", "nv")
-            .join(keeper, "id")
-            .filter(F.col("nv") != F.col("keeper_id"))
-            .limit(1).count()
-        )
-        keeper = nxt
-        if changed == 0:
-            return keeper
-    raise RuntimeError(
-        f"propagate_min_keeper: no fixpoint after {max_rounds} rounds — "
-        f"duplicate groups would be under-merged; raise max_rounds"
-    )
+# propagate_min_keeper moved into the library (sketchlib.spark.dedup) so the
+# gated dedup_group_keepers query and this job share one implementation;
+# re-exported here for backward compatibility with earlier job scripts.
+from sketchlib.spark.dedup import propagate_min_keeper  # noqa: F401,E402
 
 
 def main() -> None:

@@ -466,3 +466,109 @@ def simhash_hamming_pairs(df: DataFrame, max_dist: int = 3,
         .distinct()
         .filter(F.col("hamming") <= max_dist)
     )
+
+
+# ---------------------------------------------------------------------------
+# Transitive duplicate groups (connected components over duplicate evidence)
+# ---------------------------------------------------------------------------
+
+
+def propagate_min_keeper(edges: DataFrame, max_rounds: int = 32) -> DataFrame:
+    """Collapse duplicate-evidence EDGES (a_id, b_id) into keep-min-id
+    groups: each node's keeper converges to the minimum id of its connected
+    component.
+
+    Each round does TWO min steps: (a) hash-to-min over direct neighbors
+    (keeper[x] = min over x's neighbors' keepers, and x's own) and (b)
+    pointer jumping (keeper[x] = keeper[keeper[x]]).  Step (a) alone
+    spreads the min one hop per round (linear in chain length); the jump
+    step doubles the reach each round, so convergence is O(log L) rounds
+    for chains of length L — two shuffles per round over the EDGE list
+    only, which at web scale is tiny next to the corpus (only docs with
+    duplicate evidence appear).  ``localCheckpoint`` truncates lineage so
+    the iteration does not stack a quadratic plan.  Raises if
+    ``max_rounds`` is hit without a fixpoint — a silently under-merged
+    keeper mapping must never ship.
+
+    Returns (id, keeper_id) for ids that appear in any edge.
+    """
+    both = edges.select(
+        F.col("a_id"), F.col("b_id")
+    ).union(edges.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))).distinct()
+    keeper = both.select(F.col("a_id").alias("id")).distinct().withColumn(
+        "keeper_id", F.col("id")
+    ).localCheckpoint()
+    for _ in range(max_rounds):
+        neigh = (
+            both.join(keeper, both.b_id == keeper.id)
+            .groupBy("a_id").agg(F.min("keeper_id").alias("nk"))
+        )
+        stepped = keeper.join(neigh, keeper.id == neigh.a_id, "left").select(
+            "id",
+            F.least(
+                F.col("keeper_id"),
+                F.coalesce(F.col("nk"), F.col("keeper_id")),
+            ).alias("keeper_id"),
+        )
+        # pointer jumping: keeper[x] <- keeper[keeper[x]]
+        parent = stepped.select(
+            F.col("id").alias("pid"), F.col("keeper_id").alias("pk")
+        )
+        nxt = (
+            stepped.join(parent, stepped.keeper_id == parent.pid, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("keeper_id"), F.coalesce("pk", F.col("keeper_id"))
+                ).alias("keeper_id"),
+            )
+        ).localCheckpoint()
+        changed = (
+            nxt.alias("n")
+            .join(keeper.alias("k"), "id")
+            .filter(F.col("n.keeper_id") != F.col("k.keeper_id"))
+            .count()
+        )
+        keeper = nxt
+        if changed == 0:
+            return keeper
+    raise RuntimeError(
+        f"propagate_min_keeper: no fixpoint after {max_rounds} rounds — "
+        f"duplicate groups would be under-merged; raise max_rounds"
+    )
+
+
+def dedup_group_keepers(
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Whole-corpus duplicate grouping: exact-duplicate edges (identical
+    md5) UNION MinHash-LSH near-duplicate edges (verified Jaccard >=
+    ``threshold``), collapsed transitively so every doc maps to the minimum
+    id of its duplicate component — the policy a training-data pipeline
+    actually ships (A~B and B~C must drop to ONE keeper even when A~C
+    itself is below threshold).
+
+    Scale: both edge producers are bucketed equi-join plans; the component
+    collapse (``propagate_min_keeper``) iterates over the edge list only.
+    NULL-text docs (failed fetches) never form groups and keep themselves.
+    Returns (id, keeper_id) for EVERY input doc (keeper_id = id when
+    unique).
+    """
+    base = df.filter(F.col(text_col).isNotNull())
+    ek = exact_dedup_keepers(base, id_col, text_col)
+    exact_edges = ek.filter(F.col(id_col) != F.col("keeper_id")).select(
+        F.col("keeper_id").alias("a_id"), F.col(id_col).alias("b_id")
+    )
+    near_edges = minhash_lsh_dedup_pairs(
+        df, threshold, id_col, text_col, **lsh_kwargs
+    ).select("a_id", "b_id")
+    grouped = propagate_min_keeper(exact_edges.union(near_edges))
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(grouped, "id", "left")
+        .select("id", F.coalesce("keeper_id", F.col("id")).alias("keeper_id"))
+    )

@@ -1411,6 +1411,116 @@ FROM documents WHERE n_chars IS NOT NULL GROUP BY lang
 """
 
 
+def q_dedup_group_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate grouping: exact (identical md5) UNION
+    MinHash-LSH near-dup (verified Jaccard >= 0.8) edges, collapsed to
+    min-id connected components by ``propagate_min_keeper`` (hash-to-min +
+    pointer jumping, O(log chain) rounds over the edge list only).  The
+    oracle computes the same components with a recursive transitive-closure
+    CTE — equality holds because both sides see identical edge sets (the
+    LSH path's recall-1.0 argument from ``dedup_minhash_lsh_pairs``)."""
+    from sketchlib.spark.dedup import dedup_group_keepers
+
+    return dedup_group_keepers(load(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def _group_keepers_sql(threshold: float = 0.8) -> str:
+    return f"""
+WITH RECURSIVE
+jp AS ({_jaccard_pairs_sql(threshold)}),
+ex AS (
+  SELECT min(doc_id) OVER (PARTITION BY md5(text)) AS a_id, doc_id AS b_id
+  FROM documents WHERE text IS NOT NULL
+),
+e0 AS (
+  SELECT a_id, b_id FROM jp
+  UNION
+  SELECT a_id, b_id FROM ex WHERE a_id <> b_id
+),
+edges AS (
+  SELECT a_id, b_id FROM e0 UNION SELECT b_id AS a_id, a_id AS b_id FROM e0
+),
+reach AS (
+  SELECT doc_id AS id, doc_id AS k FROM documents
+  UNION
+  SELECT e.a_id AS id, r.k FROM edges e JOIN reach r ON r.id = e.b_id
+)
+SELECT id, min(k) AS keeper_id FROM reach GROUP BY id
+"""
+
+
+def q_events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every event is matched to the latest STRICTLY-PRIOR
+    'purchase' event of the same user (last-touch attribution).  Spark
+    plan is the scalable union-tag + running-last window — ONE shuffle on
+    user_id, no inequality join — vs the oracle's window-SQL spelling of
+    DuckDB's ASOF JOIN semantics with ties pinned to max event_id."""
+    from sketchlib.spark.joins import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.col("event_id").alias("last_purchase_id"),
+        F.col("value").alias("last_purchase_value"),
+    )
+    return asof_join(
+        ev.select("event_id", "user_id", "ts", "event_type"),
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="pts",
+        payload_cols=["last_purchase_id", "last_purchase_value"],
+        allow_exact_matches=False,
+        tiebreak_cols=["last_purchase_id"],
+    ).select("event_id", "user_id", "event_type",
+             "last_purchase_id", "last_purchase_value")
+
+
+_ASOF_SQL = """
+WITH r AS (
+  SELECT user_id, ts AS pts, event_id AS pid, value AS pvalue
+  FROM events WHERE event_type = 'purchase'
+), j AS (
+  SELECT e.event_id, r.pid, r.pvalue,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY r.pts DESC, r.pid DESC) AS rn
+  FROM events e JOIN r ON r.user_id = e.user_id AND r.pts < e.ts
+)
+SELECT e.event_id, e.user_id, e.event_type,
+       j.pid AS last_purchase_id, j.pvalue AS last_purchase_value
+FROM events e LEFT JOIN (SELECT event_id, pid, pvalue FROM j WHERE rn = 1) j
+  USING (event_id)
+"""
+
+
+SAMPLE_RATES = {"en": 0.25, "zh": 0.5}
+
+
+def q_sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling: keep a doc iff
+    md5-bucket(doc_id) < rate(lang)·10000 — reproducible on any partition
+    layout/engine (unlike seeded ``df.sample``), monotone in the rate (a
+    lower rate keeps a strict subset).  Pure codegen filter, no shuffle."""
+    from sketchlib.spark.sampling import stratified_hash_sample
+
+    return stratified_hash_sample(
+        load(spark, sf_dir, "documents"), SAMPLE_RATES
+    ).select("doc_id", "lang", "source")
+
+
+def _sample_sql(rates: dict[str, float], default_rate: float = 1.0,
+                buckets: int = 10_000) -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN {float(v)!r}" for k, v in sorted(rates.items())
+    )
+    return f"""
+SELECT doc_id, lang, source FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % {buckets}
+      < floor((CASE lang {cases} ELSE {float(default_rate)!r} END) * {buckets})
+"""
+
+
 QUERIES = {
     "td_quantiles_by_lang": q_td_quantiles_by_lang,
     "td_discrete_quantiles_by_lang": q_td_discrete_quantiles_by_lang,
@@ -1451,6 +1561,9 @@ QUERIES = {
     "td_trimmed_mean_by_lang": q_td_trimmed_mean_by_lang,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "hll_union_users": q_hll_union_users,
+    "dedup_group_keepers": q_dedup_group_keepers,
+    "events_asof_purchase": q_events_asof_purchase,
+    "sample_stratified_hash": q_sample_stratified_hash,
 }
 
 ORACLES = {
@@ -1536,4 +1649,7 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
     "td_trimmed_mean_by_lang": _TRIMMED_MEAN_SQL,
     "cms_heavy_hitters": _CMS_HH_SQL,
     "hll_union_users": _HLL_UNION_SQL,
+    "dedup_group_keepers": _group_keepers_sql(0.8),
+    "events_asof_purchase": _ASOF_SQL,
+    "sample_stratified_hash": _sample_sql(SAMPLE_RATES),
 }

@@ -1,0 +1,57 @@
+"""Deterministic hash-based sampling for training-data pipelines.
+
+``df.sample()`` is seeded per-partition, so its output changes whenever the
+input repartitions — useless for reproducible corpus curation.  These
+operators derive keep/drop from a content hash of a stable id instead:
+the same row is kept or dropped forever, on any cluster layout, any input
+order, and any engine that can compute md5 (the DuckDB oracle reproduces
+the sample bit-for-bit).
+
+Scale: pure built-in expressions (md5/conv/pmod) — a codegen'd filter on
+the scan with NO shuffle and no Python; sampling 100 TB costs one pass.
+Stratified rates compose with everything downstream because membership is
+a pure function of (id, rate): lowering a stratum's rate yields a strict
+subset of the previous sample (the kept set at rate r is
+{hash bucket < r·B}, monotone in r) — so curriculum re-samples never churn
+previously-selected documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["hash_bucket", "stratified_hash_sample"]
+
+BUCKETS = 10_000  # rate resolution 1e-4
+
+
+def hash_bucket(id_col: Column, buckets: int = BUCKETS) -> Column:
+    """Uniform bucket in [0, buckets) from a stable id: first 8 hex chars
+    of md5 of the id's decimal string — engine-portable (DuckDB:
+    ``('0x' || substr(md5(id::VARCHAR), 1, 8))::BIGINT % buckets``)."""
+    h32 = F.conv(
+        F.substring(F.md5(F.encode(id_col.cast("string"), "UTF-8")), 1, 8), 16, 10
+    ).cast("long")
+    return F.pmod(h32, F.lit(buckets))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """Keep each row iff its hash bucket < rate(stratum)·buckets.
+
+    ``rates`` maps stratum value -> keep fraction (resolution 1/buckets);
+    unlisted strata use ``default_rate``.  The rate map is folded into a
+    literal CASE expression (strata maps are small — languages, sources —
+    and known up front), so the whole operator is one codegen'd filter.
+    """
+    rate = F.lit(float(default_rate))
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(rate)
+    thresh = F.floor(rate * buckets).cast("long")
+    return df.filter(hash_bucket(F.col(id_col), buckets) < thresh)

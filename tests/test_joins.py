@@ -1,0 +1,164 @@
+"""asof_join semantics (vs pandas.merge_asof as the public-semantics
+oracle), stratified hash sampling laws, and transitive dedup grouping."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.spark
+
+
+def _mk(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    left = _mk(spark, [
+        # (key, ts, lid)
+        ("a", 10.0, 1), ("a", 20.0, 2), ("a", 20.5, 3), ("b", 5.0, 4),
+        ("c", 7.0, 5),   # key with no right rows at all
+        ("a", 4.9, 6),   # before any right row
+    ], "k string, ts double, lid int")
+    right = _mk(spark, [
+        # (key, rts, rid, payload)
+        ("a", 5.0, 100, 1.5), ("a", 20.0, 101, 2.5), ("a", 20.0, 102, 3.5),
+        ("b", 5.0, 103, 4.5), ("b", 6.0, 104, 5.5),
+    ], "k string, rts double, rid int, payload double")
+    return left, right
+
+
+def _got(df):
+    return {r["lid"]: (r["rid"], r["payload"]) for r in df.collect()}
+
+
+def test_asof_exact_matches(spark, sides):
+    from sketchlib.spark.joins import asof_join
+
+    left, right = sides
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="rts",
+                    payload_cols=["rid", "payload"], allow_exact_matches=True,
+                    tiebreak_cols=["rid"])
+    got = _got(out)
+    assert got[1] == (100, 1.5)          # 10.0 -> rts 5.0
+    assert got[2] == (102, 3.5)          # ts==rts 20.0 counts; tie -> max rid
+    assert got[3] == (102, 3.5)
+    assert got[4] == (103, 4.5)          # equal ts at key b
+    assert got[5] == (None, None)        # no right rows for key c
+    assert got[6] == (None, None)        # before any right row
+
+
+def test_asof_strict(spark, sides):
+    from sketchlib.spark.joins import asof_join
+
+    left, right = sides
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="rts",
+                    payload_cols=["rid", "payload"], allow_exact_matches=False,
+                    tiebreak_cols=["rid"])
+    got = _got(out)
+    assert got[2] == (100, 1.5)          # rts==20.0 excluded under strict
+    assert got[3] == (102, 3.5)          # 20.5 still sees the 20.0 rows
+    assert got[4] == (None, None)        # only right row is AT 5.0
+
+
+@pytest.mark.parametrize("exact", [True, False])
+def test_asof_matches_pandas_merge_asof(spark, exact):
+    """Randomized cross-check against pandas.merge_asof (the documented
+    public semantics).  Unique right timestamps per key so the pandas
+    tie-break ambiguity never triggers."""
+    rng = np.random.default_rng(7)
+    keys = np.array(["u", "v", "w"])
+    lp = pd.DataFrame({
+        "k": rng.choice(keys, 200),
+        "ts": rng.integers(0, 1000, 200).astype("float64"),
+        "lid": np.arange(200),
+    })
+    rp = pd.DataFrame({
+        "k": rng.choice(keys, 60),
+        "rts": rng.permutation(1000)[:60].astype("float64"),
+        "rid": np.arange(60),
+    })
+    from sketchlib.spark.joins import asof_join
+
+    out = asof_join(spark.createDataFrame(lp), spark.createDataFrame(rp),
+                    on="k", left_ts="ts", right_ts="rts",
+                    payload_cols=["rid"], allow_exact_matches=exact)
+    got = {r["lid"]: r["rid"] for r in out.collect()}
+
+    want_df = pd.merge_asof(
+        lp.sort_values("ts", kind="stable"), rp.sort_values("rts"),
+        left_on="ts", right_on="rts", by="k", allow_exact_matches=exact,
+    )
+    want = {int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+            for r in want_df.itertuples()}
+    assert got == want
+
+
+def test_asof_plan_has_no_nested_loop(spark, sides):
+    """The whole point: the plan must be shuffle+window, never a
+    BroadcastNestedLoopJoin / CartesianProduct inequality join."""
+    from sketchlib.spark.joins import asof_join
+
+    left, right = sides
+    plan = asof_join(left, right, on="k", left_ts="ts", right_ts="rts",
+                     payload_cols=["rid"])._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "Window" in plan
+
+
+def test_stratified_sample_laws(spark):
+    """Determinism under repartition, monotone subset in the rate, and
+    rate accuracy on a large stratum."""
+    from sketchlib.spark.sampling import stratified_hash_sample
+
+    df = spark.range(20_000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 2 == 0).cast("string").alias("lang"),
+    )
+    a = stratified_hash_sample(df, {"true": 0.3}, id_col="doc_id")
+    b = stratified_hash_sample(df.repartition(13), {"true": 0.3}, id_col="doc_id")
+    ids_a = {r["doc_id"] for r in a.collect()}
+    ids_b = {r["doc_id"] for r in b.collect()}
+    assert ids_a == ids_b                      # layout-independent
+    lo = {r["doc_id"] for r in
+          stratified_hash_sample(df, {"true": 0.1}, id_col="doc_id").collect()
+          if r["lang"] == "true"}
+    hi = {i for i in ids_a if i % 2 == 0}
+    assert lo <= hi                            # monotone subset in rate
+    n_true = sum(1 for i in ids_a if i % 2 == 0)
+    assert abs(n_true / 10_000 - 0.3) < 0.02   # md5 uniformity
+    n_false = sum(1 for i in ids_a if i % 2 == 1)
+    assert n_false == 10_000                   # default rate 1.0 keeps all
+
+
+def test_stratified_sample_no_shuffle(spark):
+    from sketchlib.spark.sampling import stratified_hash_sample
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = stratified_hash_sample(df, {"en": 0.5})._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_dedup_group_keepers_transitive(spark):
+    """A~B and B~C (each pair >= threshold) must collapse to ONE keeper
+    even when A~C alone is below threshold; uniques keep themselves; NULL
+    text rows never group."""
+    from sketchlib.spark.dedup import dedup_group_keepers
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    a = base
+    b = base + "alpha beta gamma delta"        # ~B close to A
+    c = base + "alpha beta gamma delta epsilon zeta eta theta"  # close to B
+    rows = [
+        (1, a), (2, b), (3, c),
+        (4, a),                                 # exact dup of 1
+        (5, "completely different text about spark and sketches"),
+        (6, None), (7, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r["keeper_id"]
+           for r in dedup_group_keepers(df, threshold=0.5).collect()}
+    assert got[1] == got[2] == got[3] == got[4] == 1
+    assert got[5] == 5 and got[6] == 6 and got[7] == 7

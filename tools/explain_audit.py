@@ -212,6 +212,27 @@ def main():
           must=[r"BroadcastHashJoin [^\n]*LeftSemi", r"MapInPandas"],
           must_not=[r"LocalTableScan|Scan ExistingRDD"])
 
+    # 6k. as-of join: ONE hash-partition Exchange + window, never an
+    # inequality nested-loop/cartesian join
+    from sketchlib.spark.queries import q_events_asof_purchase
+
+    p = plan_of(q_events_asof_purchase(spark, sf_dir))
+    check("asof join single shuffle + window", p,
+          must=[r"Window", r"hashpartitioning\(user_id"],
+          must_not=[r"NestedLoop", r"CartesianProduct"])
+    n_ex = len(re.findall(r"\bExchange ", p))
+    check("asof join exactly one Exchange",
+          "OK" if n_ex == 1 else f"exchanges={n_ex}", must=[r"OK"])
+
+    # 6l. stratified hash sample: pure codegen filter on the scan — no
+    # Exchange, no Python stage
+    from sketchlib.spark.queries import q_sample_stratified_hash
+
+    p = plan_of(q_sample_stratified_hash(spark, sf_dir))
+    check("stratified sample scan-only", p,
+          must=[r"Scan parquet", r"codegen id"],
+          must_not=[r"Exchange", r"MapInPandas|BatchEvalPython|ArrowEvalPython"])
+
     # 7. checkpoint resume: anti-join against completed parts is broadcast
     from sketchlib.spark.checkpoint import TDigestCheckpointer
 
