@@ -1521,6 +1521,36 @@ WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % {buckets}
 """
 
 
+def q_sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis), 10 docs
+    per lang weighted by n_chars, priorities drawn deterministically from
+    md5(doc_id) — the same sample on any cluster layout or engine.  The
+    per-stratum rank compiles to a partial WindowGroupLimit below the
+    shuffle (plan-audited).  Oracle: identical ln(u)/w priority in DuckDB;
+    pytest asserts the rank-10/11 priority margin is > 1e-9 per lang, so
+    libm ulp differences cannot flip membership."""
+    from sketchlib.spark.sampling import weighted_priority_sample
+
+    return weighted_priority_sample(
+        load(spark, sf_dir, "documents"), k=10, weight_col="n_chars", by="lang"
+    ).select("doc_id", "lang")
+
+
+_WEIGHTED_SAMPLE_SQL = """
+WITH scored AS (
+  SELECT doc_id, lang,
+         ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT + 0.5)
+            / 1152921504606846976.0) / n_chars AS pk
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+), ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY pk DESC, doc_id) AS rk
+  FROM scored
+)
+SELECT doc_id, lang FROM ranked WHERE rk <= 10
+"""
+
+
 QUERIES = {
     "td_quantiles_by_lang": q_td_quantiles_by_lang,
     "td_discrete_quantiles_by_lang": q_td_discrete_quantiles_by_lang,
@@ -1564,6 +1594,7 @@ QUERIES = {
     "dedup_group_keepers": q_dedup_group_keepers,
     "events_asof_purchase": q_events_asof_purchase,
     "sample_stratified_hash": q_sample_stratified_hash,
+    "sample_weighted_topk": q_sample_weighted_topk,
 }
 
 ORACLES = {
@@ -1652,4 +1683,5 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
     "dedup_group_keepers": _group_keepers_sql(0.8),
     "events_asof_purchase": _ASOF_SQL,
     "sample_stratified_hash": _sample_sql(SAMPLE_RATES),
+    "sample_weighted_topk": _WEIGHTED_SAMPLE_SQL,
 }

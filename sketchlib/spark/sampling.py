@@ -55,3 +55,46 @@ def stratified_hash_sample(
         rate = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(rate)
     thresh = F.floor(rate * buckets).cast("long")
     return df.filter(hash_bucket(F.col(id_col), buckets) < thresh)
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    by: str | None = None,
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    each row draws priority u^(1/w) — spelled ln(u)/w — with u a
+    DETERMINISTIC uniform from the row id's md5 (60 bits), and the top-k
+    priorities win.  P[row in sample] is proportional-to-size for the
+    rows' weights, yet membership is a pure function of (id, weight, k):
+    reproducible across partition layouts, cluster sizes, and engines.
+
+    Scale: the priority is one codegen expression; global top-k compiles
+    to TakeOrderedAndProject (per-partition partial top-k, only k rows per
+    partition reach the driver-side merge), and per-stratum top-k
+    (``by=``) is a window rank that Spark rewrites with a partial
+    WindowGroupLimit below the shuffle.  Rows with weight <= 0 or NULL are
+    excluded (they have zero inclusion probability).
+    """
+    u = (
+        F.conv(
+            F.substring(F.md5(F.encode(F.col(id_col).cast("string"), "UTF-8")), 1, 15),
+            16, 10,
+        ).cast("long").cast("double") + F.lit(0.5)
+    ) / F.lit(float(1 << 60))
+    w = F.col(weight_col).cast("double")
+    scored = df.filter(w.isNotNull() & (w > 0)).withColumn(
+        "_priority", F.log(u) / w
+    )
+    if by is None:
+        out = scored.orderBy(F.col("_priority").desc(), F.col(id_col)).limit(k)
+    else:
+        from pyspark.sql import Window
+
+        rank = F.row_number().over(
+            Window.partitionBy(by).orderBy(F.col("_priority").desc(), F.col(id_col))
+        )
+        out = scored.withColumn("_rk", rank).filter(F.col("_rk") <= k).drop("_rk")
+    return out.drop("_priority")

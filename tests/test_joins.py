@@ -162,3 +162,60 @@ def test_dedup_group_keepers_transitive(spark):
            for r in dedup_group_keepers(df, threshold=0.5).collect()}
     assert got[1] == got[2] == got[3] == got[4] == 1
     assert got[5] == 5 and got[6] == 6 and got[7] == 7
+
+
+def test_weighted_sample_margin_and_determinism(spark):
+    """The rank-10/11 priority gap per lang must exceed 1e-9 (so Spark/
+    DuckDB libm ulp differences cannot flip sample membership), and the
+    sample must be layout-independent."""
+    from sketchlib.spark.sampling import weighted_priority_sample
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    u = (F.conv(F.substring(F.md5(F.encode(F.col("doc_id").cast("string"),
+                                           "UTF-8")), 1, 15), 16, 10)
+         .cast("long").cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+    pk = F.log(u) / F.col("n_chars").cast("double")
+    ranked = (docs.filter(F.col("n_chars") > 0)
+              .withColumn("pk", pk)
+              .withColumn("rk", F.row_number().over(
+                  Window.partitionBy("lang").orderBy(F.desc("pk"), "doc_id"))))
+    by_lang = {}
+    for r in ranked.filter(F.col("rk").isin(10, 11)).collect():
+        by_lang.setdefault(r["lang"], {})[r["rk"]] = r["pk"]
+    for lang, d in by_lang.items():
+        if 10 in d and 11 in d:
+            assert d[10] - d[11] > 1e-9, (lang, d)
+
+    a = weighted_priority_sample(docs, 10, "n_chars", by="lang")
+    b = weighted_priority_sample(docs.repartition(17), 10, "n_chars", by="lang")
+    assert ({r["doc_id"] for r in a.collect()}
+            == {r["doc_id"] for r in b.collect()})
+
+
+def test_weighted_sample_is_pps(spark):
+    """Statistical law: across many disjoint id-spaces, inclusion
+    frequency must track weight (probability proportional to size).  A
+    10x-weight item must appear in the top-k far more often than a 1x
+    item."""
+    from sketchlib.spark.sampling import weighted_priority_sample
+
+    # 400 groups of 20 rows; in each group one row has weight 10, rest 1
+    rows = [(g * 100 + i, "g%d" % g, 10.0 if i == 0 else 1.0)
+            for g in range(400) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w double")
+    got = weighted_priority_sample(df, 1, "w", by="grp").collect()
+    heavy_wins = sum(1 for r in got if r["doc_id"] % 100 == 0)
+    # P[heavy wins] = 10/(10+19) ~= 0.345; binomial sd ~ 0.024
+    assert 0.25 < heavy_wins / 400 < 0.45, heavy_wins
+
+
+def test_weighted_sample_global_topk_plan(spark):
+    """Global k must compile to TakeOrderedAndProject (partial top-k per
+    partition), not a full sort."""
+    from sketchlib.spark.sampling import weighted_priority_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = weighted_priority_sample(docs, 25, "n_chars")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

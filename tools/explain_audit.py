@@ -233,6 +233,15 @@ def main():
           must=[r"Scan parquet", r"codegen id"],
           must_not=[r"Exchange", r"MapInPandas|BatchEvalPython|ArrowEvalPython"])
 
+    # 6m. weighted per-stratum sample: rank filter rewritten with a
+    # partial WindowGroupLimit below the Exchange
+    from sketchlib.spark.queries import q_sample_weighted_topk
+
+    p = plan_of(q_sample_weighted_topk(spark, sf_dir))
+    check("weighted sample window-group-limit", p,
+          must=[r"WindowGroupLimit"],
+          must_not=[r"MapInPandas|BatchEvalPython|ArrowEvalPython"])
+
     # 7. checkpoint resume: anti-join against completed parts is broadcast
     from sketchlib.spark.checkpoint import TDigestCheckpointer
 
