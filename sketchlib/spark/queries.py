@@ -1551,6 +1551,31 @@ SELECT doc_id, lang FROM ranked WHERE rk <= 10
 """
 
 
+def q_td_prank_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row p_rank scoring (quantile normalization): every document gains
+    the fraction of its lang's n_chars mass <= its own n_chars, computed by
+    broadcasting the per-lang digests and scoring in ONE scan-side
+    mapInPandas — no join, no second shuffle (plan-audited: zero Exchange).
+    Discrete digests are lossless, so the score is EXACTLY SQL
+    ``cume_dist()``: discrete p_rank = cumn/N at the hit centroid, an
+    identical integer division on both engines (reference p_rank,
+    src/tdigest.ml:437-456, Discrete branch)."""
+    from sketchlib.spark.tdigest_ops import tdigest_prank_rows
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    docs = docs.filter(F.col("n_chars").isNotNull())
+    return tdigest_prank_rows(
+        docs, ["lang"], "n_chars", discrete=True, out_col="prank"
+    ).select("doc_id", "lang", "prank")
+
+
+_PRANK_SQL = """
+SELECT doc_id, lang,
+       cume_dist() OVER (PARTITION BY lang ORDER BY n_chars) AS prank
+FROM documents WHERE n_chars IS NOT NULL
+"""
+
+
 QUERIES = {
     "td_quantiles_by_lang": q_td_quantiles_by_lang,
     "td_discrete_quantiles_by_lang": q_td_discrete_quantiles_by_lang,
@@ -1595,6 +1620,7 @@ QUERIES = {
     "events_asof_purchase": q_events_asof_purchase,
     "sample_stratified_hash": q_sample_stratified_hash,
     "sample_weighted_topk": q_sample_weighted_topk,
+    "td_prank_by_lang": q_td_prank_by_lang,
 }
 
 ORACLES = {
@@ -1684,4 +1710,5 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
     "events_asof_purchase": _ASOF_SQL,
     "sample_stratified_hash": _sample_sql(SAMPLE_RATES),
     "sample_weighted_topk": _WEIGHTED_SAMPLE_SQL,
+    "td_prank_by_lang": _PRANK_SQL,
 }

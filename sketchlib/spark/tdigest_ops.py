@@ -419,3 +419,78 @@ def tdigest_compress_udf(delta: float, discrete: bool = False):
         return pd.Series(out)
 
     return f
+
+
+def tdigest_prank_rows(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    delta: float = 0.01,
+    discrete: bool = False,
+    digests: DataFrame | None = None,
+    out_col: str = "p_rank",
+) -> DataFrame:
+    """Per-ROW ``p_rank`` scoring against per-group digests — the reference
+    CDF API (reference src/tdigest.ml ``p_rank``) applied distributedly as a
+    quantile-normalization operator: every row gains the fraction of its
+    group's mass ≤ its value.
+
+    Plan shape (the only one that survives 10^12 rows): the per-group digest
+    frame is |groups| KB-scale rows, so it is collected ONCE at plan-build
+    and broadcast as a plain dict; scoring is then a single scan-side
+    ``mapInPandas`` with one vectorized ``cdf_of_centroids`` call per
+    (Arrow batch × group) — no join, no second shuffle of row-scale data.
+    This is the digest-as-broadcast-dimension pattern; a join spelling
+    would shuffle 100 TB to co-locate rows with 40 KB digests.
+
+    ``discrete=True`` digests are lossless, making the score EXACTLY SQL's
+    ``cume_dist()`` (discrete p_rank = cumn/N at the hit centroid) — the
+    correctness-gate mode.  Merging mode (production delta) obeys the
+    t-digest rank-error bound instead (asserted in pytest).
+
+    Rows with NULL values or groups absent from the digest frame score NULL.
+    """
+    if digests is None:
+        digests = tdigest_aggregate(df, keys, value_col, delta=delta,
+                                    discrete=discrete)
+    from sketchlib.spark.shipping import ensure_on_workers
+
+    spark = df.sparkSession
+    ensure_on_workers(spark)
+    table = {
+        _norm_key(tuple(r[k] for k in keys)): bytes_to_centroids(bytes(r["digest"]))
+        for r in digests.collect()
+        if r["digest"] is not None
+    }
+    bc = spark.sparkContext.broadcast(table)
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, DoubleType(), True)]
+    )
+
+    def score(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tab = bc.value
+        for pdf in batches:
+            scores = np.full(len(pdf), np.nan)
+            vals = pdf[value_col].to_numpy(dtype=np.float64, na_value=np.nan)
+            if keys:
+                groups = pdf.groupby(keys, dropna=False, sort=False).indices.items()
+            else:
+                groups = [((), np.arange(len(pdf)))]
+            for key, idx in groups:
+                cents = tab.get(_norm_key(key))
+                if cents is None:
+                    continue
+                scores[idx] = cdf_of_centroids(cents[0], cents[1], vals[idx],
+                                               discrete)
+            # NaN inputs are unrankable (searchsorted would place them at the
+            # top and report p_rank=1.0) — force them back to NaN/NULL
+            scores[np.isnan(vals)] = np.nan
+            out = pdf.copy()
+            out[out_col] = scores
+            # NULL for unscorable rows (NaN inputs score NaN already; keep it
+            # as SQL NULL, not float NaN, for oracle comparability)
+            out[out_col] = out[out_col].where(~np.isnan(scores), None)
+            yield out
+
+    return df.mapInPandas(score, schema=out_schema)

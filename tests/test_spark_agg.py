@@ -9,6 +9,7 @@ plan.
 import duckdb
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from tests.conftest import SF_MED, SF_SMALL
 
@@ -153,3 +154,74 @@ def test_tdigest_metrics_accumulators(spark, docs):
     assert snap["cumulates_count"] > 0
     assert snap["compress_count"] >= 1
     assert snap["auto_compress_count"] >= 0
+
+
+def test_prank_rows_discrete_equals_cume_dist(spark, docs):
+    """Discrete per-row p_rank == SQL cume_dist (lossless digest), and the
+    returned plan must be scan+MapInPandas only — the digest dimension is
+    broadcast, never joined."""
+    from pyspark.sql import Window
+    from sketchlib.spark.tdigest_ops import tdigest_prank_rows
+
+    d = docs.select("doc_id", "lang", "n_chars").filter(F.col("n_chars").isNotNull())
+    scored = tdigest_prank_rows(d, ["lang"], "n_chars", discrete=True)
+    got = {r["doc_id"]: r["p_rank"] for r in scored.collect()}
+    want = {
+        r["doc_id"]: r["cd"]
+        for r in d.withColumn(
+            "cd", F.cume_dist().over(Window.partitionBy("lang").orderBy("n_chars"))
+        ).collect()
+    }
+    assert got == want
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_prank_rows_merging_mode_rank_error(spark, docs):
+    """Production delta: per-row p_rank obeys the t-digest rank-error bound
+    (midpoint-convention estimate within ~delta of the exact midrank)."""
+    from pyspark.sql import Window
+    from sketchlib.spark.tdigest_ops import tdigest_prank_rows
+
+    d = docs.select("doc_id", "lang", "n_chars").filter(F.col("n_chars").isNotNull())
+    scored = tdigest_prank_rows(d, ["lang"], "n_chars", delta=0.01)
+    got = {r["doc_id"]: r["p_rank"] for r in scored.collect()}
+    # exact midrank: (count(<x) + 0.5*count(=x)) / N — the midpoint
+    # convention merging-mode p_rank estimates
+    rows = d.collect()
+    import collections
+
+    by_lang = collections.defaultdict(list)
+    for r in rows:
+        by_lang[r["lang"]].append(r["n_chars"])
+    import bisect
+
+    errs = []
+    for r in rows:
+        vals = sorted(by_lang[r["lang"]])
+        lo = bisect.bisect_left(vals, r["n_chars"])
+        hi = bisect.bisect_right(vals, r["n_chars"])
+        mid = (lo + 0.5 * (hi - lo)) / len(vals)
+        errs.append(abs(got[r["doc_id"]] - mid))
+    assert max(errs) < 0.02, max(errs)
+
+
+def test_prank_rows_null_and_missing_group(spark):
+    """NULL values and groups absent from the digest frame score NULL."""
+    from sketchlib.spark.tdigest_ops import tdigest_aggregate, tdigest_prank_rows
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "a", None), (4, "zz", 5.0)],
+        "id long, k string, v double",
+    )
+    digs = tdigest_aggregate(
+        df.filter(F.col("k") == "a"), ["k"], "v", discrete=True
+    )
+    out = {
+        r["id"]: r["p_rank"]
+        for r in tdigest_prank_rows(
+            df, ["k"], "v", discrete=True, digests=digs
+        ).collect()
+    }
+    assert out[1] == 0.5 and out[2] == 1.0
+    assert out[3] is None and out[4] is None

@@ -242,6 +242,16 @@ def main():
           must=[r"WindowGroupLimit"],
           must_not=[r"MapInPandas|BatchEvalPython|ArrowEvalPython"])
 
+    # 6n. per-row p_rank scoring: digest dimension is BROADCAST (collected at
+    # plan-build), so the scoring plan is scan+MapInPandas only — no join,
+    # no Exchange of row-scale data
+    from sketchlib.spark.queries import q_td_prank_by_lang
+
+    p = plan_of(q_td_prank_by_lang(spark, sf_dir))
+    check("prank scoring scan-only (broadcast digests)", p,
+          must=[r"Scan parquet", r"MapInPandas"],
+          must_not=[r"Exchange", r"Join"])
+
     # 7. checkpoint resume: anti-join against completed parts is broadcast
     from sketchlib.spark.checkpoint import TDigestCheckpointer
 
