@@ -1569,6 +1569,41 @@ def q_td_prank_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "prank")
 
 
+def q_events_in_purchase_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: every event falling inside ANY 1-hour
+    attribution window [purchase_ts, purchase_ts+1h) of the same user.
+    Spark plan is the bucketized equi-join from ``joins.range_join`` —
+    explode intervals to hour buckets, hash-join on (user_id, bucket),
+    codegen range filter; NEVER the BroadcastNestedLoopJoin an inequality
+    join would get (plan-audited).  Oracle: the literal inequality join in
+    DuckDB; equality holds because epoch-double comparison is monotone and
+    exact at microsecond resolution."""
+    from sketchlib.spark.joins import range_join, ts_epoch_seconds
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    evp = load(spark, sf_dir, "events")
+    purch = (
+        evp.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            ts_epoch_seconds(evp, "ts").alias("lo"),
+            (ts_epoch_seconds(evp, "ts") + 3600.0).alias("hi"),
+        )
+    )
+    out = range_join(ev, purch, "user_id", "ts", "lo", "hi",
+                     bucket_width=3600.0, closed="left")
+    return out.select("event_id", "purchase_id")
+
+
+_RANGE_JOIN_SQL = """
+SELECT e.event_id, p.event_id AS purchase_id
+FROM events e JOIN events p
+  ON e.user_id = p.user_id AND p.event_type = 'purchase'
+ AND e.ts >= p.ts AND e.ts < p.ts + INTERVAL 1 HOUR
+"""
+
+
 _PRANK_SQL = """
 SELECT doc_id, lang,
        cume_dist() OVER (PARTITION BY lang ORDER BY n_chars) AS prank
@@ -1621,6 +1656,7 @@ QUERIES = {
     "sample_stratified_hash": q_sample_stratified_hash,
     "sample_weighted_topk": q_sample_weighted_topk,
     "td_prank_by_lang": q_td_prank_by_lang,
+    "events_in_purchase_window": q_events_in_purchase_window,
 }
 
 ORACLES = {
@@ -1711,4 +1747,5 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
     "sample_stratified_hash": _sample_sql(SAMPLE_RATES),
     "sample_weighted_topk": _WEIGHTED_SAMPLE_SQL,
     "td_prank_by_lang": _PRANK_SQL,
+    "events_in_purchase_window": _RANGE_JOIN_SQL,
 }

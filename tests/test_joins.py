@@ -219,3 +219,69 @@ def test_weighted_sample_global_topk_plan(spark):
     plan = weighted_priority_sample(docs, 25, "n_chars")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_range_join_semantics(spark):
+    """Bucketized range join == brute-force interval containment, for both
+    interval closures, including a point exactly on a bucket boundary."""
+    from sketchlib.spark.joins import range_join
+
+    L = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", 15.0), (3, "b", 7.0), (4, "a", 10.0)],
+        "id long, k string, p double",
+    )
+    R = spark.createDataFrame(
+        [(100, "a", 0.0, 10.0), (200, "a", 5.0, 20.0), (300, "b", 8.0, 9.0)],
+        "rid long, k string, lo double, hi double",
+    )
+    got = sorted((r["id"], r["rid"]) for r in
+                 range_join(L, R, "k", "p", "lo", "hi",
+                            bucket_width=5.0).collect())
+    assert got == [(1, 100), (1, 200), (2, 200), (4, 200)]
+    got_both = sorted((r["id"], r["rid"]) for r in
+                      range_join(L, R, "k", "p", "lo", "hi",
+                                 closed="both").collect())  # auto width
+    assert got_both == [(1, 100), (1, 200), (2, 200), (4, 100), (4, 200)]
+
+
+def test_range_join_no_nested_loop_and_guard(spark):
+    """The plan must be a hash/sort-merge EQUI-join (never
+    BroadcastNestedLoopJoin), and max_buckets must raise at execution."""
+    import pytest as _pytest
+    from sketchlib.spark.joins import range_join
+
+    L = spark.createDataFrame([(1, "a", 5.0)], "id long, k string, p double")
+    R = spark.createDataFrame([(9, "a", 0.0, 10.0)],
+                              "rid long, k string, lo double, hi double")
+    j = range_join(L, R, "k", "p", "lo", "hi", bucket_width=5.0)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    with _pytest.raises(Exception, match="range_join"):
+        range_join(L, R, "k", "p", "lo", "hi", bucket_width=0.01,
+                   max_buckets=5).collect()
+
+
+def test_range_join_ntz_timestamps_match_pandas(spark):
+    """Timestamp (NTZ) points/bounds: epoch decomposition must agree with a
+    brute-force pandas interval check on the real events table."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from sketchlib.spark.joins import range_join, ts_epoch_seconds
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    evp = ev.filter(F.col("event_type") == "purchase")
+    purch = evp.select(
+        F.col("event_id").alias("pid"), "user_id",
+        ts_epoch_seconds(evp, "ts").alias("lo"),
+        (ts_epoch_seconds(evp, "ts") + 3600.0).alias("hi"))
+    got = sorted((r["event_id"], r["pid"]) for r in range_join(
+        ev.select("event_id", "user_id", "ts"), purch,
+        "user_id", "ts", "lo", "hi", bucket_width=3600.0).collect())
+
+    e = ev.select("event_id", "user_id", "ts").toPandas()
+    p = evp.select(F.col("event_id").alias("pid"), "user_id",
+                   F.col("ts").alias("pts")).toPandas()
+    m = e.merge(p, on="user_id")
+    m = m[(m.ts >= m.pts) & (m.ts < m.pts + pd.Timedelta(hours=1))]
+    want = sorted(zip(m.event_id, m.pid))
+    assert got == want

@@ -252,6 +252,15 @@ def main():
           must=[r"Scan parquet", r"MapInPandas"],
           must_not=[r"Exchange", r"Join"])
 
+    # 6o. range join: bucketized EQUI-join — no nested-loop/cartesian plan
+    from sketchlib.spark.queries import q_events_in_purchase_window
+
+    p = plan_of(q_events_in_purchase_window(spark, sf_dir))
+    check("range join equi-join (no nested loop)", p,
+          must=[r"Join"],
+          must_not=[r"NestedLoop", r"CartesianProduct",
+                    r"MapInPandas|BatchEvalPython|ArrowEvalPython"])
+
     # 7. checkpoint resume: anti-join against completed parts is broadcast
     from sketchlib.spark.checkpoint import TDigestCheckpointer
 
