@@ -1596,6 +1596,73 @@ def q_events_in_purchase_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "purchase_id")
 
 
+def q_mg_top_sources_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra–Gries frequent items per lang at m=64 — unsaturated for this
+    corpus's source cardinality, so the summary holds EVERY source with its
+    exact count (the same full-capacity gating trick as CMS-at-full-width:
+    the gate proves the distributed two-phase plan + wire format; the
+    saturated n/(m+1) bounds are pytest laws).  One scan; shuffle carries
+    one KB-scale sketch per (partition × lang)."""
+    from sketchlib.spark.sketch_ops import mg_items_udf, sketch_aggregate
+
+    docs = load(spark, sf_dir, "documents")
+    sk = sketch_aggregate(docs, ["lang"], "source", "mg", {"m": 64})
+    items = mg_items_udf()
+    return (
+        sk.select("lang", F.explode(items("sketch")).alias("kv"))
+        .select("lang", F.col("kv.item").alias("source"),
+                F.col("kv.est").alias("cnt"))
+    )
+
+
+_MG_TOP_SQL = """
+SELECT lang, source, count(*) AS cnt
+FROM documents GROUP BY lang, source
+"""
+
+
+def q_mg_guarantee_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SATURATED Misra–Gries (m=2 over this corpus's ~9 sources): gates the
+    published guarantees as verdict booleans per distinct source —
+    underestimate-only (est <= true), bounded error (true − est <= n/(m+1)),
+    and retention (true > n/(m+1) ⟹ item survived).  The oracle emits TRUE
+    per source; which items survive is merge-order-dependent, but the laws
+    hold under ANY merge tree (Agarwal et al. 2012 Theorem 1), which is
+    exactly what the booleans check."""
+    from sketchlib.spark.sketch_ops import mg_items_udf, sketch_aggregate
+
+    m = 2
+    docs = load(spark, sf_dir, "documents")
+    sk = sketch_aggregate(docs, [], "source", "mg", {"m": m})
+    items = mg_items_udf()
+    est = (
+        sk.select(F.explode(items("sketch")).alias("kv"))
+        .select(F.col("kv.item").alias("source"), F.col("kv.est").alias("est"))
+    )
+    exact = docs.groupBy("source").agg(F.count("*").alias("true_cnt"))
+    n = docs.count()
+    bound = float(n) / (m + 1)
+    j = exact.join(F.broadcast(est), "source", "left").select(
+        "source",
+        F.coalesce(F.col("est"), F.lit(0)).alias("est"),
+        "true_cnt",
+    )
+    return j.select(
+        "source",
+        (F.col("est") <= F.col("true_cnt")).alias("ok_underestimate"),
+        ((F.col("true_cnt") - F.col("est")) <= F.lit(bound)).alias("ok_bound"),
+        ((F.col("true_cnt") <= F.lit(bound)) | (F.col("est") > 0)).alias(
+            "ok_retention"
+        ),
+    )
+
+
+_MG_GUARANTEE_SQL = """
+SELECT source, TRUE AS ok_underestimate, TRUE AS ok_bound, TRUE AS ok_retention
+FROM (SELECT DISTINCT source FROM documents)
+"""
+
+
 _RANGE_JOIN_SQL = """
 SELECT e.event_id, p.event_id AS purchase_id
 FROM events e JOIN events p
@@ -1657,6 +1724,8 @@ QUERIES = {
     "sample_weighted_topk": q_sample_weighted_topk,
     "td_prank_by_lang": q_td_prank_by_lang,
     "events_in_purchase_window": q_events_in_purchase_window,
+    "mg_top_sources_by_lang": q_mg_top_sources_by_lang,
+    "mg_guarantee_sources": q_mg_guarantee_sources,
 }
 
 ORACLES = {
@@ -1748,4 +1817,6 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
     "sample_weighted_topk": _WEIGHTED_SAMPLE_SQL,
     "td_prank_by_lang": _PRANK_SQL,
     "events_in_purchase_window": _RANGE_JOIN_SQL,
+    "mg_top_sources_by_lang": _MG_TOP_SQL,
+    "mg_guarantee_sources": _MG_GUARANTEE_SQL,
 }

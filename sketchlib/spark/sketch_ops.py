@@ -26,9 +26,12 @@ from sketchlib.cms import CMS
 from sketchlib.hll import HLL
 from sketchlib.kll import KLL
 from sketchlib.kmv import KMV
+from sketchlib.mg import MisraGries
 
-SKETCHES = {"hll": HLL, "cms": CMS, "bloom": Bloom, "kll": KLL, "kmv": KMV}
+SKETCHES = {"hll": HLL, "cms": CMS, "bloom": Bloom, "kll": KLL, "kmv": KMV,
+            "mg": MisraGries}
 _HASHED = {"hll", "cms", "bloom", "kmv"}  # ingest xxhash64 int64; kll ingests doubles
+_RAW = {"mg"}  # ingest the raw (string) item: the sketch must REPORT items back
 
 
 def _norm_key(key) -> tuple:
@@ -56,8 +59,11 @@ def sketch_partials(
     cls = SKETCHES[sketch]
     params = dict(params or {})
     hashed = sketch in _HASHED
+    raw = sketch in _RAW
     if hashed:
         narrow = df.select(*keys, F.xxhash64(value_col).alias("_v"))
+    elif raw:
+        narrow = df.select(*keys, F.col(value_col).cast("string").alias("_v"))
     else:
         narrow = df.select(*keys, F.col(value_col).cast("double").alias("_v"))
     key_fields = [narrow.schema[k] for k in keys]
@@ -76,6 +82,8 @@ def sketch_partials(
         for pdf in batches:
             if hashed:
                 vals = pdf["_v"].to_numpy(dtype="int64").view(np.uint64)
+            elif raw:
+                vals = pdf["_v"].to_numpy(dtype=object)
             else:
                 vals = pdf["_v"].to_numpy(dtype="float64", na_value=np.nan)
             groups = (
@@ -159,3 +167,46 @@ def sketch_aggregate(
         sketch_partials(df, keys, value_col, sketch, params, params_by_key),
         keys, sketch, params,
     )
+
+
+def mg_items_udf():
+    """binary(MG sketch) → array<struct<item,est>> for exploding a
+    frequent-items summary into rows.  Post-aggregation only: runs on
+    ≤|distinct keys| sketch rows, never row-scale data."""
+    from pyspark.sql.types import ArrayType, LongType, StringType
+
+    from sketchlib.mg import MisraGries
+
+    schema = ArrayType(StructType([
+        StructField("item", StringType(), True),
+        StructField("est", LongType(), True),
+    ]))
+
+    @F.pandas_udf(schema)
+    def f(sk: pd.Series) -> pd.Series:
+        out = []
+        for b in sk:
+            if b is None:
+                out.append(None)
+            else:
+                out.append([{"item": k, "est": v}
+                            for k, v in MisraGries.deserialize(bytes(b)).items()])
+        return pd.Series(out)
+
+    return f
+
+
+def mg_total_udf():
+    """binary(MG sketch) → long total ingested weight n (for the n/(m+1)
+    error bound)."""
+    from pyspark.sql.types import LongType
+
+    from sketchlib.mg import MisraGries
+
+    @F.pandas_udf(LongType())
+    def f(sk: pd.Series) -> pd.Series:
+        return pd.Series([
+            0 if b is None else MisraGries.deserialize(bytes(b)).n for b in sk
+        ])
+
+    return f

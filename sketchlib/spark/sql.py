@@ -258,8 +258,39 @@ def register_sql_functions(spark: SparkSession, delta: float = 0.01) -> None:
             for b in blobs
         ])
 
+    from sketchlib.mg import MisraGries
+
+    @pandas_udf(BinaryType())
+    def mg_agg(v: pd.Series) -> bytes:
+        s = MisraGries(m=64)
+        s.update_batch(v.to_numpy(dtype=object))
+        return s.serialize()
+
+    @pandas_udf(BinaryType())
+    def mg_merge_agg(blobs: pd.Series) -> bytes:
+        out = None
+        for b in blobs:
+            if b is None:
+                continue
+            s = MisraGries.deserialize(bytes(b))
+            out = s if out is None else out.merge(s)
+        return (out or MisraGries(m=64)).serialize()
+
+    @pandas_udf(LongType())
+    def mg_estimate(blob: pd.Series, item: pd.Series) -> pd.Series:
+        out = []
+        for b, x in zip(blob, item):
+            if b is None or x is None:
+                out.append(None)
+                continue
+            out.append(MisraGries.deserialize(bytes(b)).estimate(str(x)))
+        return pd.Series(out, dtype="object")
+
     spark.udf.register("kll_agg", kll_agg)
     spark.udf.register("kll_quantile", kll_quantile)
     spark.udf.register("kmv_agg", kmv_agg)
     spark.udf.register("kmv_merge_agg", kmv_merge_agg)
     spark.udf.register("kmv_estimate", kmv_estimate)
+    spark.udf.register("mg_agg", mg_agg)
+    spark.udf.register("mg_merge_agg", mg_merge_agg)
+    spark.udf.register("mg_estimate", mg_estimate)

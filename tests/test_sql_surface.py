@@ -3,7 +3,7 @@
 import numpy as np
 import pytest
 
-from tests.conftest import SF_SMALL
+from tests.conftest import SF_MED, SF_SMALL
 
 
 def test_sql_tdigest_agg_and_quantile(spark):
@@ -111,3 +111,35 @@ def test_sql_merge_agg_interchangeable_with_two_phase(spark):
         r1 = np.searchsorted(v, got[lang], side="right") / len(v)
         r2 = np.searchsorted(v, ref[lang], side="right") / len(v)
         assert abs(r1 - 0.9) < 0.02 and abs(r2 - 0.9) < 0.02, (lang, r1, r2)
+
+
+def test_sql_mg_frequent_items(spark):
+    """mg_agg / mg_merge_agg / mg_estimate: SQL-surface Misra–Gries is
+    exact at full capacity and the partial-merge spelling matches the
+    one-shot aggregate."""
+    docs = spark.read.parquet(f"{SF_MED}/documents.parquet")
+    docs.createOrReplaceTempView("docs_mg")
+    from sketchlib.spark.sql import register_sql_functions
+
+    register_sql_functions(spark)
+    got = {
+        (r["lang"], r["source"]): r["c"]
+        for r in spark.sql("""
+            WITH per_src AS (
+              SELECT lang, source, mg_agg(source) AS s
+              FROM docs_mg GROUP BY lang, source
+            ), merged AS (
+              SELECT lang, mg_merge_agg(s) AS s FROM per_src GROUP BY lang
+            )
+            SELECT m.lang, d.source, mg_estimate(m.s, d.source) AS c
+            FROM merged m JOIN (SELECT DISTINCT lang, source FROM docs_mg) d
+              ON m.lang = d.lang
+        """).collect()
+    }
+    exact = {
+        (r["lang"], r["source"]): r["c"]
+        for r in spark.sql(
+            "SELECT lang, source, count(*) AS c FROM docs_mg GROUP BY lang, source"
+        ).collect()
+    }
+    assert got == exact
