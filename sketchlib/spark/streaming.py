@@ -444,7 +444,7 @@ def streaming_sketch(
     window: str = "1 hour",
     watermark: str = "2 hours",
 ) -> DataFrame:
-    """Per-(keys × event-time window) sibling sketch (hll/cms/bloom/kll/kmv)
+    """Per-(keys × event-time window) sibling sketch (hll/cms/bloom/kll/kmv/mg)
     over a streaming DataFrame — ``streaming_tdigest`` generalized to the
     whole Aggregator family via the same skeleton.
 
@@ -455,11 +455,12 @@ def streaming_sketch(
     """
     import numpy as np
 
-    from sketchlib.spark.sketch_ops import _HASHED, SKETCHES
+    from sketchlib.spark.sketch_ops import _HASHED, _RAW, SKETCHES
 
     cls = SKETCHES[sketch]
     params = dict(params or {})
     hashed = sketch in _HASHED
+    raw = sketch in _RAW  # mg: the sketch must report raw items back
 
     def restore(blob: bytes | None):
         return cls.deserialize(blob, **params) if blob else cls(**params)
@@ -467,10 +468,17 @@ def streaming_sketch(
     def ingest(sk, v: pd.Series) -> None:
         if hashed:
             sk.update_hashed(v.to_numpy(dtype="int64").view(np.uint64))
+        elif raw:
+            sk.update_batch(v.to_numpy(dtype=object))
         else:
             sk.update_batch(v.to_numpy(dtype="float64"))
 
-    val = F.xxhash64(value_col) if hashed else F.col(value_col).cast("double")
+    if hashed:
+        val = F.xxhash64(value_col)
+    elif raw:
+        val = F.col(value_col).cast("string")
+    else:
+        val = F.col(value_col).cast("double")
     return _stateful_windowed(
         stream, keys, val, restore, ingest,
         "sketch", ts_col, window, watermark, mode="update",

@@ -376,3 +376,59 @@ def test_streaming_exact_dedup_first_wins(spark, tmp_path):
     assert set(hashes) == want
     # schema keeps the non-text columns
     assert {"content_hash", "doc_id", "warc_ts"} <= set(got[0].asDict())
+
+
+def test_streaming_mg_matches_batch(spark, tmp_path):
+    """streaming_sketch('mg'): windowed frequent-items state must be
+    byte-identical to the batch two-phase build over the same rows — MG is
+    exact (hence order-insensitive and canonical-serialized) while the
+    item domain stays under capacity."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.mg import MisraGries
+    from sketchlib.spark.sketch_ops import sketch_aggregate
+    from sketchlib.spark.streaming import streaming_sketch
+
+    src = str(tmp_path / "srcs_mg")
+    os.makedirs(src)
+    _write_chunks(src, n_files=3)
+    static = spark.read.parquet(src).withColumn(
+        "item", (F.col("n_chars").cast("long") % 16).cast("string")
+    )
+    batch = static.withColumn("_w", F.window("warc_ts", "1 hour")).select(
+        "lang", F.col("_w.start").alias("window_start"), "item"
+    )
+    stream = spark.readStream.schema(static.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src).withColumn(
+        "item", (F.col("n_chars").cast("long") % 16).cast("string")
+    )
+    out = streaming_sketch(stream, ["lang"], "item", "mg", {"m": 64},
+                           ts_col="warc_ts", window="1 hour",
+                           watermark="10 hours")
+    latest = {}
+    q = out.writeStream.outputMode("update").foreachBatch(
+        lambda bdf, _id: latest.update(
+            {(r["lang"], r["window_start"]): bytes(r["sketch"])
+             for r in bdf.collect()})
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+    ref = {
+        (r["lang"], r["window_start"]): bytes(r["sketch"])
+        for r in sketch_aggregate(
+            batch, ["lang", "window_start"], "item", "mg", {"m": 64}
+        ).collect()
+    }
+    assert set(latest) == set(ref)
+    for k in ref:
+        assert latest[k] == ref[k], k
+    # and the counts are the exact per-window item counts
+    some = next(iter(ref))
+    exact = {
+        r["item"]: r["c"]
+        for r in batch.filter(
+            (F.col("lang") == some[0]) & (F.col("window_start") == some[1])
+        ).groupBy("item").agg(F.count("*").alias("c")).collect()
+    }
+    assert dict(MisraGries.deserialize(ref[some]).items()) == exact
