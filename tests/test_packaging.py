@@ -1,0 +1,28 @@
+"""dist/sketchlib.zip must track the source tree — a stale deploy artifact
+(spark-submit --py-files) fails at runtime with ModuleNotFoundError on
+exactly the newest modules, which is how it bit round 3."""
+
+import os
+import zipfile
+
+from tests.conftest import REPO_ROOT
+
+
+def test_dist_zip_is_fresh():
+    zpath = os.path.join(REPO_ROOT, "dist", "sketchlib.zip")
+    assert os.path.exists(zpath), "run: python tools/package.py"
+    with zipfile.ZipFile(zpath) as z:
+        in_zip = {i.filename: i.file_size for i in z.infolist()}
+    src = {}
+    pkg = os.path.join(REPO_ROOT, "sketchlib")
+    for root, _dirs, files in os.walk(pkg):
+        for f in files:
+            if f.endswith(".py"):
+                full = os.path.join(root, f)
+                src[os.path.relpath(full, REPO_ROOT)] = os.path.getsize(full)
+    assert in_zip == src, (
+        "dist/sketchlib.zip is stale — run: python tools/package.py; "
+        f"missing={sorted(set(src) - set(in_zip))} "
+        f"extra={sorted(set(in_zip) - set(src))} "
+        f"size_diff={sorted(k for k in src.keys() & in_zip.keys() if src[k] != in_zip[k])}"
+    )
