@@ -3,8 +3,17 @@
 Design:
 - 64-bit hashes (no large-range correction needed, unlike classic HLL).
 - m = 2^p registers (p defaults to 14 → σ ≈ 1.04/√m ≈ 0.81%).
-- Sparse representation on the wire when few registers are set (the "++"
-  memory optimization that matters when millions of group sketches shuffle).
+- Sparse representation IN MEMORY and on the wire when few registers are set
+  (the "++" memory optimization that matters when millions of group sketches
+  are built and shuffled): a fresh sketch buffers (index, rho) pairs and only
+  materializes the dense 2^p register array past m/4 buffered pairs.  A
+  high-cardinality groupBy (thousands of (key × partition) partials, tens of
+  rows each) allocates ~100 bytes per partial instead of 16 KB — on shared
+  hosts allocation-heavy Python is the scaling killer, and at web scale the
+  shuffle carries the ~100-byte sparse wire form either way.  Every
+  observable (serialize bytes, estimate, registers property) is a pure
+  function of the register SET, so sparse- and dense-built sketches are
+  byte-identical.
 - Small-range correction: linear counting below the published crossover
   thresholds, plus the paper's empirical bias correction below 5m — the
   tables are measured on THIS implementation by ``tools/gen_hll_bias.py``
@@ -65,18 +74,68 @@ def _alpha(m: int) -> float:
 
 
 class HLL(Aggregator):
-    __slots__ = ("p", "m", "registers")
+    __slots__ = ("p", "m", "_regs", "_sidx", "_srho", "_scount")
 
     def __init__(self, p: int = 14) -> None:
         if not 4 <= p <= 18:
             raise ValueError(f"HLL precision p must be in [4,18], got {p}")
         self.p = p
         self.m = 1 << p
-        self.registers = np.zeros(self.m, dtype=np.uint8)
+        self._regs: np.ndarray | None = None  # dense registers, or None while sparse
+        self._sidx: list[np.ndarray] = []  # buffered register indices (may repeat)
+        self._srho: list[np.ndarray] = []  # buffered rho values, same lengths
+        self._scount = 0
 
     @classmethod
     def zero(cls, p: int = 14) -> "HLL":
         return cls(p=p)
+
+    # -- sparse/dense plumbing -------------------------------------------------
+
+    @property
+    def registers(self) -> np.ndarray:
+        """Dense register array view (materializes a sparse sketch)."""
+        self._densify()
+        return self._regs
+
+    def _densify(self) -> None:
+        if self._regs is None:
+            self._regs = np.zeros(self.m, dtype=np.uint8)
+        if self._sidx:
+            np.maximum.at(
+                self._regs, np.concatenate(self._sidx), np.concatenate(self._srho)
+            )
+            self._sidx, self._srho, self._scount = [], [], 0
+
+    def _compact(self) -> tuple[np.ndarray, np.ndarray]:
+        """(sorted unique indices, max rho per index) — the register SET,
+        computed without allocating the dense array when sparse."""
+        if self._regs is not None:
+            self._densify()  # fold any buffer into the dense array
+            nz = np.flatnonzero(self._regs)
+            return nz, self._regs[nz]
+        if not self._sidx:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint8)
+        idx = np.concatenate(self._sidx)
+        rho = np.concatenate(self._srho)
+        order = np.argsort(idx, kind="stable")
+        idx, rho = idx[order], rho[order]
+        bounds = np.flatnonzero(np.r_[True, idx[1:] != idx[:-1]])
+        return idx[bounds], np.maximum.reduceat(rho, bounds)
+
+    def _absorb_pairs(self, idx: np.ndarray, rho: np.ndarray) -> None:
+        if self._regs is not None:
+            np.maximum.at(self._regs, idx, rho)
+            return
+        if self._scount + len(idx) > max(256, self.m // 4):
+            self._densify()
+            np.maximum.at(self._regs, idx, rho)
+            return
+        self._sidx.append(idx)
+        self._srho.append(rho)
+        self._scount += len(idx)
+
+    # -- ingest ----------------------------------------------------------------
 
     def update_hashed(self, h: np.ndarray) -> None:
         """Ingest pre-hashed uint64 values (e.g. Spark's xxhash64 column)."""
@@ -94,7 +153,7 @@ class HLL(Aggregator):
         bl = np.frexp(w.astype(np.float64))[1]
         rho = np.clip((64 - self.p) + 1 - bl, 1, 64 - self.p + 1).astype(np.uint8)
         rho[w == 0] = 64 - self.p + 1
-        np.maximum.at(self.registers, idx, rho)
+        self._absorb_pairs(idx, rho)
 
     def update_batch(self, values: np.ndarray) -> None:
         self.update_hashed(hash64(values))
@@ -102,15 +161,23 @@ class HLL(Aggregator):
     def merge(self, other: "HLL") -> "HLL":
         if other.p != self.p:
             raise ValueError(f"HLL merge precision mismatch: {self.p} vs {other.p}")
-        np.maximum(self.registers, other.registers, out=self.registers)
+        if other._regs is None:
+            for idx, rho in zip(other._sidx, other._srho):
+                self._absorb_pairs(idx, rho)
+        else:
+            self._densify()
+            np.maximum(self._regs, other._regs, out=self._regs)
         return self
+
+    # -- estimators ------------------------------------------------------------
 
     def raw_estimate(self) -> float:
         """The uncorrected harmonic-mean estimator (biased for n ≲ 5m)."""
+        uniq, rho = self._compact()
         m = float(self.m)
-        return _alpha(self.m) * m * m / float(
-            np.sum(np.exp2(-self.registers.astype(np.float64)))
-        )
+        zeros = float(self.m - len(uniq))
+        s = float(np.sum(np.exp2(-rho.astype(np.float64)))) + zeros  # 2^0 per zero
+        return _alpha(self.m) * m * m / s
 
     def estimate(self) -> float:
         """HLL++ estimate: empirical bias correction below 5m (tables
@@ -118,10 +185,10 @@ class HLL(Aggregator):
         counting below the published crossover threshold — the paper's §5.2
         algorithm.  Precisions without a generated table keep the classic
         2.5m linear-counting rule (bias ≤ ~1.5% in the handoff band)."""
-        regs = self.registers
+        uniq, _rho = self._compact()
         m = float(self.m)
         est = self.raw_estimate()
-        zeros = int(np.count_nonzero(regs == 0))
+        zeros = self.m - len(uniq)
         table = _bias_table(self.p)
         if table is None:  # classic HLL fallback
             if est <= 2.5 * m and zeros > 0:
@@ -138,10 +205,10 @@ class HLL(Aggregator):
     def finish(self) -> float:
         return self.estimate()
 
-    # -- serde: sparse when profitable ----------------------------------------
+    # -- serde: sparse when profitable (canonical either way) ------------------
 
     def serialize(self) -> bytes:
-        nz = np.flatnonzero(self.registers)
+        nz, rho = self._compact()
         header = struct.pack("<B", self.p)
         if len(nz) * 3 < self.m:  # sparse: (idx u16/u32, rho u8) pairs
             if self.p <= 16:
@@ -150,25 +217,29 @@ class HLL(Aggregator):
                 idx_bytes = nz.astype("<u4").tobytes()
             return (
                 _MAGIC_SPARSE + header + struct.pack("<I", len(nz))
-                + idx_bytes + self.registers[nz].tobytes()
+                + idx_bytes + rho.tobytes()
             )
-        return _MAGIC_DENSE + header + self.registers.tobytes()
+        self._densify()
+        return _MAGIC_DENSE + header + self._regs.tobytes()
 
     @classmethod
     def deserialize(cls, data: bytes, **_: object) -> "HLL":
         magic, p = data[:4], data[4]
         out = cls(p=p)
         if magic == _MAGIC_DENSE:
-            out.registers = np.frombuffer(data[5:], dtype=np.uint8).copy()
-            if len(out.registers) != out.m:
+            regs = np.frombuffer(data[5:], dtype=np.uint8).copy()
+            if len(regs) != out.m:
                 raise ValueError("HLL dense payload length mismatch")
+            out._regs = regs
         elif magic == _MAGIC_SPARSE:
             (n,) = struct.unpack_from("<I", data, 5)
             off = 9
             itype, isize = ("<u2", 2) if p <= 16 else ("<u4", 4)
             idx = np.frombuffer(data[off : off + n * isize], dtype=itype).astype(np.int64)
             rho = np.frombuffer(data[off + n * isize : off + n * isize + n], dtype=np.uint8)
-            out.registers[idx] = rho
+            # stay sparse: merged-then-serialized partials never touch 2^p
+            # bytes unless the set actually grows past the density cutoff
+            out._absorb_pairs(idx, rho.copy())
         else:
             raise ValueError(f"HLL: bad magic {magic!r}")
         return out

@@ -1678,6 +1678,265 @@ FROM documents WHERE n_chars IS NOT NULL
 """
 
 
+def q_td_merge_laws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule merge laws as a GATED query (they previously lived
+    only in pytest): "exact merge associativity and commutativity across
+    partition orders ... on serialized centroids".
+
+    Four driver-hashable verdict booleans per lang, production δ=0.01:
+
+    * ``merge_commutative`` — folding one fixed set of partial digests in
+      several permutations yields byte-identical final digests;
+    * ``union_assoc`` — the lossless (mean → Σn) union is grouping-invariant
+      on serialized centroids: fold-left == fold-right == balanced tree
+      (``merge(a, merge(b, c)) == merge(merge(a, b), c)``, the reference's
+      concat-merge law, README.md:25-41 / src/tdigest.ml:402-408);
+    * ``engine_equals_driver_fold`` — the distributed two-phase plan
+      (shuffle + byte-concat merge, arbitrary arrival order) equals the
+      driver-side fold byte-for-byte;
+    * ``exact_layout_invariant`` — a full δ=0 build is byte-identical
+      across different ``repartition`` layouts (in exact mode partials are
+      lossless, so even the PARTIAL-construction step commutes).
+
+    The partial set is ≤ |langs| × 8 rows of ≤40 KB digests — the law
+    comparison is O(sketch bytes), legitimately driver-side (same license
+    as q_hll_union_users); the verdicts re-enter the plan via one broadcast
+    join against the distributed per-lang counts."""
+    from sketchlib.spark.tdigest_ops import tdigest_aggregate, tdigest_merge, tdigest_partials
+    from sketchlib.tdigest.core import (
+        MergingDigest,
+        bytes_to_centroids,
+        centroids_to_bytes,
+        merge_centroid_arrays,
+    )
+
+    delta = 0.01
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    parts_df = tdigest_partials(
+        docs.repartition(8, "doc_id"), ["lang"], "n_chars", delta=delta
+    )
+    engine = tdigest_merge(parts_df, ["lang"], delta=delta)
+    parts: dict[str, list[bytes]] = {}
+    for r in parts_df.collect():
+        parts.setdefault(r["lang"], []).append(bytes(r["digest"]))
+    engine_bytes = {r["lang"]: bytes(r["digest"]) for r in engine.collect()}
+
+    def final(blobs: list[bytes]) -> bytes:
+        means, ns = merge_centroid_arrays([bytes_to_centroids(b) for b in blobs])
+        d = MergingDigest(delta=delta)
+        d._means, d._ns = means, ns
+        d.compress()
+        return d.serialize()
+
+    verdicts = []
+    for lang, blobs in sorted(parts.items()):
+        base = final(blobs)
+        comm = all(
+            final(perm) == base
+            for perm in (blobs[::-1], blobs[1:] + blobs[:1], sorted(blobs))
+        )
+        cents = [bytes_to_centroids(b) for b in blobs]
+        fold_l = cents[0]
+        for c in cents[1:]:
+            fold_l = merge_centroid_arrays([fold_l, c])
+        fold_r = cents[-1]
+        for c in cents[-2::-1]:
+            fold_r = merge_centroid_arrays([c, fold_r])
+
+        def tree(cs):
+            if len(cs) == 1:
+                return cs[0]
+            mid = len(cs) // 2
+            return merge_centroid_arrays([tree(cs[:mid]), tree(cs[mid:])])
+
+        assoc = (
+            centroids_to_bytes(*fold_l)
+            == centroids_to_bytes(*fold_r)
+            == centroids_to_bytes(*tree(cents))
+        )
+        verdicts.append(
+            (lang, bool(comm), bool(assoc), engine_bytes.get(lang) == base)
+        )
+
+    vdf = spark.createDataFrame(
+        verdicts,
+        "lang string, merge_commutative boolean, union_assoc boolean, "
+        "engine_equals_driver_fold boolean",
+    )
+    ex_a = tdigest_aggregate(docs.repartition(5, "doc_id"), ["lang"], "n_chars", delta=0.0)
+    ex_b = tdigest_aggregate(docs.repartition(13, "doc_id"), ["lang"], "n_chars", delta=0.0)
+    layout = (
+        ex_a.select("lang", F.col("digest").alias("_da"))
+        .join(ex_b.select("lang", F.col("digest").alias("_db")), "lang")
+        .select("lang", (F.col("_da") == F.col("_db")).alias("exact_layout_invariant"))
+    )
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    return (
+        counts.join(F.broadcast(vdf), "lang")
+        .join(F.broadcast(layout), "lang")
+        .select(
+            "lang", "n_docs", "merge_commutative", "union_assoc",
+            "engine_equals_driver_fold", "exact_layout_invariant",
+        )
+    )
+
+
+_MERGE_LAWS_SQL = """
+SELECT lang, count(*) AS n_docs,
+       TRUE AS merge_commutative, TRUE AS union_assoc,
+       TRUE AS engine_equals_driver_fold, TRUE AS exact_layout_invariant
+FROM documents GROUP BY lang
+"""
+
+
+# filled in by q_bloom_join_prune for inspection/benchmarking:
+# {"orders_total": n, "candidates": n, "filter_bytes": n} of the last run
+LAST_BLOOM_JOIN_STATS: dict[str, int] = {}
+
+
+def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accelerated join (Bloom runtime filter made explicit): build a
+    Bloom filter over the SMALL join side's keys (European customers, dim ⋈
+    dim broadcast), broadcast the KB-scale blob, and pre-filter the BIG probe
+    side (orders) with a vectorized ``contains_hashed`` probe BEFORE the
+    join.  Bloom has zero false negatives, so the pruned join's result is
+    EXACTLY the plain join's — false positives are eliminated by the join
+    itself.  At 100 TB this is the difference between shuffling/broadcast-
+    probing every orders row and touching only the ~selectivity fraction
+    that can match: the filter prunes at the SCAN stage (map-side, before
+    any Exchange), like Spark's own runtime bloom filter but storable,
+    mergeable, and reusable across queries.  Build and probe both hash
+    JVM-side with ``xxhash64`` on the int64 key — no Python per-row work."""
+    import pandas as pd
+
+    from sketchlib.bloom import Bloom
+    from sketchlib.spark.sketch_ops import sketch_aggregate
+
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cust = (
+        load(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nat.join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "n_name")
+    )
+    n_keys = cust.count()
+    blob = bytes(
+        sketch_aggregate(
+            cust, [], "c_custkey", "bloom",
+            {"fpr": 0.01, "expected_n": max(n_keys, 1000)},
+        ).collect()[0]["sketch"]
+    )
+    bc = spark.sparkContext.broadcast(blob)
+    LAST_BLOOM_JOIN_STATS.clear()
+    LAST_BLOOM_JOIN_STATS["filter_bytes"] = len(blob)
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.xxhash64("o_custkey").alias("_h")
+    )
+
+    def keep(batches):
+        import numpy as np
+
+        b = Bloom.deserialize(bc.value)
+        for pdf in batches:
+            hits = b.contains_hashed(
+                pdf["_h"].to_numpy(dtype="int64").view(np.uint64)
+            )
+            yield pdf.loc[hits, ["o_orderkey", "o_custkey"]]
+
+    cand = orders.mapInPandas(keep, schema="o_orderkey long, o_custkey long")
+    return (
+        cand.join(F.broadcast(cust), cand["o_custkey"] == cust["c_custkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_custs"),
+        )
+    )
+
+
+_BLOOM_JOIN_SQL = """
+SELECT n_name, count(*) AS n_orders, count(DISTINCT o_custkey) AS n_custs
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+GROUP BY n_name
+"""
+
+
+def q_hll_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate pattern for DISTINCT counts (the HLL analog of
+    q_td_hourly_rollup): ONE scan builds per-(event_type × hour) HLL user
+    sketches; per-(event_type × day) sketches are derived by MERGING the 24
+    hourly blobs — never rescanning the facts.  Two gated laws per row:
+    the rolled-up daily estimate is within max(2%, ±2) of the exact daily
+    distinct count, and the merged-from-hourly sketch is BYTE-IDENTICAL to
+    a direct daily build (register-max union is associative/idempotent, so
+    storing hourly granularity costs nothing in answer quality).  At 100 TB
+    the hourly sketch table is KB/row and day/week/month distinct-user
+    questions never touch the fact table again."""
+    from sketchlib.hll import HLL
+    from sketchlib.spark.sketch_ops import sketch_aggregate, sketch_merge
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.date_trunc("HOUR", F.col("ts")).alias("hour"),
+        F.date_format(F.date_trunc("DAY", F.col("ts")), "yyyy-MM-dd").alias("day"),
+    )
+    hourly = sketch_aggregate(ev, ["event_type", "hour", "day"], "user_id", "hll", {"p": 14})
+    daily = sketch_merge(
+        hourly.select("event_type", "day", "sketch"),
+        ["event_type", "day"], "hll", {"p": 14},
+    )
+    direct = sketch_aggregate(ev, ["event_type", "day"], "user_id", "hll", {"p": 14})
+
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def est(s):
+        import pandas as pd
+
+        return pd.Series([HLL.deserialize(bytes(b)).estimate() for b in s])
+
+    cmp = (
+        daily.select("event_type", "day", F.col("sketch").alias("_sa"))
+        .join(
+            direct.select("event_type", "day", F.col("sketch").alias("_sb")),
+            ["event_type", "day"],
+        )
+        .select(
+            "event_type", "day", est("_sa").alias("_est"),
+            (F.col("_sa") == F.col("_sb")).alias("rollup_equals_direct"),
+        )
+    )
+    exact = ev.groupBy("event_type", "day").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return exact.join(F.broadcast(cmp), ["event_type", "day"]).select(
+        "event_type", "day", "n_exact",
+        (
+            F.abs(F.col("_est") - F.col("n_exact"))
+            <= F.greatest(F.lit(2.0), F.col("n_exact") * 0.02)
+        ).alias("within_tol"),
+        "rollup_equals_direct",
+    )
+
+
+_HLL_ROLLUP_SQL = """
+SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(DISTINCT user_id) AS n_exact,
+       TRUE AS within_tol, TRUE AS rollup_equals_direct
+FROM events GROUP BY event_type, day
+"""
+
+
 QUERIES = {
     "td_quantiles_by_lang": q_td_quantiles_by_lang,
     "td_discrete_quantiles_by_lang": q_td_discrete_quantiles_by_lang,
@@ -1726,6 +1985,9 @@ QUERIES = {
     "events_in_purchase_window": q_events_in_purchase_window,
     "mg_top_sources_by_lang": q_mg_top_sources_by_lang,
     "mg_guarantee_sources": q_mg_guarantee_sources,
+    "td_merge_laws": q_td_merge_laws,
+    "bloom_join_prune": q_bloom_join_prune,
+    "hll_hourly_rollup": q_hll_hourly_rollup,
 }
 
 ORACLES = {
@@ -1819,4 +2081,7 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
     "events_in_purchase_window": _RANGE_JOIN_SQL,
     "mg_top_sources_by_lang": _MG_TOP_SQL,
     "mg_guarantee_sources": _MG_GUARANTEE_SQL,
+    "td_merge_laws": _MERGE_LAWS_SQL,
+    "bloom_join_prune": _BLOOM_JOIN_SQL,
+    "hll_hourly_rollup": _HLL_ROLLUP_SQL,
 }

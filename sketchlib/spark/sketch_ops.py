@@ -32,6 +32,11 @@ SKETCHES = {"hll": HLL, "cms": CMS, "bloom": Bloom, "kll": KLL, "kmv": KMV,
             "mg": MisraGries}
 _HASHED = {"hll", "cms", "bloom", "kmv"}  # ingest xxhash64 int64; kll ingests doubles
 _RAW = {"mg"}  # ingest the raw (string) item: the sketch must REPORT items back
+#: sketches whose serialized state stays ≤ tens of KB at any cardinality —
+#: their merge takes the repartition+mapInPandas accumulator path (one Python
+#: call per Arrow batch).  Bloom/CMS can be MB-scale per sketch, so they keep
+#: the groupBy().applyInPandas() path that materializes ONE group at a time.
+_SMALL_STATE = {"hll", "kmv", "mg", "kll"}
 
 
 def _norm_key(key) -> tuple:
@@ -115,16 +120,20 @@ def sketch_merge(
     sketch: str,
     params: dict | None = None,
 ) -> DataFrame:
-    """Phase 2 for sibling sketches.
+    """Phase 2 for sibling sketches — the path depends on the sketch's
+    state size:
 
-    Deliberately ``groupBy().applyInPandas`` (one group materialized at a
-    time) rather than tdigest_merge's repartition+mapInPandas accumulator:
-    sibling sketches can be orders of magnitude larger than a digest (a
-    dense Bloom bitmap is MBs), so holding every co-located key's sketch in
-    one partition dict would blow memory at high key cardinality; streaming
-    groups sequentially bounds peak memory at one sketch per task.  T-digest
-    rows are ≤40 KB, which is why its merge takes the low-per-group-overhead
-    path instead."""
+    * ``_SMALL_STATE`` kinds (HLL/KMV/MG/KLL, ≤ tens of KB each) take
+      tdigest_merge's repartition+mapInPandas accumulator: ONE Python call
+      per Arrow batch instead of one per GROUP.  At rollup/cube key
+      cardinalities (thousands of (key × hour) groups of a handful of
+      partials each) the per-group ``applyInPandas`` overhead dominates the
+      actual merging by an order of magnitude.
+    * Bloom/CMS keep ``groupBy().applyInPandas`` (one group materialized at
+      a time): a dense Bloom bitmap is MBs, so holding every co-located
+      key's sketch in one partition dict would blow memory at high key
+      cardinality; streaming groups sequentially bounds peak memory at one
+      sketch per task."""
     from sketchlib.spark.shipping import ensure_on_workers
 
     ensure_on_workers(partials.sparkSession)
@@ -135,6 +144,41 @@ def sketch_merge(
         [StructField(f.name, f.dataType, True) for f in key_fields]
         + [StructField("sketch", BinaryType(), True)]
     )
+
+    if sketch in _SMALL_STATE:
+
+        def merge_stream(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            accs: dict[tuple, object] = {}
+            for pdf in batches:
+                blobs = pdf["sketch"].to_numpy()
+                groups = (
+                    pdf.groupby(keys, dropna=False, sort=False).indices.items()
+                    if keys
+                    else [((), np.arange(len(pdf)))]
+                )
+                for key, idx in groups:
+                    key = _norm_key(key)
+                    acc = accs.get(key)
+                    for b in blobs[idx]:
+                        if b is None:
+                            continue
+                        s = cls.deserialize(bytes(b), **params)
+                        acc = s if acc is None else acc.merge(s)
+                    accs[key] = acc  # None stays None → zero sketch at emit
+            if accs:
+                rows = {name: [k[i] for k in accs] for i, name in enumerate(keys)}
+                rows["sketch"] = [
+                    (a if a is not None else cls(**params)).serialize()
+                    for a in accs.values()
+                ]
+                yield pd.DataFrame(rows, columns=keys + ["sketch"])
+
+        shuffled = (
+            partials.repartition(*[F.col(k) for k in keys])
+            if keys
+            else partials.coalesce(1)
+        )
+        return shuffled.mapInPandas(merge_stream, schema=out_schema)
 
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         it = (bytes(b) for b in pdf["sketch"] if b is not None)
