@@ -645,6 +645,95 @@ in-memory ingest rate.
 
 
 
+def _gen_events_one(args: tuple[int, int, str]) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sketchlib.data.gen_events import SCHEMA, gen_chunk
+
+    start, cnt, part_path = args
+    pdf = gen_chunk(start, cnt)
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=SCHEMA, preserve_index=False), part_path
+    )
+    return part_path
+
+
+def ensure_events(path: str, n_rows: int, chunk: int = 250_000) -> None:
+    """Deterministic synthetic clickstream (seed 43); cached parquet dir."""
+    marker = path + ".rows"
+    if os.path.exists(path) and os.path.exists(marker):
+        if int(open(marker).read().strip()) == n_rows:
+            return
+    from concurrent.futures import ProcessPoolExecutor
+
+    os.makedirs(path, exist_ok=True)
+    t0 = time.time()
+    jobs = [
+        (start, min(chunk, n_rows - start),
+         os.path.join(path, f"part-{start // chunk:05d}.parquet"))
+        for start in range(0, n_rows, chunk)
+    ]
+    with ProcessPoolExecutor(max_workers=min(32, os.cpu_count() or 4)) as ex:
+        list(ex.map(_gen_events_one, jobs))
+    with open(marker, "w") as f:
+        f.write(str(n_rows))
+    print(f"# generated {n_rows} events in {time.time()-t0:.1f}s -> {path}",
+          file=sys.stderr)
+
+
+def joins_bench() -> None:
+    """Temporal joins at scale: as-of join and bucketized range join over an
+    8M-row Zipf-skewed clickstream (200k users, ~5% purchases).  Both
+    operators are pure DataFrame compositions (one hash shuffle each, no
+    nested-loop joins, no Python in the row path), so this measures the
+    plans a 1000-executor cluster would run.  Best of 2 warm reps per op."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.joins import asof_join, range_join
+    from sketchlib.spark.session import get_spark
+
+    path = os.path.join(BENCH_DIR, f"events_{BENCH_ROWS}.parquet")
+    ensure_events(path, BENCH_ROWS)
+    spark = get_spark("joins-bench", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    ev = spark.read.parquet(path)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+
+    def asof_run():
+        return asof_join(
+            ev.select("event_id", "user_id", "ts"), purchases,
+            on="user_id", left_ts="ts", right_ts="ts",
+            payload_cols=["purchase_id"], tiebreak_cols=["purchase_id"],
+        ).count()
+
+    def range_run():
+        win = purchases.select(
+            "user_id", F.col("ts").alias("lo"),
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("hi"),
+            "purchase_id",
+        )
+        return range_join(
+            ev.select("event_id", "user_id", "ts"), win,
+            on="user_id", left_point="ts", right_lo="lo", right_hi="hi",
+            bucket_width=3600.0,
+        ).count()
+
+    out: dict[str, object] = {"rows": BENCH_ROWS, "cpus": CPUS}
+    for name, fn in (("asof", asof_run), ("range", range_run)):
+        best, result = float("inf"), None
+        for _ in range(2):
+            t0 = time.time()
+            result = fn()
+            best = min(best, time.time() - t0)
+        out[f"{name}_sec"] = round(best, 2)
+        out[f"{name}_rows_out"] = result
+        out[f"{name}_left_rows_per_sec"] = round(BENCH_ROWS / best, 1)
+    print(json.dumps(out))
+
+
 def frequent_items_bench() -> None:
     """Misra-Gries at scale: top hosts per lang over the 8M-row pages table
     (1000 Zipf(1.3) hosts -> m=256 saturates ~4x).  Reports wall (best of
@@ -721,6 +810,8 @@ if __name__ == "__main__":
         sketches_bench()
     elif len(sys.argv) > 1 and sys.argv[1] == "--frequent":
         frequent_items_bench()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--joins":
+        joins_bench()
     elif len(sys.argv) > 1 and sys.argv[1] == "--measure-build":
         reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
         print(json.dumps(measure_build(int(sys.argv[2]), sys.argv[3], reps)))

@@ -261,6 +261,37 @@ def main():
           must_not=[r"NestedLoop", r"CartesianProduct",
                     r"MapInPandas|BatchEvalPython|ArrowEvalPython"])
 
+    # 6p. Bloom-accelerated join: the probe-side pre-filter is a map-side
+    # MapInPandas at the SCAN (before any Exchange), the orders scan reads
+    # only the two join/agg columns, and the post-filter join is broadcast
+    # (never a SortMergeJoin of the big side)
+    from sketchlib.spark.queries import q_bloom_join_prune
+
+    p = plan_of(q_bloom_join_prune(spark, sf_dir))
+    check("bloom join prune (broadcast, pruned scan)", p,
+          must=[r"MapInPandas", r"BroadcastHashJoin"],
+          must_not=[r"SortMergeJoin",
+                    r"ReadSchema:[^\n]*o_totalprice|ReadSchema:[^\n]*o_orderdate"])
+
+    # 6q. HLL hourly→daily rollup: events scan reads only
+    # (event_type, user_id, ts) — never props/value — and every join in the
+    # verdict assembly is broadcast
+    from sketchlib.spark.queries import q_hll_hourly_rollup
+
+    p = plan_of(q_hll_hourly_rollup(spark, sf_dir))
+    check("hll rollup pruned scan + broadcast joins", p,
+          must=[r"ReadSchema:[^\n]*user_id"],
+          must_not=[r"ReadSchema:[^\n]*props", r"SortMergeJoin"])
+
+    # 6r. merge-laws verdict assembly: the law comparison happens at
+    # plan-build on KB-scale partials; the returned plan joins the tiny
+    # verdict/layout frames to the distributed counts by BROADCAST
+    from sketchlib.spark.queries import q_td_merge_laws
+
+    p = plan_of(q_td_merge_laws(spark, sf_dir))
+    check("merge-laws broadcast verdict join", p,
+          must=[r"BroadcastHashJoin"], must_not=[r"SortMergeJoin"])
+
     # 7. checkpoint resume: anti-join against completed parts is broadcast
     from sketchlib.spark.checkpoint import TDigestCheckpointer
 
