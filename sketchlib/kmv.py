@@ -121,6 +121,21 @@ class KMV(Aggregator):
         out.hashes = u
         return float(in_both.mean()) * out.estimate()
 
+    def difference_estimate(self, other: "KMV") -> float:
+        """|A∖B| ≈ (fraction of the union bottom-k in A but not B) · |A∪B| —
+        the set-algebra completion (union/intersect/jaccard/difference) from
+        the same coordinated union sample.  HLL cannot answer this (its
+        inclusion–exclusion difference has unbounded relative error when
+        |A∖B| ≪ |A|); the coordinated sample's error stays σ ≈ √(f(1−f)/k)
+        on the fraction f."""
+        u = self._union_bottom_k(other)
+        if len(u) == 0:
+            return 0.0
+        only_self = np.isin(u, self.hashes) & ~np.isin(u, other.hashes)
+        out = KMV(k=self.k)
+        out.hashes = u
+        return float(only_self.mean()) * out.estimate()
+
     # -- serde ---------------------------------------------------------------
 
     def serialize(self) -> bytes:

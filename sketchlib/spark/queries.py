@@ -859,12 +859,22 @@ def q_kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             for x, y in zip(sa, sb)
         ])
 
+    @pandas_udf(DoubleType())
+    def diff_est(sa, sb):
+        return pd.Series([
+            KMV.deserialize(bytes(x)).difference_estimate(KMV.deserialize(bytes(y)))
+            for x, y in zip(sa, sb)
+        ])
+
     a = sk.select(F.col("event_type").alias("type_a"), F.col("sketch").alias("sa"))
     b = sk.select(F.col("event_type").alias("type_b"), F.col("sketch").alias("sb"))
     est = (
         a.crossJoin(b)
         .filter(F.col("type_a") < F.col("type_b"))
-        .select("type_a", "type_b", jac("sa", "sb").alias("_jest"))
+        .select(
+            "type_a", "type_b", jac("sa", "sb").alias("_jest"),
+            diff_est("sa", "sb").alias("_dest"),
+        )
     )
 
     u = ev.select("event_type", "user_id").distinct()
@@ -884,16 +894,23 @@ def q_kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_jexact",
                     F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")))
     )
+    # set-algebra completion: |A∖B| from the same coordinated union sample,
+    # gated within 3σ-ish of exact (σ ≈ |A∪B|·√(f(1−f)/k), k=1024) — the
+    # estimate HLL inclusion-exclusion cannot bound when |A∖B| ≪ |A|
     return exact.join(F.broadcast(est), ["type_a", "type_b"]).select(
         "type_a", "type_b", "n_common",
         (F.abs(F.col("_jest") - F.col("_jexact")) <= 0.05).alias("jaccard_ok"),
+        (
+            F.abs(F.col("_dest") - (F.col("na") - F.col("n_common")))
+            <= 0.05 * (F.col("na") + F.col("nb") - F.col("n_common")) + 2.0
+        ).alias("difference_ok"),
     )
 
 
 _KMV_OVERLAP_SQL = """
 WITH u AS (SELECT DISTINCT event_type, user_id FROM events)
 SELECT a.event_type AS type_a, b.event_type AS type_b,
-       count(*) AS n_common, TRUE AS jaccard_ok
+       count(*) AS n_common, TRUE AS jaccard_ok, TRUE AS difference_ok
 FROM u a JOIN u b USING (user_id)
 WHERE a.event_type < b.event_type
 GROUP BY 1, 2

@@ -136,6 +136,11 @@ def test_kmv_set_operations():
     assert abs(ka.jaccard(kb) - j_true) < 0.03          # sigma ~ 0.009
     assert abs(ka.union_estimate(kb) / 100_000 - 1) < 0.1
     assert abs(ka.intersection_estimate(kb) / 20_000 - 1) < 0.2
+    assert abs(ka.difference_estimate(kb) / 40_000 - 1) < 0.15  # |A\B|=40k
+    assert abs(kb.difference_estimate(ka) / 40_000 - 1) < 0.15  # |B\A|=40k
+    # A = (A\B) + (A∩B) must hold on the shared union sample (same bottom-k)
+    assert abs(ka.difference_estimate(kb) + ka.intersection_estimate(kb)
+               - ka.estimate()) / ka.estimate() < 0.1
     # symmetric
     assert ka.jaccard(kb) == kb.jaccard(ka)
 
@@ -146,6 +151,8 @@ def test_kmv_set_operations():
     assert sa.jaccard(sb) == 50 / 150
     assert sa.union_estimate(sb) == 150.0
     assert abs(sa.intersection_estimate(sb) - 50.0) < 1e-9
+    assert abs(sa.difference_estimate(sb) - 50.0) < 1e-9
+    assert abs(sb.difference_estimate(sa) - 50.0) < 1e-9
 
     with pytest.raises(ValueError, match="k mismatch"):
         sa.jaccard(KMV(k=64))
