@@ -801,7 +801,18 @@ def frequent_items_bench() -> None:
         "cpus": CPUS,
     }))
 
+_MODES = (
+    "--scaling", "--compare-builtin", "--sketches", "--frequent",
+    "--joins", "--measure-build",
+)
+
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1].startswith("-") and sys.argv[1] not in _MODES:
+        # An unrecognized flag (e.g. --help) must NOT fall through to the
+        # full headline bench — that launches a multi-minute Spark job.
+        print(__doc__)
+        print("modes:", " ".join(_MODES), "(no flag = headline query bench)")
+        sys.exit(0 if sys.argv[1] in ("-h", "--help") else 2)
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         scaling_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "--compare-builtin":
