@@ -1954,6 +1954,134 @@ FROM events GROUP BY event_type, day
 """
 
 
+def q_td_ks_drift_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift from STORED sketches: the two-sample KS distance
+    between each lang's n_chars distribution and the whole-corpus
+    distribution, computed entirely from discrete digests — one scan builds
+    the per-lang digests, the global digest is their MERGE (zero fact
+    rescans), and KS is a pointwise max over the union support
+    (``ks_of_centroids``).  At 100 TB this is the drift monitor between any
+    two stored corpus slices (yesterday vs today, source A vs B) at
+    KB-sketch cost.  Discrete digests are lossless, so the statistic is the
+    EXACT KS of the data and the oracle recomputes it with window-function
+    CDFs.  Plan: the 5 digest rows cross-join a broadcast single global row
+    — no row-scale join anywhere."""
+    from sketchlib.spark.tdigest_ops import tdigest_ks_udf, tdigest_merge
+
+    docs = load(spark, sf_dir, "documents").select("lang", "n_chars")
+    docs = docs.filter(F.col("n_chars").isNotNull())
+    # cache the (tiny) digest table: it feeds BOTH the per-lang side and the
+    # global merge — without it the plan re-scans the fact table twice
+    lang_dig = tdigest_aggregate(docs, ["lang"], "n_chars", discrete=True).cache()
+    glob = tdigest_merge(lang_dig, [], discrete=True).select(
+        F.col("digest").alias("_gdigest")
+    )
+    return lang_dig.crossJoin(F.broadcast(glob)).select(
+        "lang",
+        tdigest_count_udf("digest").cast("long").alias("n_docs"),
+        tdigest_ks_udf("digest", "_gdigest").alias("ks_global"),
+    )
+
+
+_KS_DRIFT_SQL = """
+WITH d AS (
+  SELECT lang AS k, CAST(n_chars AS DOUBLE) AS v
+  FROM documents WHERE n_chars IS NOT NULL
+), g AS (
+  SELECT k, v, CAST(count(*) AS DOUBLE) AS c FROM d GROUP BY k, v
+), grid AS (  -- every lang is evaluated at EVERY union support point
+  SELECT ks.k, pts.v
+  FROM (SELECT DISTINCT k FROM d) ks CROSS JOIN (SELECT DISTINCT v FROM d) pts
+), j AS (
+  SELECT grid.k, grid.v, coalesce(g.c, 0) AS c
+  FROM grid LEFT JOIN g ON g.k = grid.k AND g.v = grid.v
+), s AS (
+  SELECT k, v,
+         sum(c) OVER (PARTITION BY k ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY k) AS n
+  FROM j
+), ga AS (
+  SELECT v, CAST(count(*) AS DOUBLE) AS c FROM d GROUP BY v
+), sa AS (
+  SELECT v,
+         sum(c) OVER (ORDER BY v) AS cuma,
+         sum(c) OVER () AS na
+  FROM ga
+)
+SELECT s.k AS lang,
+       CAST(max(s.n) AS BIGINT) AS n_docs,
+       max(abs(s.cum / s.n - sa.cuma / sa.na)) AS ks_global
+FROM s JOIN sa ON s.v = sa.v
+GROUP BY s.k
+"""
+
+
+def q_td_winsorize_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-clip (winsorize) normalization — the outlier-taming step of
+    a training-data pipeline, driven by sketches: per-lang p05/p95 come from
+    discrete digests (one scan), are broadcast back as 5 TINY rows, and the
+    row-level clip is pure JVM codegen ``greatest(lo, least(hi, v))`` — NO
+    Python anywhere in the row-scale path, no shuffle of data rows for the
+    join (broadcast hash join; plan-audited).  Two pruned 2-column scans
+    total (stats pass + apply pass) — the canonical compute-then-normalize
+    shape.  Discrete-mode percentiles are
+    exact data values (Nearest Rank), so clipped sums are exact integer
+    arithmetic and the oracle matches bit-for-bit."""
+    docs = load(spark, sf_dir, "documents").select("lang", "n_chars")
+    docs = docs.filter(F.col("n_chars").isNotNull())
+    dig = tdigest_aggregate(docs, ["lang"], "n_chars", discrete=True)
+    q = tdigest_quantiles_udf([0.05, 0.95], discrete=True)
+    bounds = dig.select("lang", q("digest").alias("_b")).select(
+        "lang", F.col("_b")[0].alias("_lo"), F.col("_b")[1].alias("_hi")
+    )
+    v = F.col("n_chars").cast("double")
+    clipped = docs.join(F.broadcast(bounds), "lang").select(
+        "lang",
+        (v < F.col("_lo")).cast("long").alias("_is_lo"),
+        (v > F.col("_hi")).cast("long").alias("_is_hi"),
+        F.greatest("_lo", F.least("_hi", v)).cast("long").alias("_w"),
+        F.col("_lo").cast("long").alias("p05"),
+        F.col("_hi").cast("long").alias("p95"),
+    )
+    return clipped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_is_lo").alias("n_clipped_lo"),
+        F.sum("_is_hi").alias("n_clipped_hi"),
+        F.sum("_w").alias("sum_winsorized"),
+        F.min("p05").alias("p05"),
+        F.min("p95").alias("p95"),
+    )
+
+
+_WINSORIZE_SQL = """
+WITH d AS (
+  SELECT lang AS k, CAST(n_chars AS DOUBLE) AS v
+  FROM documents WHERE n_chars IS NOT NULL
+), g AS (
+  SELECT k, v, CAST(count(*) AS DOUBLE) AS c FROM d GROUP BY k, v
+), s AS (
+  SELECT k, v,
+         sum(c) OVER (PARTITION BY k ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY k) AS total
+  FROM g
+), b AS (
+  SELECT k,
+         min(v) FILTER (WHERE cum >= total * 0.05) AS lo,
+         min(v) FILTER (WHERE cum >= total * 0.95) AS hi
+  FROM s GROUP BY k
+)
+SELECT d.k AS lang,
+       count(*) AS n_docs,
+       sum(CASE WHEN d.v < b.lo THEN 1 ELSE 0 END) AS n_clipped_lo,
+       sum(CASE WHEN d.v > b.hi THEN 1 ELSE 0 END) AS n_clipped_hi,
+       sum(CAST(greatest(b.lo, least(b.hi, d.v)) AS BIGINT)) AS sum_winsorized,
+       CAST(min(b.lo) AS BIGINT) AS p05,
+       CAST(min(b.hi) AS BIGINT) AS p95
+FROM d JOIN b ON d.k = b.k
+GROUP BY d.k
+"""
+
+
 QUERIES = {
     "td_quantiles_by_lang": q_td_quantiles_by_lang,
     "td_discrete_quantiles_by_lang": q_td_discrete_quantiles_by_lang,
@@ -2005,6 +2133,8 @@ QUERIES = {
     "td_merge_laws": q_td_merge_laws,
     "bloom_join_prune": q_bloom_join_prune,
     "hll_hourly_rollup": q_hll_hourly_rollup,
+    "td_ks_drift_by_lang": q_td_ks_drift_by_lang,
+    "td_winsorize_by_lang": q_td_winsorize_by_lang,
 }
 
 ORACLES = {
@@ -2101,4 +2231,6 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
     "td_merge_laws": _MERGE_LAWS_SQL,
     "bloom_join_prune": _BLOOM_JOIN_SQL,
     "hll_hourly_rollup": _HLL_ROLLUP_SQL,
+    "td_ks_drift_by_lang": _KS_DRIFT_SQL,
+    "td_winsorize_by_lang": _WINSORIZE_SQL,
 }

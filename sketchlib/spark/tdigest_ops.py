@@ -47,6 +47,7 @@ from sketchlib.tdigest.core import (
     MergingDigest,
     bytes_to_centroids,
     cdf_of_centroids,
+    ks_of_centroids,
     parse_tdigest_wire,
     quantiles_of_centroids,
     wrap_tdigest_wire,
@@ -353,6 +354,23 @@ def tdigest_centroids_udf(dig: pd.Series) -> pd.Series:
             m, n = bytes_to_centroids(bytes(b))
             out.append([{"mean": float(a), "n": float(c)} for a, c in zip(m, n)])
     return pd.Series(out)
+
+
+@pandas_udf(DoubleType())
+def tdigest_ks_udf(dig_a: pd.Series, dig_b: pd.Series) -> pd.Series:
+    """Two-sample KS distance between two digest columns per row
+    (``ks_of_centroids``): drift detection between stored sketches, zero
+    fact rescans.  Exact when both digests are discrete; NULL if either
+    side is empty.  Post-aggregation only (runs on sketch rows)."""
+    out = []
+    for a, b in zip(dig_a, dig_b):
+        if a is None or b is None or len(a) == 0 or len(b) == 0:
+            out.append(None)
+        else:
+            ma, na = bytes_to_centroids(bytes(a))
+            mb, nb = bytes_to_centroids(bytes(b))
+            out.append(ks_of_centroids(ma, na, mb, nb))
+    return pd.Series(out, dtype="float64")
 
 
 def tdigest_trimmed_mean_udf(lo: float = 0.1, hi: float = 0.9):

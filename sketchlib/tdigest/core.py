@@ -416,6 +416,40 @@ def trimmed_mean_of_centroids(
     return float((means * w).sum() / ws)
 
 
+def ks_of_centroids(
+    means_a: np.ndarray,
+    ns_a: np.ndarray,
+    means_b: np.ndarray,
+    ns_b: np.ndarray,
+) -> float:
+    """Two-sample Kolmogorov–Smirnov distance between two digests:
+    sup_x |F_a(x) − F_b(x)| under the step-CDF convention F(x) = P(X ≤ x).
+
+    Both step functions are constant between support points, so the sup is
+    attained at a point of the UNION support evaluated right after the jump
+    — a max over |cum_a/N_a − cum_b/N_b| at ``union(means)``.  With DISCRETE
+    digests (one exact centroid per distinct value) this is the exact KS
+    statistic of the underlying data — the distribution-drift detector a
+    training pipeline runs between two corpus slices WITHOUT rescanning
+    either: both inputs are stored KB-scale sketches.  With compressed
+    digests it inherits each side's rank-error bound (|error| ≤ δ_a + δ_b).
+    Empty on either side → NaN.
+
+    Float determinism (the oracle hash relies on it): cum counts are exact
+    integers in doubles, and the expression is evaluated pointwise as
+    ``cum_a/N_a − cum_b/N_b`` — the same IEEE ops any SQL engine performs
+    for ``abs(ca/na − cb/nb)``, so results match bit-for-bit.
+    """
+    if len(means_a) == 0 or len(means_b) == 0:
+        return float("nan")
+    na = np.cumsum(ns_a)
+    nb = np.cumsum(ns_b)
+    pts = np.union1d(means_a, means_b)
+    ca = np.concatenate(([0.0], na))[np.searchsorted(means_a, pts, side="right")]
+    cb = np.concatenate(([0.0], nb))[np.searchsorted(means_b, pts, side="right")]
+    return float(np.max(np.abs(ca / na[-1] - cb / nb[-1])))
+
+
 # ---------------------------------------------------------------------------
 # Sequential reference-parity digest
 # ---------------------------------------------------------------------------

@@ -170,3 +170,56 @@ def test_merging_digest_info_counters_advance():
     # deserialize resets counters (process-local state, not wire state)
     rt = MergingDigest.deserialize(big.serialize(), delta=0.01)
     assert rt.info()["auto_compress_count"] == 0
+
+
+def _brute_ks(a: np.ndarray, b: np.ndarray) -> float:
+    """Textbook two-sample KS: max |F_a - F_b| over the pooled sample."""
+    pts = np.union1d(a, b)
+    fa = np.searchsorted(np.sort(a), pts, side="right") / len(a)
+    fb = np.searchsorted(np.sort(b), pts, side="right") / len(b)
+    return float(np.max(np.abs(fa - fb)))
+
+
+def test_ks_discrete_equals_brute_force():
+    from sketchlib.tdigest.core import ks_of_centroids
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 500, 20_000).astype(float)
+    b = (rng.integers(0, 500, 30_000) + rng.integers(0, 50, 30_000)).astype(float)
+    da, db = MergingDigest(discrete=True), MergingDigest(discrete=True)
+    da.update_batch(a), db.update_batch(b)
+    da.compress(), db.compress()
+    ma, na = da._means, da._ns
+    mb, nb = db._means, db._ns
+    ks = ks_of_centroids(ma, na, mb, nb)
+    assert ks == _brute_ks(a, b)
+    # laws: self-distance 0, symmetry, disjoint supports -> 1
+    assert ks_of_centroids(ma, na, ma, na) == 0.0
+    assert ks_of_centroids(mb, nb, ma, na) == ks
+    assert ks_of_centroids(ma, na, mb + 10_000.0, nb) == 1.0
+    assert 0.0 <= ks <= 1.0
+
+
+def test_ks_empty_side_is_nan():
+    from sketchlib.tdigest.core import ks_of_centroids
+
+    e = np.empty(0)
+    m = np.array([1.0, 2.0])
+    n = np.array([3.0, 4.0])
+    assert np.isnan(ks_of_centroids(e, e, m, n))
+    assert np.isnan(ks_of_centroids(m, n, e, e))
+
+
+def test_ks_compressed_within_summed_delta():
+    from sketchlib.tdigest.core import ks_of_centroids
+
+    rng = np.random.default_rng(12)
+    a = rng.normal(0, 1, 100_000)
+    b = rng.normal(0.15, 1, 100_000)
+    exact = _brute_ks(a, b)
+    da, db = MergingDigest(delta=0.01), MergingDigest(delta=0.01)
+    da.update_batch(a), db.update_batch(b)
+    da.compress(), db.compress()
+    approx = ks_of_centroids(da._means, da._ns, db._means, db._ns)
+    # each side's CDF is within its rank-error bound -> KS within the sum
+    assert abs(approx - exact) <= 0.02, (approx, exact)

@@ -292,6 +292,30 @@ def main():
     check("merge-laws broadcast verdict join", p,
           must=[r"BroadcastHashJoin"], must_not=[r"SortMergeJoin"])
 
+    # 6s. KS drift: the digest table is CACHED (one fact scan feeds both the
+    # per-lang side and the global merge) and the global row joins by
+    # broadcast — never a sort-merge join, never a second parquet scan
+    from sketchlib.spark.queries import q_td_ks_drift_by_lang
+
+    df_ks = q_td_ks_drift_by_lang(spark, sf_dir)
+    p = plan_of(df_ks)
+    n_mem = len(re.findall(r"InMemory(?:TableScan|Relation)", p))
+    ok = n_mem >= 2 and not re.search(r"SortMergeJoin", p)
+    print(f"{'ks drift cached digest reuse':40s} {'OK' if ok else 'FAIL'} "
+          f"(cache refs={n_mem})")
+    if not ok:
+        FAIL.append(f"ks drift: cache refs={n_mem} (want >=2) or SortMergeJoin present")
+
+    # 6t. winsorize: the row-scale clip side joins the 5 bound rows by
+    # BROADCAST hash join and the clip itself is codegen — no Python stage
+    # between the probe-side scan and the final aggregate
+    from sketchlib.spark.queries import q_td_winsorize_by_lang
+
+    p = plan_of(q_td_winsorize_by_lang(spark, sf_dir))
+    check("winsorize broadcast bounds join", p,
+          must=[r"BroadcastHashJoin", r"greatest\("],
+          must_not=[r"SortMergeJoin"])
+
     # 7. checkpoint resume: anti-join against completed parts is broadcast
     from sketchlib.spark.checkpoint import TDigestCheckpointer
 
