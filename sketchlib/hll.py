@@ -235,8 +235,15 @@ class HLL(Aggregator):
             (n,) = struct.unpack_from("<I", data, 5)
             off = 9
             itype, isize = ("<u2", 2) if p <= 16 else ("<u4", 4)
+            if len(data) != off + n * (isize + 1):
+                raise ValueError(
+                    f"HLL sparse payload length mismatch: {len(data)} bytes "
+                    f"for {n} pairs (want {off + n * (isize + 1)})"
+                )
             idx = np.frombuffer(data[off : off + n * isize], dtype=itype).astype(np.int64)
             rho = np.frombuffer(data[off + n * isize : off + n * isize + n], dtype=np.uint8)
+            if n and (idx.max() >= out.m or idx.min() < 0):
+                raise ValueError("HLL sparse register index out of range")
             # stay sparse: merged-then-serialized partials never touch 2^p
             # bytes unless the set actually grows past the density cutoff
             out._absorb_pairs(idx, rho.copy())

@@ -2082,6 +2082,126 @@ GROUP BY d.k
 """
 
 
+def q_corpus_profile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-PASS corpus profile: a single scan + a single KB-scale shuffle
+    builds FOUR sketch families per lang (discrete t-digest of n_chars,
+    HLL++ of source, full-capacity Misra–Gries of source, wide CMS of
+    source) via ``sketch_ops.profile_aggregate``.  The dedicated
+    single-sketch paths would cost 4 scans + 4 shuffles; at 100 TB the scan
+    IS the job, so the profile operator is a 4× pass reduction.  Gates:
+    digest quantiles/count are discrete-exact; MG at full capacity (m=64 >
+    20 sources) reports EXACT per-source counts, so top-1 (tie-break
+    (count, source) DESC, pinned in the oracle) is exact; the wide CMS
+    (w=8192 ≫ 20 keys) point-probes the top source collision-free, again
+    exact; HLL++ gets the bounded-error verdict boolean (within max(2%,
+    ±2) of exact).  pytest additionally proves profile output byte-equals
+    each dedicated single-sketch path."""
+    from sketchlib.cms import CMS
+    from sketchlib.hll import HLL
+    from sketchlib.spark.sketch_ops import (
+        mg_items_udf,
+        profile_aggregate,
+        profile_pivot,
+    )
+
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select("lang", "source", "n_chars")
+    specs = [
+        {"name": "td", "col": "n_chars", "kind": "tdigest",
+         "params": {"discrete": True}},
+        {"name": "hll", "col": "source", "kind": "hll", "params": {"p": 14}},
+        {"name": "mg", "col": "source", "kind": "mg", "params": {"m": 64}},
+        {"name": "cms", "col": "source", "kind": "cms",
+         "params": {"width": 8192, "depth": 5}},
+    ]
+    wide = profile_pivot(profile_aggregate(docs, ["lang"], specs), ["lang"], specs)
+
+    @F.pandas_udf("double")
+    def hll_est(blobs):
+        return pd.Series([
+            None if b is None else HLL.deserialize(bytes(b)).estimate()
+            for b in blobs
+        ], dtype="float64")
+
+    @F.pandas_udf("long")
+    def cms_probe(blobs, hs):
+        import numpy as np
+
+        out = []
+        for b, h in zip(blobs, hs):
+            cms = CMS.deserialize(bytes(b))
+            out.append(int(cms.query_hashed(
+                np.array([h], dtype="int64").view(np.uint64))[0]))
+        return pd.Series(out, dtype="int64")
+
+    qq = tdigest_quantiles_udf([0.5, 0.95], discrete=True)
+    top = F.array_max(F.expr(
+        "transform(_items, x -> struct(x.est AS est, x.item AS item))"
+    ))
+    prof = (
+        wide.withColumn("_qs", qq("td"))
+        .withColumn("_items", mg_items_udf()("mg"))
+        .withColumn("_top", top)
+        .select(
+            "lang",
+            tdigest_count_udf("td").cast("long").alias("n_docs"),
+            F.col("_qs")[0].alias("p50"),
+            F.col("_qs")[1].alias("p95"),
+            hll_est("hll").alias("_hll_est"),
+            F.col("_top.item").alias("top_source"),
+            F.col("_top.est").alias("top_source_count"),
+            cms_probe("cms", F.xxhash64(F.col("_top.item"))).alias("cms_top_count"),
+        )
+    )
+    # gate-side exact cardinality (the verdict's reference value, same
+    # pattern as hll_users_by_type) — joined broadcast: 5 sketch rows
+    exact = docs.groupBy("lang").agg(
+        F.countDistinct("source").alias("n_sources_exact")
+    )
+    return exact.join(F.broadcast(prof), "lang").select(
+        "lang", "n_docs", "p50", "p95", "n_sources_exact",
+        (
+            F.abs(F.col("_hll_est") - F.col("n_sources_exact"))
+            <= F.greatest(F.lit(2.0), F.col("n_sources_exact") * 0.02)
+        ).alias("hll_within_tol"),
+        "top_source", "top_source_count", "cms_top_count",
+    )
+
+
+_PROFILE_SQL = """
+WITH g AS (
+  SELECT lang AS k, CAST(n_chars AS DOUBLE) AS v, CAST(count(*) AS DOUBLE) AS c
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY lang, n_chars
+), s AS (
+  SELECT k, v,
+         sum(c) OVER (PARTITION BY k ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY k) AS total
+  FROM g
+), q AS (
+  SELECT k,
+         CAST(max(total) AS BIGINT) AS n_docs,
+         min(v) FILTER (WHERE cum >= total * 0.5) AS p50,
+         min(v) FILTER (WHERE cum >= total * 0.95) AS p95
+  FROM s GROUP BY k
+), src AS (
+  SELECT lang, source, count(*) AS cnt FROM documents GROUP BY lang, source
+), top AS (
+  SELECT lang, source, cnt,
+         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, source DESC) AS rn
+  FROM src
+), ns AS (
+  SELECT lang, count(DISTINCT source) AS n_sources_exact
+  FROM documents GROUP BY lang
+)
+SELECT q.k AS lang, q.n_docs, q.p50, q.p95, ns.n_sources_exact,
+       TRUE AS hll_within_tol,
+       top.source AS top_source, top.cnt AS top_source_count,
+       top.cnt AS cms_top_count
+FROM q JOIN ns ON ns.lang = q.k JOIN top ON top.lang = q.k AND top.rn = 1
+"""
+
+
 QUERIES = {
     "td_quantiles_by_lang": q_td_quantiles_by_lang,
     "td_discrete_quantiles_by_lang": q_td_discrete_quantiles_by_lang,
@@ -2135,6 +2255,7 @@ QUERIES = {
     "hll_hourly_rollup": q_hll_hourly_rollup,
     "td_ks_drift_by_lang": q_td_ks_drift_by_lang,
     "td_winsorize_by_lang": q_td_winsorize_by_lang,
+    "corpus_profile_by_lang": q_corpus_profile_by_lang,
 }
 
 ORACLES = {
@@ -2233,4 +2354,5 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
     "hll_hourly_rollup": _HLL_ROLLUP_SQL,
     "td_ks_drift_by_lang": _KS_DRIFT_SQL,
     "td_winsorize_by_lang": _WINSORIZE_SQL,
+    "corpus_profile_by_lang": _PROFILE_SQL,
 }

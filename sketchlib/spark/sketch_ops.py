@@ -19,7 +19,7 @@ from typing import Iterable, Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import BinaryType, StructField, StructType
+from pyspark.sql.types import BinaryType, StringType, StructField, StructType
 
 from sketchlib.bloom import Bloom
 from sketchlib.cms import CMS
@@ -254,3 +254,180 @@ def mg_total_udf():
         ])
 
     return f
+
+
+# ---------------------------------------------------------------------------
+# One-pass multi-sketch profile
+# ---------------------------------------------------------------------------
+
+#: kinds usable in profile specs: every registry sketch plus the t-digest
+#: (which lives outside SKETCHES because tdigest_ops has a specialized path)
+_PROFILE_KINDS = set(SKETCHES) | {"tdigest"}
+
+
+def _spec_proj(spec: dict, i: int):
+    """JVM-side typed projection for one profile spec (pre-hash / cast
+    happens in whole-stage codegen, exactly like the single-sketch path)."""
+    kind, col = spec["kind"], spec["col"]
+    alias = f"_v{i}"
+    if kind in _HASHED:
+        return F.xxhash64(col).alias(alias)
+    if kind in _RAW:
+        return F.col(col).cast("string").alias(alias)
+    return F.col(col).cast("double").alias(alias)  # kll, tdigest
+
+
+def _spec_new(spec: dict):
+    from sketchlib.tdigest.core import MergingDigest
+
+    params = dict(spec.get("params") or {})
+    if spec["kind"] == "tdigest":
+        return MergingDigest(**params)
+    return SKETCHES[spec["kind"]](**params)
+
+
+def _spec_vals(spec: dict, series: pd.Series):
+    if spec["kind"] in _HASHED:
+        return series.to_numpy(dtype="int64").view(np.uint64)
+    if spec["kind"] in _RAW:
+        return series.to_numpy(dtype=object)
+    return series.to_numpy(dtype="float64", na_value=np.nan)
+
+
+def profile_partials(df: DataFrame, keys: list[str], specs: list[dict]) -> DataFrame:
+    """ONE scan builds partials for EVERY spec: the corpus-profile pattern.
+
+    ``specs``: list of ``{"name": str, "col": str, "kind": str, "params":
+    dict}`` where kind ∈ sketch registry ∪ {"tdigest"}.  A profile of S
+    sketch families over K keys costs 1 scan + (in ``profile_aggregate``)
+    1 shuffle of K·S KB-scale sketch rows — the single-sketch path costs
+    S scans + S shuffles.  At 100 TB the scan IS the job; this is the
+    difference between one pass over the corpus and six.
+
+    Output is LONG format: ``keys + (sk_name string, sketch binary)``, one
+    row per (partition × key × spec); ``profile_pivot`` widens it.
+    Per-row ingest is the same vectorized batch path as the single-sketch
+    builders — no per-row Python.
+    """
+    from sketchlib.spark.shipping import ensure_on_workers
+
+    ensure_on_workers(df.sparkSession)
+    names = [s["name"] for s in specs]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate spec names: {names}")
+    for s in specs:
+        if s["kind"] not in _PROFILE_KINDS:
+            raise ValueError(f"unknown sketch kind {s['kind']!r} in spec {s['name']!r}")
+    narrow = df.select(*keys, *(_spec_proj(s, i) for i, s in enumerate(specs)))
+    key_fields = [narrow.schema[k] for k in keys]
+    out_schema = StructType(
+        [StructField(f.name, f.dataType, True) for f in key_fields]
+        + [StructField("sk_name", StringType(), False),
+           StructField("sketch", BinaryType(), True)]
+    )
+
+    def build(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        aggs: dict[tuple, object] = {}  # (key..., spec_idx) -> sketch
+        for pdf in batches:
+            vals = [_spec_vals(s, pdf[f"_v{i}"]) for i, s in enumerate(specs)]
+            groups = (
+                pdf.groupby(keys, dropna=False, sort=False).indices.items()
+                if keys
+                else [((), np.arange(len(pdf)))]
+            )
+            for key, idx in groups:
+                key = _norm_key(key)
+                for i, s in enumerate(specs):
+                    agg = aggs.get(key + (i,))
+                    if agg is None:
+                        agg = aggs[key + (i,)] = _spec_new(s)
+                    if s["kind"] in _HASHED:
+                        agg.update_hashed(vals[i][idx])
+                    else:
+                        agg.update_batch(vals[i][idx])
+        if aggs:
+            rows = {name: [k[j] for k in aggs] for j, name in enumerate(keys)}
+            rows["sk_name"] = [specs[k[-1]]["name"] for k in aggs]
+            rows["sketch"] = [a.serialize() for a in aggs.values()]
+            yield pd.DataFrame(rows, columns=keys + ["sk_name", "sketch"])
+
+    return narrow.mapInPandas(build, schema=out_schema)
+
+
+def profile_merge(partials: DataFrame, keys: list[str], specs: list[dict]) -> DataFrame:
+    """Phase 2: ONE repartition on the keys co-locates every spec's partials
+    for a key; a mapInPandas accumulator merges per (key, spec) — one Python
+    call per Arrow batch.  Holds (keys-per-partition × specs) sketches in
+    memory at once: size profile specs accordingly (KB-scale params; a dense
+    8 MB Bloom per spec belongs on the dedicated single-sketch path)."""
+    from sketchlib.spark.shipping import ensure_on_workers
+
+    from sketchlib.tdigest.core import MergingDigest
+
+    ensure_on_workers(partials.sparkSession)
+    by_name = {s["name"]: s for s in specs}
+    key_fields = [partials.schema[k] for k in keys]
+    out_schema = StructType(
+        [StructField(f.name, f.dataType, True) for f in key_fields]
+        + [StructField("sk_name", StringType(), False),
+           StructField("sketch", BinaryType(), True)]
+    )
+
+    def merge_stream(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        accs: dict[tuple, object] = {}  # (key..., name) -> sketch
+        for pdf in batches:
+            blobs = pdf["sketch"].to_numpy()
+            names_col = pdf["sk_name"].to_numpy()
+            groups = (
+                pdf.groupby(keys, dropna=False, sort=False).indices.items()
+                if keys
+                else [((), np.arange(len(pdf)))]
+            )
+            for key, idx in groups:
+                key = _norm_key(key)
+                for j in idx:
+                    b = blobs[j]
+                    if b is None:
+                        continue
+                    name = names_col[j]
+                    spec = by_name[name]
+                    params = dict(spec.get("params") or {})
+                    acc = accs.get(key + (name,))
+                    if spec["kind"] == "tdigest":
+                        if acc is None:
+                            acc = accs[key + (name,)] = MergingDigest(**params)
+                        acc.merge_bytes(bytes(b))
+                    else:
+                        s = SKETCHES[spec["kind"]].deserialize(bytes(b), **params)
+                        accs[key + (name,)] = s if acc is None else acc.merge(s)
+        if accs:
+            for k, a in accs.items():
+                if isinstance(a, MergingDigest):
+                    a.compress()
+            rows = {name: [k[j] for k in accs] for j, name in enumerate(keys)}
+            rows["sk_name"] = [k[-1] for k in accs]
+            rows["sketch"] = [a.serialize() for a in accs.values()]
+            yield pd.DataFrame(rows, columns=keys + ["sk_name", "sketch"])
+
+    shuffled = (
+        partials.repartition(*[F.col(k) for k in keys])
+        if keys
+        else partials.coalesce(1)
+    )
+    return shuffled.mapInPandas(merge_stream, schema=out_schema)
+
+
+def profile_aggregate(df: DataFrame, keys: list[str], specs: list[dict]) -> DataFrame:
+    """One scan + one shuffle → merged sketches for every spec (long format)."""
+    return profile_merge(profile_partials(df, keys, specs), keys, specs)
+
+
+def profile_pivot(profile: DataFrame, keys: list[str], specs: list[dict]) -> DataFrame:
+    """Widen the long profile: one binary column per spec name.  Runs on
+    sketch rows only (K·S rows) — the pivot shuffle is KB-scale."""
+    names = [s["name"] for s in specs]
+    return (
+        profile.groupBy(*keys)
+        .pivot("sk_name", names)
+        .agg(F.first("sketch"))
+    )

@@ -1,0 +1,143 @@
+"""One-pass multi-sketch profile (sketch_ops.profile_*): a single scan +
+single shuffle must produce EXACTLY the sketches the dedicated per-family
+paths produce — byte-for-byte for the order-invariant kinds (discrete
+t-digest lossless union, HLL register-max, CMS counter-sum) and
+value-for-value for MG at full capacity.
+"""
+
+import numpy as np
+import pytest
+
+from tests.conftest import SF_SMALL
+
+SPECS = [
+    {"name": "td", "col": "n_chars", "kind": "tdigest", "params": {"discrete": True}},
+    {"name": "hll", "col": "source", "kind": "hll", "params": {"p": 14}},
+    {"name": "mg", "col": "source", "kind": "mg", "params": {"m": 64}},
+    {"name": "cms", "col": "source", "kind": "cms",
+     "params": {"width": 4096, "depth": 5}},
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def wide(spark, docs):
+    from sketchlib.spark.sketch_ops import profile_aggregate, profile_pivot
+
+    rows = profile_pivot(
+        profile_aggregate(docs, ["lang"], SPECS), ["lang"], SPECS
+    ).collect()
+    return {r["lang"]: r for r in rows}
+
+
+def test_profile_tdigest_bytes_equal_dedicated(spark, docs, wide):
+    from sketchlib.spark.tdigest_ops import tdigest_aggregate
+
+    ded = {
+        r["lang"]: bytes(r["digest"])
+        for r in tdigest_aggregate(docs, ["lang"], "n_chars", discrete=True).collect()
+    }
+    assert set(ded) == set(wide)
+    for lang, blob in ded.items():
+        assert bytes(wide[lang]["td"]) == blob
+
+
+@pytest.mark.parametrize("name,kind,params", [
+    ("hll", "hll", {"p": 14}),
+    ("cms", "cms", {"width": 4096, "depth": 5}),
+])
+def test_profile_sketch_bytes_equal_dedicated(spark, docs, wide, name, kind, params):
+    from sketchlib.spark.sketch_ops import sketch_aggregate
+
+    ded = {
+        r["lang"]: bytes(r["sketch"])
+        for r in sketch_aggregate(docs, ["lang"], "source", kind, params).collect()
+    }
+    for lang, blob in ded.items():
+        assert bytes(wide[lang][name]) == blob
+
+
+def test_profile_mg_exact_at_full_capacity(spark, docs, wide):
+    from pyspark.sql import functions as F
+
+    from sketchlib.mg import MisraGries
+
+    exact = {
+        (r["lang"], r["source"]): r["n"]
+        for r in docs.groupBy("lang", "source").agg(F.count("*").alias("n")).collect()
+    }
+    seen = 0
+    for lang, r in wide.items():
+        mg = MisraGries.deserialize(bytes(r["mg"]))
+        for item, est in mg.items():
+            assert exact[(lang, item)] == est
+            seen += 1
+    assert seen == len(exact)  # full capacity: every (lang, source) retained
+
+
+def test_profile_partition_invariance(spark, docs):
+    """Same sketches out of any input partitioning (the merge is a
+    commutative monoid per kind)."""
+    from sketchlib.spark.sketch_ops import profile_aggregate, profile_pivot
+
+    a = profile_pivot(profile_aggregate(docs.repartition(7), ["lang"], SPECS),
+                      ["lang"], SPECS).collect()
+    b = profile_pivot(profile_aggregate(docs.coalesce(1), ["lang"], SPECS),
+                      ["lang"], SPECS).collect()
+    da = {r["lang"]: r for r in a}
+    db = {r["lang"]: r for r in b}
+    assert set(da) == set(db)
+    for lang in da:
+        for name in ("td", "hll", "cms"):  # byte-invariant kinds
+            assert bytes(da[lang][name]) == bytes(db[lang][name]), (lang, name)
+        # MG content (dict) is exact at full capacity regardless of layout
+        from sketchlib.mg import MisraGries
+
+        assert (dict(MisraGries.deserialize(bytes(da[lang]["mg"])).items())
+                == dict(MisraGries.deserialize(bytes(db[lang]["mg"])).items()))
+
+
+def test_profile_plan_one_scan_one_exchange(spark, docs):
+    """The whole multi-family build is 1 parquet scan + 1 Exchange (of
+    KB-scale sketch rows) — the scale contract of the operator."""
+    import re
+
+    from sketchlib.spark.sketch_ops import profile_aggregate
+
+    df = profile_aggregate(docs, ["lang"], SPECS)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 2, plan
+
+
+def test_profile_spec_validation(spark, docs):
+    from sketchlib.spark.sketch_ops import profile_partials
+
+    with pytest.raises(ValueError, match="duplicate"):
+        profile_partials(docs, ["lang"], [
+            {"name": "x", "col": "source", "kind": "hll", "params": {}},
+            {"name": "x", "col": "source", "kind": "mg", "params": {}},
+        ])
+    with pytest.raises(ValueError, match="unknown sketch kind"):
+        profile_partials(docs, ["lang"], [
+            {"name": "x", "col": "source", "kind": "nope", "params": {}},
+        ])
+
+
+def test_profile_no_keys_global(spark, docs):
+    """keys=[] collapses to one global row per spec."""
+    from sketchlib.hll import HLL
+    from sketchlib.spark.sketch_ops import profile_aggregate
+
+    rows = profile_aggregate(docs, [], SPECS[1:2]).collect()
+    assert len(rows) == 1
+    est = HLL.deserialize(bytes(rows[0]["sketch"])).estimate()
+    exact = docs.select("source").distinct().count()
+    assert abs(est - exact) <= max(2.0, exact * 0.02)

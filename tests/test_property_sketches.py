@@ -100,3 +100,20 @@ def test_kll_split_merge_rank_bound(xs, k):
         lo = sx[max(0, int(np.floor((p - tol) * n)))]
         hi = sx[min(n - 1, int(np.ceil((p + tol) * n)))]
         assert lo <= est <= hi, (p, est, lo, hi)
+
+
+def test_hll_truncated_blob_raises():
+    """A truncated sparse or dense blob must raise, never silently decode
+    fewer registers (parity with the t-digest %16 length check)."""
+    import numpy as np
+    import pytest
+
+    from sketchlib.hll import HLL
+
+    h = HLL(p=12)
+    h.update_hashed((np.arange(1, 500, dtype=np.uint64)
+                     * np.uint64(0x9E3779B97F4A7C15)))
+    for blob in (h.serialize(),):
+        for cut in (1, 2, 3, 7):
+            with pytest.raises(ValueError):
+                HLL.deserialize(blob[:-cut])

@@ -316,6 +316,20 @@ def main():
           must=[r"BroadcastHashJoin", r"greatest\("],
           must_not=[r"SortMergeJoin"])
 
+    # 6u. one-pass profile: FOUR sketch families from ONE fact scan + one
+    # sketch-row Exchange; the gated query adds exactly one more scan (the
+    # exact-cardinality verdict) and joins the 5 sketch rows by broadcast
+    from sketchlib.spark.queries import q_corpus_profile_by_lang
+
+    p = plan_of(q_corpus_profile_by_lang(spark, sf_dir))
+    n_scan = len(re.findall(r"\(\d+\) Scan parquet", p))
+    ok = n_scan == 2 and re.search(r"BroadcastHashJoin", p) and not re.search(
+        r"SortMergeJoin", p)
+    print(f"{'profile: 1 sketch scan + 1 verdict scan':40s} "
+          f"{'OK' if ok else 'FAIL'} (scans={n_scan})")
+    if not ok:
+        FAIL.append(f"profile: scans={n_scan} (want 2) or join shape wrong")
+
     # 7. checkpoint resume: anti-join against completed parts is broadcast
     from sketchlib.spark.checkpoint import TDigestCheckpointer
 
