@@ -467,6 +467,70 @@ def sketches_bench() -> None:
     print(json.dumps(result))
 
 
+def profile_bench() -> None:
+    """One-pass multi-sketch profile vs the dedicated per-family builds over
+    the 8M-row pages table: same four sketches (production t-digest of text
+    length, HLL p14 + CMS 16k×5 + MG m64 of url) per lang, measured as ONE
+    profile_aggregate pass vs the SUM of four dedicated passes.  The ratio
+    is the pass-reduction headroom a 100-TB corpus profile gets (the scan
+    dominates there; locally Python sketch CPU shares one scan).  One JSON
+    line."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.session import get_spark
+    from sketchlib.spark.sketch_ops import profile_aggregate, sketch_aggregate
+    from sketchlib.spark.tdigest_ops import tdigest_aggregate
+
+    path = os.path.join(BENCH_DIR, f"pages_{BENCH_ROWS}.parquet")
+    ensure_pages(path, BENCH_ROWS)
+    spark = get_spark("profile-bench", cpus=CPUS,
+                      extra={"spark.sql.files.maxPartitionBytes": str(32 << 20),
+                             "spark.sql.files.openCostInBytes": str(32 << 20)})
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = spark.read.parquet(path).select(
+        "lang", "url", F.length("text").cast("double").alias("n_chars"))
+    n = pages.count()
+
+    specs = [
+        {"name": "td", "col": "n_chars", "kind": "tdigest",
+         "params": {"delta": 0.01}},
+        {"name": "hll", "col": "url", "kind": "hll", "params": {"p": 14}},
+        {"name": "cms", "col": "url", "kind": "cms",
+         "params": {"width": 16384, "depth": 5}},
+        {"name": "mg", "col": "url", "kind": "mg", "params": {"m": 64}},
+    ]
+
+    def one_pass():
+        profile_aggregate(pages, ["lang"], specs).collect()
+
+    def dedicated():
+        tdigest_aggregate(pages, ["lang"], "n_chars", delta=0.01).collect()
+        sketch_aggregate(pages, ["lang"], "url", "hll", {"p": 14}).collect()
+        sketch_aggregate(pages, ["lang"], "url", "cms",
+                         {"width": 16384, "depth": 5}).collect()
+        sketch_aggregate(pages, ["lang"], "url", "mg", {"m": 64}).collect()
+
+    def best_of(fn, reps=2):
+        fn()  # warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        return best
+
+    t_prof = best_of(one_pass)
+    t_ded = best_of(dedicated)
+    spark.stop()
+    print(json.dumps({
+        "rows": n, "cpus": CPUS, "families": len(specs),
+        "profile_one_pass_sec": round(t_prof, 2),
+        "dedicated_sum_sec": round(t_ded, 2),
+        "speedup": round(t_ded / t_prof, 2),
+        "profile_docs_per_sec": round(n / t_prof, 1),
+    }))
+
+
 def scaling_main() -> None:
     """Interleaved rounds across parallelism levels: the host shows strong
     noisy-neighbor drift (same job varies ~2x over tens of minutes), so
@@ -803,7 +867,7 @@ def frequent_items_bench() -> None:
 
 _MODES = (
     "--scaling", "--compare-builtin", "--sketches", "--frequent",
-    "--joins", "--measure-build",
+    "--joins", "--profile", "--measure-build",
 )
 
 if __name__ == "__main__":
@@ -821,6 +885,8 @@ if __name__ == "__main__":
         sketches_bench()
     elif len(sys.argv) > 1 and sys.argv[1] == "--frequent":
         frequent_items_bench()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--profile":
+        profile_bench()
     elif len(sys.argv) > 1 and sys.argv[1] == "--joins":
         joins_bench()
     elif len(sys.argv) > 1 and sys.argv[1] == "--measure-build":

@@ -2072,8 +2072,8 @@ WITH d AS (
 )
 SELECT d.k AS lang,
        count(*) AS n_docs,
-       sum(CASE WHEN d.v < b.lo THEN 1 ELSE 0 END) AS n_clipped_lo,
-       sum(CASE WHEN d.v > b.hi THEN 1 ELSE 0 END) AS n_clipped_hi,
+       CAST(sum(CASE WHEN d.v < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+       CAST(sum(CASE WHEN d.v > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
        sum(CAST(greatest(b.lo, least(b.hi, d.v)) AS BIGINT)) AS sum_winsorized,
        CAST(min(b.lo) AS BIGINT) AS p05,
        CAST(min(b.hi) AS BIGINT) AS p95
