@@ -71,12 +71,16 @@ def exact_dedup_keepers(df: DataFrame, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 
-def shingle_sets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                 ngram: int = 3) -> DataFrame:
-    """(id, shingle) distinct pairs; shingles are word n-grams joined by a
-    single space.  Documents with fewer than ``ngram`` tokens contribute one
-    whole-text shingle."""
-    d = with_tokens(df.select(id_col, text_col), text_col)
+def shingle_arrays(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                   ngram: int = 3, keep: list[str] | None = None) -> DataFrame:
+    """(id, shingles: array<string>) with the DISTINCT word n-grams of each
+    document (space-joined).  Documents with fewer than ``ngram`` tokens
+    contribute one whole-text shingle.  ``keep``: extra columns carried
+    through (e.g. lang for per-lang contamination stats).  Keeping the
+    per-doc set as ONE array row lets callers read its exact size without
+    re-shuffling the exploded frame by doc id."""
+    cols = [id_col] + list(keep or [])
+    d = with_tokens(df.select(*cols, text_col), text_col)
     sh = F.when(
         F.size("tokens") >= ngram,
         F.array_distinct(
@@ -86,7 +90,16 @@ def shingle_sets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             )
         ),
     ).otherwise(F.array(F.col(text_col)))
-    return d.select(F.col(id_col), F.explode(sh).alias("shingle"))
+    return d.select(*cols, sh.alias("shingles"))
+
+
+def shingle_sets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                 ngram: int = 3) -> DataFrame:
+    """(id, shingle) distinct pairs; shingles are word n-grams joined by a
+    single space.  Documents with fewer than ``ngram`` tokens contribute one
+    whole-text shingle."""
+    arr = shingle_arrays(df, id_col, text_col, ngram)
+    return arr.select(F.col(id_col), F.explode("shingles").alias("shingle"))
 
 
 def hashed_shingle_sets(df: DataFrame, id_col: str = "doc_id",
@@ -571,4 +584,68 @@ def dedup_group_keepers(
         df.select(F.col(id_col).alias("id"))
         .join(grouped, "id", "left")
         .select("id", F.coalesce("keeper_id", F.col("id")).alias("keeper_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus contamination (train/eval decontamination)
+# ---------------------------------------------------------------------------
+
+
+def contamination_hits(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 5,
+    keep: list[str] | None = None,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Per-train-document eval-set n-gram containment — the test-set
+    decontamination primitive of an LLM training pipeline (flag training
+    documents that share word n-grams with a held-out benchmark/eval
+    corpus, the standard n-gram-overlap decontamination rule).
+
+    Returns one row per train doc: (id, [keep...], n_ngrams, n_hits,
+    containment) where n_ngrams is the doc's DISTINCT n-gram count, n_hits
+    how many of those appear anywhere in the eval corpus, and containment
+    = n_hits / n_ngrams (one division of two exact BIGINTs —
+    bit-identical across engines).
+
+    Scale design (100 TB train, MB..GB eval): the eval n-gram set is tiny
+    relative to the corpus (benchmarks are at most millions of n-grams) —
+    it is DISTINCTed and **broadcast**, so the train side is never
+    shuffled: per-doc n_ngrams is read off the shingle array BEFORE
+    exploding (no groupBy over the full exploded frame), and the hit count
+    is a broadcast-hash semi-probe whose groupBy(id) only shuffles HIT
+    rows (bounded by contamination volume, not corpus size).  For
+    billion-n-gram eval sets switch ``broadcast_eval=False`` (shuffle
+    equi-join) — same semantics.
+    """
+    arr = shingle_arrays(train, id_col, text_col, ngram, keep=keep)
+    sizes = arr.select(
+        id_col, *(keep or []), F.size("shingles").cast("long").alias("n_ngrams")
+    )
+    tr = arr.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    ev = (
+        shingle_sets(eval_df, id_col, text_col, ngram)
+        .select("shingle")
+        .distinct()
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    hits = (
+        tr.join(ev, "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0).cast("long"))
+    return sizes.join(hits, id_col, "left").select(
+        id_col,
+        *(keep or []),
+        "n_ngrams",
+        n_hits.alias("n_hits"),
+        (n_hits.cast("double") / F.col("n_ngrams").cast("double")).alias(
+            "containment"
+        ),
     )

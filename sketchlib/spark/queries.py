@@ -2202,6 +2202,94 @@ FROM q JOIN ns ON ns.lang = q.k JOIN top ON top.lang = q.k AND top.rn = 1
 """
 
 
+def q_decontam_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: per-lang stats of train documents sharing
+    word 4-grams with a held-out eval split (doc_id % 23 == 0 — the
+    deterministic stand-in for a benchmark corpus).  The eval n-gram set is
+    DISTINCTed and broadcast, train-side per-doc n-gram counts are read off
+    the shingle array BEFORE exploding, and the hit groupBy shuffles only
+    HIT rows — the train corpus is never shuffled (see
+    ``dedup.contamination_hits``).  All counters exact BIGINTs;
+    max_containment is a max over single exact divisions."""
+    from sketchlib.spark.dedup import contamination_hits
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    train = docs.filter(F.col("doc_id") % 23 != 0)
+    ev = docs.filter(F.col("doc_id") % 23 == 0)
+    per_doc = contamination_hits(train, ev, ngram=4, keep=["lang"])
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_train_docs"),
+        F.sum((F.col("n_hits") > 0).cast("long")).alias("n_contaminated"),
+        F.sum("n_hits").alias("sum_hits"),
+        F.sum("n_ngrams").alias("sum_ngrams"),
+        F.max("containment").alias("max_containment"),
+    )
+
+
+_DECONTAM_SQL = f"""
+WITH t AS (SELECT doc_id, lang, text, {_TOKS} AS tk FROM documents),
+arr AS (
+  SELECT doc_id, lang,
+    CASE WHEN len(tk) >= 4 THEN
+      list_distinct(list_transform(range(1, len(tk) - 2),
+                                   i -> array_to_string(tk[i:i+3], ' ')))
+    ELSE [text] END AS sh
+  FROM t
+),
+tr AS (SELECT * FROM arr WHERE doc_id % 23 != 0),
+ev AS (SELECT DISTINCT unnest(sh) AS shingle FROM arr WHERE doc_id % 23 = 0),
+ex AS (SELECT doc_id, unnest(sh) AS shingle FROM tr),
+hits AS (SELECT ex.doc_id, count(*) AS h
+         FROM ex JOIN ev USING (shingle) GROUP BY 1),
+per AS (
+  SELECT tr.doc_id, tr.lang, len(sh)::BIGINT AS n_ngrams,
+         coalesce(h, 0)::BIGINT AS n_hits
+  FROM tr LEFT JOIN hits ON tr.doc_id = hits.doc_id
+)
+SELECT lang,
+       count(*) AS n_train_docs,
+       CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       CAST(sum(n_hits) AS BIGINT) AS sum_hits,
+       CAST(sum(n_ngrams) AS BIGINT) AS sum_ngrams,
+       max(CAST(n_hits AS DOUBLE) / CAST(n_ngrams AS DOUBLE))
+         AS max_containment
+FROM per GROUP BY lang
+"""
+
+
+def q_text_repetition_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition quality filter (Gopher/C4-style duplicate
+    3-gram ratio > 0.2 flag) per lang — pure JVM codegen over a 2-column
+    scan, one tiny per-lang shuffle row, integer cross-multiply flag test
+    (see ``textops.repetition_stats``)."""
+    from sketchlib.spark.textops import repetition_stats
+
+    return repetition_stats(load(spark, sf_dir, "documents"))
+
+
+_REPETITION_SQL = f"""
+WITH t AS (SELECT lang, {_TOKS} AS tk FROM documents),
+per AS (
+  SELECT lang,
+    (CASE WHEN len(tk) >= 3 THEN len(tk) - 2 ELSE 0 END)::BIGINT AS n,
+    (CASE WHEN len(tk) >= 3 THEN
+       len(tk) - 2 - len(list_distinct(list_transform(
+         range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))))
+     ELSE 0 END)::BIGINT AS dup
+  FROM t
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN dup * 10 > n * 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       CAST(sum(n) AS BIGINT) AS sum_ngrams,
+       CAST(sum(dup) AS BIGINT) AS sum_dup_ngrams,
+       CAST(sum(dup) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS dup_ratio
+FROM per GROUP BY lang
+"""
+
+
 QUERIES = {
     "td_quantiles_by_lang": q_td_quantiles_by_lang,
     "td_discrete_quantiles_by_lang": q_td_discrete_quantiles_by_lang,
@@ -2256,6 +2344,8 @@ QUERIES = {
     "td_ks_drift_by_lang": q_td_ks_drift_by_lang,
     "td_winsorize_by_lang": q_td_winsorize_by_lang,
     "corpus_profile_by_lang": q_corpus_profile_by_lang,
+    "decontam_eval_overlap": q_decontam_eval_overlap,
+    "text_repetition_by_lang": q_text_repetition_by_lang,
 }
 
 ORACLES = {
@@ -2355,4 +2445,6 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
     "td_ks_drift_by_lang": _KS_DRIFT_SQL,
     "td_winsorize_by_lang": _WINSORIZE_SQL,
     "corpus_profile_by_lang": _PROFILE_SQL,
+    "decontam_eval_overlap": _DECONTAM_SQL,
+    "text_repetition_by_lang": _REPETITION_SQL,
 }

@@ -155,3 +155,71 @@ def fingerprint_docs(
         .alias("fingerprint"),
         F.size("tokens").cast("long").alias("n_tokens"),
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    ngram: int = 3,
+    flag_num: int = 2,
+    flag_den: int = 10,
+) -> DataFrame:
+    """Within-document repetition filter (the Gopher/C4-style "fraction of
+    duplicate n-grams" quality rule): per ``group_col``, how many documents
+    exceed a duplicate-``ngram`` ratio of flag_num/flag_den (default 0.2),
+    plus the corpus-level duplicate mass.
+
+    All counters are exact BIGINTs computed inside ONE projection — total
+    n-grams is ``len - ngram + 1`` read off the token array, distinct
+    n-grams is ``size(array_distinct(...))``, and the flag test is the
+    integer cross-multiply ``dup * flag_den > total * flag_num`` (no float
+    compares anywhere).  The only float output, dup_ratio, is a single
+    division of two exactly-aggregated BIGINT sums — bit-identical across
+    engines and partitionings.  Per-row work is pure JVM codegen over a
+    2-column scan; the shuffle is one tiny per-group row.
+    """
+    d = with_tokens(df.select(group_col, text_col), text_col)
+    n_total = F.when(
+        F.size("tokens") >= ngram, F.size("tokens") - (ngram - 1)
+    ).otherwise(F.lit(0)).cast("long")
+    n_distinct = F.when(
+        F.size("tokens") >= ngram,
+        F.size(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tokens") - (ngram - 1)),
+                    lambda i: F.concat_ws(" ", F.slice("tokens", i, ngram)),
+                )
+            )
+        ),
+    ).otherwise(F.lit(0)).cast("long")
+    per_doc = d.select(
+        group_col,
+        n_total.alias("_n"),
+        (n_total - n_distinct).alias("_dup"),
+    )
+    flagged = (
+        (F.col("_dup") * F.lit(flag_den) > F.col("_n") * F.lit(flag_num))
+        .cast("long")
+    )
+    return (
+        per_doc.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(flagged).alias("n_flagged"),
+            F.sum("_n").alias("sum_ngrams"),
+            F.sum("_dup").alias("sum_dup_ngrams"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "n_flagged",
+            "sum_ngrams",
+            "sum_dup_ngrams",
+            (
+                F.col("sum_dup_ngrams").cast("double")
+                / F.col("sum_ngrams").cast("double")
+            ).alias("dup_ratio"),
+        )
+    )

@@ -229,3 +229,43 @@ def test_hashed_shingles_null_text_matches_string_mode(spark):
     )
     assert minhash_lsh_dedup_pairs(df, 0.8).count() == 0
     assert minhash_lsh_dedup_pairs(df, 0.8, hashed_verify=True).count() == 0
+
+
+def test_contamination_hits_exact(spark):
+    from sketchlib.spark.dedup import contamination_hits
+
+    train = spark.createDataFrame(
+        [(1, "en", "a b c d e f"),      # 4-grams: abcd bcde cdef
+         (2, "en", "x y z w v"),        # xyzw yzwv -> no eval overlap
+         (3, "de", "a b c d q q q q"),  # shares abcd with eval
+         (4, "de", "t"),                # short: whole-text shingle "t"
+         (5, "de", None)],              # NULL text: 1 null shingle, 0 hits
+        "doc_id long, lang string, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "en", "a b c d e"),      # eval 4-grams: abcd bcde
+         (101, "en", "t")],             # whole-text shingle "t"
+        "doc_id long, lang string, text string",
+    )
+    got = {r["doc_id"]: r.asDict()
+           for r in contamination_hits(train, ev, ngram=4, keep=["lang"]).collect()}
+    assert got[1]["n_hits"] == 2 and got[1]["n_ngrams"] == 3
+    assert got[1]["containment"] == 2 / 3
+    assert got[2]["n_hits"] == 0
+    assert got[3]["n_hits"] == 1  # abcd only; qqqq repeats dedup to 1 gram
+    assert got[4]["n_hits"] == 1 and got[4]["containment"] == 1.0
+    assert got[5]["n_hits"] == 0 and got[5]["n_ngrams"] == 1
+
+
+def test_contamination_shuffle_join_same_result(spark):
+    from sketchlib.spark.dedup import contamination_hits
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "lang", "text")
+    import pyspark.sql.functions as F
+    train = docs.filter(F.col("doc_id") % 23 != 0)
+    ev = docs.filter(F.col("doc_id") % 23 == 0)
+    a = sorted(map(tuple, contamination_hits(train, ev, ngram=4).collect()))
+    b = sorted(map(tuple, contamination_hits(
+        train, ev, ngram=4, broadcast_eval=False).collect()))
+    assert a == b

@@ -71,3 +71,48 @@ def test_fingerprint_short_doc(spark):
     [r] = fingerprint_docs(df).collect()
     assert r["fingerprint"] == hashlib.md5(b"tiny doc").hexdigest()[:16]
     assert r["n_tokens"] == 2
+
+
+def test_repetition_stats_matches_python(spark):
+    from sketchlib.spark.textops import repetition_stats
+
+    docs = _docs(spark)
+    got = {r["lang"]: r.asDict() for r in repetition_stats(docs).collect()}
+    # python reference
+    import collections
+    agg = collections.defaultdict(lambda: [0, 0, 0, 0])  # docs, flagged, n, dup
+    for r in docs.select("lang", "text").collect():
+        toks = [w for w in (r["text"] or "").split(" ") if w] if r["text"] is not None else None
+        if toks is None or len(toks) < 3:
+            n = dup = 0
+        else:
+            grams = [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
+            n = len(grams)
+            dup = n - len(set(grams))
+        a = agg[r["lang"]]
+        a[0] += 1
+        a[1] += 1 if dup * 10 > n * 2 else 0
+        a[2] += n
+        a[3] += dup
+    assert set(got) == set(agg)
+    for lang, (nd, nf, sn, sd) in agg.items():
+        g = got[lang]
+        assert (g["n_docs"], g["n_flagged"], g["sum_ngrams"],
+                g["sum_dup_ngrams"]) == (nd, nf, sn, sd)
+        assert g["dup_ratio"] == sd / sn
+
+
+def test_repetition_flags_repetitive_doc(spark):
+    from sketchlib.spark.textops import repetition_stats
+
+    df = spark.createDataFrame(
+        [("x", "spam " * 50), ("x", " ".join(f"w{i}" for i in range(50))),
+         ("x", "ab"), ("x", None)],
+        "lang string, text string",
+    )
+    row = repetition_stats(df).collect()[0].asDict()
+    # "spam"*50 -> 48 3-grams all identical -> dup=47 -> flagged;
+    # distinct doc dup=0; short + NULL docs contribute 0 n-grams, unflagged
+    assert row["n_docs"] == 4
+    assert row["n_flagged"] == 1
+    assert row["sum_dup_ngrams"] == 47

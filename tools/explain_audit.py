@@ -330,6 +330,30 @@ def main():
     if not ok:
         FAIL.append(f"profile: scans={n_scan} (want 2) or join shape wrong")
 
+    # 6v. decontamination: the eval n-gram set joins by BROADCAST (train
+    # side never shuffled for the probe) and per-doc n-gram counts come off
+    # the shingle array, not a groupBy over the exploded frame — the only
+    # SortMergeJoin allowed is the final doc-keyed sizes⋈hits stitch
+    from sketchlib.spark.queries import q_decontam_eval_overlap
+
+    p = plan_of(q_decontam_eval_overlap(spark, sf_dir))
+    check("decontam broadcast eval probe", p,
+          must=[r"BroadcastHashJoin", r"ReadSchema:[^\n]*text"],
+          must_not=[r"ReadSchema:[^\n]*source"])
+
+    # 6w. repetition filter: single pruned 2-column scan, pure codegen row
+    # work, one Exchange for the tiny per-lang rows — no join at all
+    from sketchlib.spark.queries import q_text_repetition_by_lang
+
+    p = plan_of(q_text_repetition_by_lang(spark, sf_dir))
+    n_ex = len(re.findall(r"\(\d+\) Exchange", p))
+    n_scan = len(re.findall(r"\(\d+\) Scan parquet", p))
+    ok = n_scan == 1 and n_ex <= 1 and not re.search(r"Join", p)
+    print(f"{'repetition: 1 scan, <=1 exchange, 0 join':40s} "
+          f"{'OK' if ok else 'FAIL'} (scans={n_scan}, ex={n_ex})")
+    if not ok:
+        FAIL.append(f"repetition: scans={n_scan} ex={n_ex} or a Join appeared")
+
     # 7. checkpoint resume: anti-join against completed parts is broadcast
     from sketchlib.spark.checkpoint import TDigestCheckpointer
 
