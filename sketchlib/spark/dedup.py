@@ -614,38 +614,45 @@ def contamination_hits(
 
     Scale design (100 TB train, MB..GB eval): the eval n-gram set is tiny
     relative to the corpus (benchmarks are at most millions of n-grams) —
-    it is DISTINCTed and **broadcast**, so the train side is never
-    shuffled: per-doc n_ngrams is read off the shingle array BEFORE
-    exploding (no groupBy over the full exploded frame), and the hit count
-    is a broadcast-hash semi-probe whose groupBy(id) only shuffles HIT
-    rows (bounded by contamination volume, not corpus size).  For
+    it is DISTINCTed, tagged, and **broadcast** as the build side of ONE
+    left-outer hash join against the exploded train shingles, so the
+    expensive shingle construction runs exactly ONCE over the train scan
+    and the train corpus is never shuffled at shingle grain: the per-doc
+    groupBy emits both n_ngrams (count of exploded rows — shingle arrays
+    are distinct per doc) and n_hits (sum of broadcast-probe hit flags)
+    behind a map-side partial aggregate, so the Exchange carries ~one tiny
+    row per document per input partition, never the shingle frame.  For
     billion-n-gram eval sets switch ``broadcast_eval=False`` (shuffle
     equi-join) — same semantics.
     """
     arr = shingle_arrays(train, id_col, text_col, ngram, keep=keep)
-    sizes = arr.select(
-        id_col, *(keep or []), F.size("shingles").cast("long").alias("n_ngrams")
+    exploded = arr.select(
+        F.col(id_col), *(keep or []), F.explode("shingles").alias("shingle")
     )
-    tr = arr.select(F.col(id_col), F.explode("shingles").alias("shingle"))
     ev = (
         shingle_sets(eval_df, id_col, text_col, ngram)
         .select("shingle")
         .distinct()
+        .withColumn("_hit", F.lit(1).cast("long"))
     )
     if broadcast_eval:
         ev = F.broadcast(ev)
-    hits = (
-        tr.join(ev, "shingle")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    per_doc = (
+        exploded.join(ev, "shingle", "left")
+        .groupBy(id_col, *(keep or []))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ngrams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0).cast("long")))
+            .cast("long")
+            .alias("n_hits"),
+        )
     )
-    n_hits = F.coalesce(F.col("n_hits"), F.lit(0).cast("long"))
-    return sizes.join(hits, id_col, "left").select(
+    return per_doc.select(
         id_col,
         *(keep or []),
         "n_ngrams",
-        n_hits.alias("n_hits"),
-        (n_hits.cast("double") / F.col("n_ngrams").cast("double")).alias(
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.col("n_ngrams").cast("double")).alias(
             "containment"
         ),
     )

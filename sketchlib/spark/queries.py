@@ -2290,6 +2290,39 @@ FROM per GROUP BY lang
 """
 
 
+def q_distinctive_terms_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang top-3 distinctive vocabulary by the exact tf/df score (one
+    BIGINT division ⇒ deterministic double; term-asc tie-break ⇒ portable
+    ranking).  Exact-df mode for the gate; ``approx_df=True`` is the
+    HLL one-pass scale path (see ``textops.distinctive_terms``)."""
+    from sketchlib.spark.textops import distinctive_terms
+
+    return distinctive_terms(load(spark, sf_dir, "documents"))
+
+
+_DISTINCTIVE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest({_TOKS}) AS term FROM documents
+),
+tf AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY 1, 2),
+dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM toks GROUP BY 1),
+sc AS (
+  SELECT lang, term, tf, df,
+         CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) AS score
+  FROM tf JOIN dfq USING (term)
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY score DESC, term ASC) AS rn
+  FROM sc
+)
+SELECT lang, term, tf, df, score, CAST(rn AS BIGINT) AS rank
+FROM rk WHERE rn <= 3
+"""
+
+
 QUERIES = {
     "td_quantiles_by_lang": q_td_quantiles_by_lang,
     "td_discrete_quantiles_by_lang": q_td_discrete_quantiles_by_lang,
@@ -2346,6 +2379,7 @@ QUERIES = {
     "corpus_profile_by_lang": q_corpus_profile_by_lang,
     "decontam_eval_overlap": q_decontam_eval_overlap,
     "text_repetition_by_lang": q_text_repetition_by_lang,
+    "distinctive_terms_by_lang": q_distinctive_terms_by_lang,
 }
 
 ORACLES = {
@@ -2447,4 +2481,5 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
     "corpus_profile_by_lang": _PROFILE_SQL,
     "decontam_eval_overlap": _DECONTAM_SQL,
     "text_repetition_by_lang": _REPETITION_SQL,
+    "distinctive_terms_by_lang": _DISTINCTIVE_SQL,
 }

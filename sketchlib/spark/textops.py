@@ -223,3 +223,63 @@ def repetition_stats(
             ).alias("dup_ratio"),
         )
     )
+
+
+def distinctive_terms(
+    df: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+    approx_df: bool = False,
+) -> DataFrame:
+    """Distinctive-vocabulary extraction: per ``group_col``, the ``top_k``
+    terms ranked by a TF-IDF-style score ``tf_in_group / df_corpus`` (term
+    frequency inside the group over the number of distinct documents
+    containing the term corpus-wide).  The score is ONE division of two
+    exactly-aggregated BIGINTs — a deterministic double — and ties break on
+    the term ascending, so the ranking is engine-portable and
+    hash-gateable.
+
+    Scale design: token explosion and both counts are pure JVM codegen; tf
+    shuffles (group, term) partial counts (map-side combined), df shuffles
+    DISTINCT (term, doc) pairs.  The tf⋈df stitch is keyed on the term —
+    vocab-sized, which Spark/AQE broadcast when small.  At web scale exact
+    per-term doc counts are the expensive half; ``approx_df=True`` switches
+    df to ``approx_count_distinct`` (HLL, one pass, no distinct shuffle) —
+    ranking then inherits HLL error, which is why the gated query keeps the
+    exact mode.  The final top-k is a per-group window over the vocab-sized
+    score table (WindowGroupLimit pushes the limit below the Exchange).
+    """
+    toks = with_tokens(df.select(id_col, group_col, text_col), text_col).select(
+        id_col, group_col, F.explode("tokens").alias("term")
+    )
+    tf = toks.groupBy(group_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    if approx_df:
+        dfreq = toks.groupBy("term").agg(
+            F.approx_count_distinct(id_col).cast("long").alias("df")
+        )
+    else:
+        dfreq = (
+            toks.select("term", id_col)
+            .distinct()
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        )
+    scored = tf.join(dfreq, "term").select(
+        group_col,
+        "term",
+        "tf",
+        "df",
+        (F.col("tf").cast("double") / F.col("df").cast("double")).alias("score"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .select(group_col, "term", "tf", "df", "score", F.col("rn").cast("long").alias("rank"))
+    )

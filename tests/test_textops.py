@@ -116,3 +116,39 @@ def test_repetition_flags_repetitive_doc(spark):
     assert row["n_docs"] == 4
     assert row["n_flagged"] == 1
     assert row["sum_dup_ngrams"] == 47
+
+
+def test_distinctive_terms_exact_and_approx(spark):
+    import pyspark.sql.functions as F
+
+    from sketchlib.spark.textops import distinctive_terms
+
+    docs = _docs(spark)
+    exact = distinctive_terms(docs).collect()
+    assert len(exact) == 5 * 3  # 5 langs x top-3
+    by_lang = {}
+    for r in exact:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == [1, 2, 3]
+        # ranking is score desc, term asc — verify the sort invariant
+        keys = [(-r["score"], r["term"]) for r in rows]
+        assert keys == sorted(keys)
+        for r in rows:
+            assert r["score"] == r["tf"] / r["df"]
+
+    # partition invariance of the exact mode (deterministic ranking)
+    again = distinctive_terms(docs.repartition(17)).collect()
+    assert sorted(map(tuple, exact)) == sorted(map(tuple, again))
+
+    # approx mode: same shape; df within HLL tolerance of exact
+    approx = distinctive_terms(docs, approx_df=True).collect()
+    assert len(approx) == 15
+    exact_df = {
+        r["term"]: r["df"]
+        for r in distinctive_terms(docs, top_k=10**6).collect()
+    }
+    for r in approx:
+        # approx_count_distinct's default rsd is 5% (1 sigma) — allow 3 sigma
+        assert abs(r["df"] - exact_df[r["term"]]) <= max(2, 0.15 * exact_df[r["term"]])

@@ -330,16 +330,21 @@ def main():
     if not ok:
         FAIL.append(f"profile: scans={n_scan} (want 2) or join shape wrong")
 
-    # 6v. decontamination: the eval n-gram set joins by BROADCAST (train
-    # side never shuffled for the probe) and per-doc n-gram counts come off
-    # the shingle array, not a groupBy over the exploded frame — the only
-    # SortMergeJoin allowed is the final doc-keyed sizes⋈hits stitch
+    # 6v. decontamination: ONE shingle build over the train scan, eval set
+    # broadcast as the build side of a single left-outer hash join, per-doc
+    # counts+hits from one map-side-combined groupBy — exactly 2 parquet
+    # scans (train + eval), no SortMergeJoin anywhere
     from sketchlib.spark.queries import q_decontam_eval_overlap
 
     p = plan_of(q_decontam_eval_overlap(spark, sf_dir))
-    check("decontam broadcast eval probe", p,
-          must=[r"BroadcastHashJoin", r"ReadSchema:[^\n]*text"],
-          must_not=[r"ReadSchema:[^\n]*source"])
+    n_scan = len(re.findall(r"\(\d+\) Scan parquet", p))
+    ok = (n_scan == 2 and re.search(r"BroadcastHashJoin", p)
+          and not re.search(r"SortMergeJoin", p)
+          and not re.search(r"ReadSchema:[^\n]*source", p))
+    print(f"{'decontam 1-build broadcast probe':40s} {'OK' if ok else 'FAIL'} "
+          f"(scans={n_scan})")
+    if not ok:
+        FAIL.append(f"decontam: scans={n_scan} (want 2) or join shape wrong")
 
     # 6w. repetition filter: single pruned 2-column scan, pure codegen row
     # work, one Exchange for the tiny per-lang rows — no join at all
@@ -353,6 +358,16 @@ def main():
           f"{'OK' if ok else 'FAIL'} (scans={n_scan}, ex={n_ex})")
     if not ok:
         FAIL.append(f"repetition: scans={n_scan} ex={n_ex} or a Join appeared")
+
+    # 6x. distinctive terms: top-k per group must push a WindowGroupLimit
+    # below the final sort (partial top-k before the Exchange), and the
+    # token scan must prune to the 3 needed columns
+    from sketchlib.spark.queries import q_distinctive_terms_by_lang
+
+    p = plan_of(q_distinctive_terms_by_lang(spark, sf_dir))
+    check("distinctive terms window-group-limit", p,
+          must=[r"WindowGroupLimit", r"ReadSchema:[^\n]*doc_id"],
+          must_not=[r"ReadSchema:[^\n]*source", r"ReadSchema:[^\n]*n_chars"])
 
     # 7. checkpoint resume: anti-join against completed parts is broadcast
     from sketchlib.spark.checkpoint import TDigestCheckpointer
