@@ -503,14 +503,26 @@ def propagate_min_keeper(edges: DataFrame, max_rounds: int = 32) -> DataFrame:
     ``max_rounds`` is hit without a fixpoint — a silently under-merged
     keeper mapping must never ship.
 
+    The edge list is materialized ONCE up front (so the expensive edge
+    producers — LSH + verification plans — never re-run per round) and the
+    iteration's parallelism is then sized to the EDGE count, not the
+    corpus: duplicate-evidence edges are a tiny fraction of a 100-TB
+    corpus, and running log-L rounds of joins at corpus-level partition
+    counts pays tens of scheduler/shuffle round-trips for KB-scale data.
+    ~1M edge rows per partition keeps even billion-edge web corpora at a
+    sane width.
+
     Returns (id, keeper_id) for ids that appear in any edge.
     """
     both = edges.select(
         F.col("a_id"), F.col("b_id")
-    ).union(edges.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))).distinct()
+    ).union(edges.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))).distinct().localCheckpoint()
+    n_edges = both.count()
+    n_parts = max(1, min(int(n_edges // 1_000_000) + 1, 2000))
+    both = both.repartition(n_parts, "b_id").localCheckpoint()
     keeper = both.select(F.col("a_id").alias("id")).distinct().withColumn(
         "keeper_id", F.col("id")
-    ).localCheckpoint()
+    ).repartition(n_parts, "id").localCheckpoint()
     for _ in range(max_rounds):
         neigh = (
             both.join(keeper, both.b_id == keeper.id)
