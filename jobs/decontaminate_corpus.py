@@ -1,0 +1,102 @@
+"""Production job: test-set decontamination — the training-data pipeline's
+spark-submit entry for dropping (or flagging) training documents that leak
+held-out benchmark/eval content, by word n-gram overlap.
+
+    spark-submit --master <cluster> --py-files dist/sketchlib.zip \
+        jobs/decontaminate_corpus.py \
+        --train s3://.../pages/ --eval s3://.../benchmarks/ \
+        --output /warehouse/clean \
+        [--id-col doc_id] [--text-col text] [--ngram 5] \
+        [--max-containment 0.0] [--mode filter|flag] [--no-broadcast-eval]
+
+Semantics (see ``sketchlib.spark.dedup.contamination_hits``): a train doc's
+containment is (distinct n-grams shared with the eval corpus) / (its
+distinct n-gram count).  ``--max-containment 0.0`` (default) drops any doc
+sharing even one n-gram — the strict decontamination rule; raise it to
+tolerate incidental short-phrase collisions.
+
+Scale design: the eval n-gram set is DISTINCTed and broadcast (use
+``--no-broadcast-eval`` for abnormally large eval corpora), the train side
+builds its shingles exactly once and is never shuffled at shingle grain —
+per-doc stats come from one map-side-combined aggregate.  ``--mode
+filter`` re-reads the train input and keeps clean ids via a join on the
+(contaminated-only, hence tiny) flag set — broadcast anti-join at real
+scale; ``--mode flag`` just writes the per-doc stats table for audits.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--train", required=True)
+    ap.add_argument("--eval", dest="eval_path", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--ngram", type=int, default=5)
+    ap.add_argument("--max-containment", type=float, default=0.0)
+    ap.add_argument("--mode", choices=["filter", "flag"], default="filter")
+    ap.add_argument("--no-broadcast-eval", action="store_true")
+    ap.add_argument("--hashed", action="store_true",
+                    help="64-bit hashed n-grams (the web-scale mode: ~2x "
+                         "shingle build, 8 B/n-gram broadcast)")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from sketchlib.spark.dedup import contamination_hits
+
+    spark = SparkSession.builder.appName(
+        "sketchlib-decontaminate-corpus"
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    train = spark.read.parquet(args.train)
+    eval_df = spark.read.parquet(args.eval_path)
+    t0 = time.time()
+
+    stats = contamination_hits(
+        train,
+        eval_df,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        ngram=args.ngram,
+        broadcast_eval=not args.no_broadcast_eval,
+        hashed=args.hashed,
+    )
+    contaminated = stats.filter(
+        F.col("containment") > args.max_containment
+    ).select(args.id_col, "n_ngrams", "n_hits", "containment")
+
+    if args.mode == "flag":
+        stats.write.mode("overwrite").parquet(args.output)
+        n_total = spark.read.parquet(args.output).count()
+        n_bad = contaminated.count()
+    else:
+        # contaminated ids are a tiny fraction of the corpus — broadcast
+        # anti-join keeps the train side shuffle-free
+        bad_ids = contaminated.select(args.id_col)
+        clean = train.join(F.broadcast(bad_ids), args.id_col, "left_anti")
+        clean.write.mode("overwrite").parquet(args.output)
+        n_total = train.count()
+        n_bad = n_total - spark.read.parquet(args.output).count()
+
+    print(json.dumps({
+        "mode": args.mode,
+        "train_rows": n_total,
+        "contaminated_rows": n_bad,
+        "ngram": args.ngram,
+        "max_containment": args.max_containment,
+        "wall_sec": round(time.time() - t0, 2),
+        "output": args.output,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

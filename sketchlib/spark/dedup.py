@@ -71,17 +71,10 @@ def exact_dedup_keepers(df: DataFrame, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 
-def shingle_arrays(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                   ngram: int = 3, keep: list[str] | None = None) -> DataFrame:
-    """(id, shingles: array<string>) with the DISTINCT word n-grams of each
-    document (space-joined).  Documents with fewer than ``ngram`` tokens
-    contribute one whole-text shingle.  ``keep``: extra columns carried
-    through (e.g. lang for per-lang contamination stats).  Keeping the
-    per-doc set as ONE array row lets callers read its exact size without
-    re-shuffling the exploded frame by doc id."""
-    cols = [id_col] + list(keep or [])
-    d = with_tokens(df.select(*cols, text_col), text_col)
-    sh = F.when(
+def _string_shingle_expr(text_col: str, ngram: int):
+    """DISTINCT space-joined word-``ngram`` array expression over the
+    ``tokens`` column (whole-text fallback below ``ngram`` tokens)."""
+    return F.when(
         F.size("tokens") >= ngram,
         F.array_distinct(
             F.transform(
@@ -90,33 +83,16 @@ def shingle_arrays(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
             )
         ),
     ).otherwise(F.array(F.col(text_col)))
-    return d.select(*cols, sh.alias("shingles"))
 
 
-def shingle_sets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                 ngram: int = 3) -> DataFrame:
-    """(id, shingle) distinct pairs; shingles are word n-grams joined by a
-    single space.  Documents with fewer than ``ngram`` tokens contribute one
-    whole-text shingle."""
-    arr = shingle_arrays(df, id_col, text_col, ngram)
-    return arr.select(F.col(id_col), F.explode("shingles").alias("shingle"))
-
-
-def hashed_shingle_sets(df: DataFrame, id_col: str = "doc_id",
-                        text_col: str = "text", ngram: int = 3) -> DataFrame:
-    """(id, shingle) distinct pairs where the shingle is the full 64-bit
-    chained xxhash64 of the n-gram's tokens — no n-gram string is ever
-    concatenated.  ~8x faster than ``shingle_sets`` on long documents; the
-    shingle SET has the same cardinality up to ~s²/2^65 within-document
-    birthday collisions (negligible even at 10^8-shingle documents), so
-    Jaccard over hashed shingles equals string-shingle Jaccard for all
-    practical purposes (the oracle-gated queries keep the string path)."""
-    d = with_tokens(df.select(id_col, text_col), text_col)
-
+def _hashed_shingle_expr(text_col: str, ngram: int):
+    """64-bit chained-xxhash64 n-gram array expression over ``tokens`` (no
+    n-gram string ever concatenated; NULL text yields a single NULL
+    element, dropped by every equi-join)."""
     def _mix(i):
         return F.xxhash64(*[F.element_at("tokens", i + k) for k in range(ngram)])
 
-    sh = F.when(
+    return F.when(
         F.size("tokens") >= ngram,
         F.array_distinct(
             F.transform(
@@ -124,14 +100,73 @@ def hashed_shingle_sets(df: DataFrame, id_col: str = "doc_id",
             )
         ),
     ).otherwise(
-        # NULL text must stay NULL (dropped by every equi-join) — matching
-        # shingle_sets; xxhash64(NULL) would otherwise hash to the seed and
-        # pair every null-text doc with every other
-        F.array(
-            F.when(F.col(text_col).isNotNull(), F.xxhash64(text_col))
-        )
+        F.array(F.when(F.col(text_col).isNotNull(), F.xxhash64(text_col)))
     )
-    return d.select(F.col(id_col), F.explode(sh).alias("shingle"))
+
+
+def shingle_arrays(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                   ngram: int = 3, keep: list[str] | None = None) -> DataFrame:
+    """(id, shingles: array<string>) with the DISTINCT word n-grams of each
+    document (space-joined).  Documents with fewer than ``ngram`` tokens
+    contribute one whole-text shingle.  ``keep``: extra columns carried
+    through.
+
+    CAUTION for callers that go on to ``explode``: explode a shingle
+    EXPRESSION (as ``shingle_sets`` does), never this named array column —
+    when the generator input is a plain attribute, Catalyst's
+    InferFiltersFromGenerate adds ``size(col) > 0`` and predicate pushdown
+    then inlines the whole shingle expression into an interpreted Filter
+    where every ``element_at`` re-evaluates ``split(text)`` (measured 30x
+    slower on real page text)."""
+    cols = [id_col] + list(keep or [])
+    d = with_tokens(df.select(*cols, text_col), text_col)
+    return d.select(*cols, _string_shingle_expr(text_col, ngram).alias("shingles"))
+
+
+def hashed_shingle_arrays(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", ngram: int = 3,
+                          keep: list[str] | None = None) -> DataFrame:
+    """(id, shingles: array<long>) — ``shingle_arrays`` in the 64-bit
+    chained-xxhash64 space (no n-gram string ever concatenated, ~2x the
+    shingle build and 8 B/n-gram instead of strings for any downstream
+    broadcast/shuffle).  Same cardinality as the string sets up to
+    ~s²/2^65 within-document collisions.  NULL text yields a single NULL
+    element (dropped by every equi-join)."""
+    cols = [id_col] + list(keep or [])
+    d = with_tokens(df.select(*cols, text_col), text_col)
+    return d.select(*cols, _hashed_shingle_expr(text_col, ngram).alias("shingles"))
+
+
+def shingle_sets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                 ngram: int = 3, keep: list[str] | None = None) -> DataFrame:
+    """(id, shingle) distinct pairs; shingles are word n-grams joined by a
+    single space.  Documents with fewer than ``ngram`` tokens contribute one
+    whole-text shingle.  Explodes the shingle expression directly (see the
+    CAUTION on ``shingle_arrays``)."""
+    cols = [id_col] + list(keep or [])
+    d = with_tokens(df.select(*cols, text_col), text_col)
+    return d.select(
+        *cols, F.explode(_string_shingle_expr(text_col, ngram)).alias("shingle")
+    )
+
+
+def hashed_shingle_sets(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", ngram: int = 3,
+                        keep: list[str] | None = None) -> DataFrame:
+    """(id, shingle) distinct pairs where the shingle is the full 64-bit
+    chained xxhash64 of the n-gram's tokens — no n-gram string is ever
+    concatenated.  ~8x faster than ``shingle_sets`` on long documents; the
+    shingle SET has the same cardinality up to ~s²/2^65 within-document
+    birthday collisions (negligible even at 10^8-shingle documents), so
+    Jaccard over hashed shingles equals string-shingle Jaccard for all
+    practical purposes (the oracle-gated queries keep the string path).
+    Explodes the expression directly (see the CAUTION on
+    ``shingle_arrays``)."""
+    cols = [id_col] + list(keep or [])
+    d = with_tokens(df.select(*cols, text_col), text_col)
+    return d.select(
+        *cols, F.explode(_hashed_shingle_expr(text_col, ngram)).alias("shingle")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -612,6 +647,7 @@ def contamination_hits(
     ngram: int = 5,
     keep: list[str] | None = None,
     broadcast_eval: bool = True,
+    hashed: bool = False,
 ) -> DataFrame:
     """Per-train-document eval-set n-gram containment — the test-set
     decontamination primitive of an LLM training pipeline (flag training
@@ -636,13 +672,19 @@ def contamination_hits(
     row per document per input partition, never the shingle frame.  For
     billion-n-gram eval sets switch ``broadcast_eval=False`` (shuffle
     equi-join) — same semantics.
+
+    ``hashed=True`` is the web-scale mode: n-grams live in the 64-bit
+    chained-xxhash64 space — ~2x the shingle build (no string concat) and
+    the broadcast eval set costs 8 B/n-gram instead of whole strings
+    (at ~100 tokens/page an eval corpus of 10k pages broadcasts ~10 MB of
+    longs vs ~80 MB of strings).  Exact up to ~|eval|·|doc|/2^64 chance
+    collisions per document — negligible; the gated query keeps the
+    string-exact mode so the DuckDB oracle reproduces it bit-for-bit.
     """
-    arr = shingle_arrays(train, id_col, text_col, ngram, keep=keep)
-    exploded = arr.select(
-        F.col(id_col), *(keep or []), F.explode("shingles").alias("shingle")
-    )
+    maker = hashed_shingle_sets if hashed else shingle_sets
+    exploded = maker(train, id_col, text_col, ngram, keep=keep)
     ev = (
-        shingle_sets(eval_df, id_col, text_col, ngram)
+        maker(eval_df, id_col, text_col, ngram)
         .select("shingle")
         .distinct()
         .withColumn("_hit", F.lit(1).cast("long"))

@@ -1,0 +1,82 @@
+"""jobs/decontaminate_corpus.py: flag + filter modes end-to-end against a
+pure-python n-gram overlap oracle."""
+
+import json
+import sys
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+pytestmark = pytest.mark.spark
+
+
+def _py_contaminated(train_rows, eval_rows, ngram):
+    def grams(text):
+        toks = [w for w in (text or "").split(" ") if w] if text is not None else []
+        if text is None:
+            return set()
+        if len(toks) < ngram:
+            return {text}
+        return {" ".join(toks[i:i + ngram]) for i in range(len(toks) - ngram + 1)}
+
+    ev = set()
+    for _, t in eval_rows:
+        ev |= grams(t)
+    out = {}
+    for i, t in train_rows:
+        g = grams(t)
+        hits = len(g & ev)
+        out[i] = (len(g) if g else 1, hits)
+    return out
+
+
+def test_decontaminate_job_both_modes(spark, tmp_path, monkeypatch):
+    sys.path.insert(0, "jobs")
+    import decontaminate_corpus as job
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text")
+    train_df = docs.filter("doc_id % 23 != 0")
+    eval_df = docs.filter("doc_id % 23 = 0")
+    train_path, eval_path = str(tmp_path / "train"), str(tmp_path / "eval")
+    train_df.write.parquet(train_path)
+    eval_df.write.parquet(eval_path)
+
+    oracle = _py_contaminated(
+        [(r["doc_id"], r["text"]) for r in train_df.collect()],
+        [(r["doc_id"], r["text"]) for r in eval_df.collect()],
+        ngram=4,
+    )
+    want_bad = {i for i, (n, h) in oracle.items() if h > 0}
+
+    # main() ends with spark.stop(); neutralize it — the session fixture
+    # is shared across the test module
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+
+    # flag mode: per-doc stats table matches the python oracle exactly
+    out_flag = str(tmp_path / "flagged")
+    monkeypatch.setattr(sys, "argv", [
+        "job", "--train", train_path, "--eval", eval_path,
+        "--output", out_flag, "--ngram", "4", "--mode", "flag"])
+    capture = []
+    monkeypatch.setattr("builtins.print", lambda s: capture.append(s))
+    job.main()
+    report = json.loads(capture[-1])
+    assert report["contaminated_rows"] == len(want_bad)
+    got = {r["doc_id"]: (r["n_ngrams"], r["n_hits"])
+           for r in spark.read.parquet(out_flag).collect()}
+    assert got == oracle
+
+    # filter mode: output is exactly train minus contaminated ids
+    out_filter = str(tmp_path / "clean")
+    monkeypatch.setattr(sys, "argv", [
+        "job", "--train", train_path, "--eval", eval_path,
+        "--output", out_filter, "--ngram", "4", "--mode", "filter"])
+    job.main()
+    report = json.loads(capture[-1])
+    clean_ids = {r["doc_id"]
+                 for r in spark.read.parquet(out_filter).collect()}
+    all_ids = set(oracle)
+    assert clean_ids == all_ids - want_bad
+    assert report["contaminated_rows"] == len(want_bad)

@@ -269,3 +269,17 @@ def test_contamination_shuffle_join_same_result(spark):
     b = sorted(map(tuple, contamination_hits(
         train, ev, ngram=4, broadcast_eval=False).collect()))
     assert a == b
+
+
+def test_contamination_hashed_equals_string_mode(spark):
+    from sketchlib.spark.dedup import contamination_hits
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "lang", "text")
+    import pyspark.sql.functions as F
+    train = docs.filter(F.col("doc_id") % 23 != 0)
+    ev = docs.filter(F.col("doc_id") % 23 == 0)
+    a = sorted(map(tuple, contamination_hits(train, ev, ngram=4).collect()))
+    b = sorted(map(tuple, contamination_hits(
+        train, ev, ngram=4, hashed=True).collect()))
+    assert a == b  # 64-bit space: collisions impossible at this size
