@@ -2258,6 +2258,81 @@ FROM per GROUP BY lang
 """
 
 
+def q_decontam_bloom_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-grade decontamination via a Bloom filter of eval n-grams
+    (``dedup.eval_ngram_bloom`` + ``bloom_decontam_flags``): the eval
+    corpus collapses to ONE storable KB-scale blob, and flagging is a
+    stateless projection (works unchanged on a readStream — pytest proves
+    stream == batch).  Gated on the laws, verdict-boolean style: the
+    per-lang exact contamination counts (oracle-checkable SQL) plus
+    ``no_false_negatives`` (Bloom guarantees every truly-contaminated doc
+    is flagged — MUST be true) and ``fp_rate_ok`` (doc-level false-flag
+    rate ≤ 5%; at fpr=1e-4 and ~70 n-grams/doc the expected rate is
+    ~0.7%).  The flags⋈truth join is the verification side, not the
+    production path — production is the flags projection alone."""
+    from sketchlib.spark.dedup import (
+        bloom_decontam_flags,
+        contamination_hits,
+        eval_ngram_bloom,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    train = docs.filter(F.col("doc_id") % 23 != 0)
+    ev = docs.filter(F.col("doc_id") % 23 == 0)
+    blob = eval_ngram_bloom(ev, ngram=4, fpr=1e-4)
+    flags = bloom_decontam_flags(train, blob, ngram=4, keep=["lang"])
+    truth = contamination_hits(train, ev, ngram=4, hashed=True).select(
+        "doc_id", (F.col("n_hits") > 0).alias("_is_true")
+    )
+    j = flags.join(truth, "doc_id")
+    agg = j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("_is_true").cast("long")).alias("n_true_contaminated"),
+        F.sum(F.col("contaminated").cast("long")).alias("_n_flagged"),
+        F.sum((F.col("_is_true") & ~F.col("contaminated")).cast("long"))
+        .alias("_n_fn"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_true_contaminated",
+        (F.col("_n_fn") == 0).alias("no_false_negatives"),
+        (
+            (F.col("_n_flagged") - F.col("n_true_contaminated")) * 20
+            <= (F.col("n_docs") - F.col("n_true_contaminated"))
+        ).alias("fp_rate_ok"),
+    )
+
+
+_DECONTAM_BLOOM_SQL = f"""
+WITH t AS (SELECT doc_id, lang, text, {_TOKS} AS tk FROM documents),
+arr AS (
+  SELECT doc_id, lang,
+    CASE WHEN len(tk) >= 4 THEN
+      list_distinct(list_transform(range(1, len(tk) - 2),
+                                   i -> array_to_string(tk[i:i+3], ' ')))
+    ELSE [text] END AS sh
+  FROM t
+),
+tr AS (SELECT * FROM arr WHERE doc_id % 23 != 0),
+ev AS (SELECT DISTINCT unnest(sh) AS shingle FROM arr WHERE doc_id % 23 = 0),
+ex AS (SELECT doc_id, unnest(sh) AS shingle FROM tr),
+hits AS (SELECT ex.doc_id, count(*) AS h
+         FROM ex JOIN ev USING (shingle) GROUP BY 1),
+per AS (
+  SELECT tr.doc_id, tr.lang, coalesce(h, 0) AS n_hits
+  FROM tr LEFT JOIN hits ON tr.doc_id = hits.doc_id
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_true_contaminated,
+       TRUE AS no_false_negatives,
+       TRUE AS fp_rate_ok
+FROM per GROUP BY lang
+"""
+
+
 def q_text_repetition_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition quality filter (Gopher/C4-style duplicate
     3-gram ratio > 0.2 flag) per lang — pure JVM codegen over a 2-column
@@ -2380,6 +2455,7 @@ QUERIES = {
     "decontam_eval_overlap": q_decontam_eval_overlap,
     "text_repetition_by_lang": q_text_repetition_by_lang,
     "distinctive_terms_by_lang": q_distinctive_terms_by_lang,
+    "decontam_bloom_flags": q_decontam_bloom_flags,
 }
 
 ORACLES = {
@@ -2482,4 +2558,5 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
     "decontam_eval_overlap": _DECONTAM_SQL,
     "text_repetition_by_lang": _REPETITION_SQL,
     "distinctive_terms_by_lang": _DISTINCTIVE_SQL,
+    "decontam_bloom_flags": _DECONTAM_BLOOM_SQL,
 }

@@ -432,3 +432,56 @@ def test_streaming_mg_matches_batch(spark, tmp_path):
         ).groupBy("item").agg(F.count("*").alias("c")).collect()
     }
     assert dict(MisraGries.deserialize(ref[some]).items()) == exact
+
+
+def test_streaming_bloom_decontam_matches_batch(spark, tmp_path):
+    """bloom_decontam_flags is a stateless projection: the SAME function
+    over a readStream (any trigger slicing) yields exactly the batch flags,
+    and the Bloom's no-false-negative law holds against the exact batch
+    contamination."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.dedup import (
+        bloom_decontam_flags,
+        contamination_hits,
+        eval_ngram_bloom,
+    )
+
+    src = str(tmp_path / "bd")
+    os.makedirs(src)
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, 30)) for _ in range(80)]
+    for f in range(4):
+        pd.DataFrame({
+            "doc_id": np.arange(f * 20, f * 20 + 20, dtype="int64"),
+            "text": texts[f * 20:(f + 1) * 20],
+        }).to_parquet(os.path.join(src, f"chunk-{f}.parquet"))
+
+    static = spark.read.parquet(src)
+    train = static.filter("doc_id % 5 != 0")
+    ev = static.filter("doc_id % 5 = 0")
+    blob = eval_ngram_bloom(ev, ngram=3, fpr=1e-4)
+
+    batch = {r["doc_id"]: r["contaminated"]
+             for r in bloom_decontam_flags(train, blob, ngram=3).collect()}
+
+    stream = spark.readStream.schema(static.schema).option(
+        "maxFilesPerTrigger", "1").parquet(src).filter("doc_id % 5 != 0")
+    got = []
+    q = (bloom_decontam_flags(stream, blob, ngram=3)
+         .writeStream.outputMode("append")
+         .foreachBatch(lambda bdf, _id: got.extend(bdf.collect())).start())
+    q.processAllAvailable()
+    q.stop()
+    streamed = {r["doc_id"]: r["contaminated"] for r in got}
+    assert streamed == batch
+
+    # no false negatives vs exact containment
+    truth = {r["doc_id"]: r["n_hits"] > 0
+             for r in contamination_hits(train, ev, ngram=3).collect()}
+    assert set(truth) == set(batch)
+    for i, is_contam in truth.items():
+        if is_contam:
+            assert batch[i], f"false negative at doc {i}"
