@@ -24,8 +24,16 @@ Scale design (100 TB / 10^12 docs):
   on at least one of d+1 disjoint bands — so blocked search equals the
   brute-force cross join exactly, at equi-join cost.
 
+- **test-set decontamination**: ``contamination_hits`` (exact per-doc
+  eval-n-gram containment; broadcast eval set, train side never shuffled
+  at shingle grain) and the streaming-grade ``eval_ngram_bloom`` +
+  ``bloom_decontam_flags`` (eval corpus → one KB-scale Bloom blob → a
+  stateless zero-false-negative flag projection that runs unchanged on a
+  readStream).
+
 Everything is built-in ``pyspark.sql.functions`` — JVM-side codegen, no
-Python in any hot path.
+Python in any hot path (the one Python stage, the Bloom probe, is a
+vectorized per-Arrow-batch ``contains_hashed`` over JVM-computed hashes).
 """
 
 from __future__ import annotations
