@@ -115,5 +115,25 @@ class CMS(Aggregator):
         out.total = total
         return out
 
+    def inner_product(self, other: "CMS") -> int:
+        """Join-size / inner-product estimate (Cormode & Muthukrishnan §4.2):
+        ``min over rows d of dot(table_a[d], table_b[d])`` estimates
+        ``sum_k f_a(k) * f_b(k)`` — the exact equi-join cardinality between
+        the two sketched multisets.  ALWAYS >= the true value (hash
+        collisions only add mass), and <= true + eps * N_a * N_b with
+        probability >= 1 - delta.  Two KB-scale blobs answer "how big would
+        this join be" without touching either table — the query-optimizer /
+        shuffle-planning primitive.  Requires equal (width, depth, seed)."""
+        if (self.width, self.depth, self.seed) != (
+            other.width, other.depth, other.seed
+        ):
+            raise ValueError(
+                "CMS.inner_product: incompatible sketches "
+                f"(w,d,seed)=({self.width},{self.depth},{self.seed}) vs "
+                f"({other.width},{other.depth},{other.seed})"
+            )
+        dots = (self.table * other.table).sum(axis=1)
+        return int(dots.min())
+
     def finish(self) -> "CMS":
         return self

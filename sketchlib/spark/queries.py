@@ -2333,6 +2333,64 @@ FROM per GROUP BY lang
 """
 
 
+def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from sketches (CMS inner product,
+    Cormode & Muthukrishnan §4.2): |orders ⋈ customer| estimated from TWO
+    KB-scale CMS blobs — min over depth rows of the counter-table dot
+    product — without running the join.  The query-optimizer primitive: at
+    100 TB you ask "how big is this join" from stored per-table sketches
+    before committing a shuffle strategy.  Laws gated as verdict booleans:
+    est >= exact (collisions only ADD mass — unconditional) and
+    est <= exact + 3·(e/w)·N_a·N_b (3x the expected collision excess).
+    The exact join count is the distributed verification side (and the
+    oracle's SQL); both sketch builds are distributed two-phase plans."""
+    from sketchlib.cms import CMS
+    from sketchlib.spark.sketch_ops import sketch_aggregate
+
+    params = {"width": 16384, "depth": 5}
+    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    blob_o = bytes(
+        sketch_aggregate(orders, [], "o_custkey", "cms", params)
+        .collect()[0]["sketch"]
+    )
+    blob_c = bytes(
+        sketch_aggregate(cust, [], "c_custkey", "cms", params)
+        .collect()[0]["sketch"]
+    )
+    a, b = CMS.deserialize(blob_o), CMS.deserialize(blob_c)
+    est = a.inner_product(b)
+
+    import math
+
+    exact = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    ).agg(
+        F.count(F.lit(1)).alias("exact_join_rows"),
+    )
+    n_a, n_b = a.total, b.total
+    bound = 3.0 * (math.e / params["width"]) * n_a * n_b
+    return exact.select(
+        F.lit(int(n_a)).cast("long").alias("n_orders"),
+        F.lit(int(n_b)).cast("long").alias("n_customers"),
+        "exact_join_rows",
+        (F.lit(est) >= F.col("exact_join_rows")).alias("est_ge_exact"),
+        (F.lit(float(est)) <= F.col("exact_join_rows") + F.lit(bound)).alias(
+            "est_within_bound"
+        ),
+    )
+
+
+_CMS_JOIN_SIZE_SQL = """
+SELECT (SELECT count(*) FROM orders) AS n_orders,
+       (SELECT count(*) FROM customer) AS n_customers,
+       (SELECT count(*) FROM orders JOIN customer ON o_custkey = c_custkey)
+         AS exact_join_rows,
+       TRUE AS est_ge_exact,
+       TRUE AS est_within_bound
+"""
+
+
 def q_text_repetition_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition quality filter (Gopher/C4-style duplicate
     3-gram ratio > 0.2 flag) per lang — pure JVM codegen over a 2-column
@@ -2456,6 +2514,7 @@ QUERIES = {
     "text_repetition_by_lang": q_text_repetition_by_lang,
     "distinctive_terms_by_lang": q_distinctive_terms_by_lang,
     "decontam_bloom_flags": q_decontam_bloom_flags,
+    "cms_join_size": q_cms_join_size,
 }
 
 ORACLES = {
@@ -2559,4 +2618,5 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
     "text_repetition_by_lang": _REPETITION_SQL,
     "distinctive_terms_by_lang": _DISTINCTIVE_SQL,
     "decontam_bloom_flags": _DECONTAM_BLOOM_SQL,
+    "cms_join_size": _CMS_JOIN_SIZE_SQL,
 }

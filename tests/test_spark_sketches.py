@@ -128,3 +128,32 @@ def test_kll_spark_rank_error(spark, events):
         est = float(k.quantile([p])[0])
         rank = np.searchsorted(vals, est) / len(vals)
         assert abs(rank - p) < 0.02, (p, rank)
+
+
+def test_cms_inner_product_laws():
+    """inner_product >= true join size always; within eps*Na*Nb w.h.p.;
+    symmetric; raises on incompatible shapes."""
+    import numpy as np
+
+    from sketchlib.cms import CMS
+
+    rng = np.random.default_rng(11)
+    keys_a = rng.integers(0, 500, 20_000)
+    keys_b = rng.integers(0, 500, 5_000)
+    true_ip = 0
+    ca = np.bincount(keys_a, minlength=500)
+    cb = np.bincount(keys_b, minlength=500)
+    true_ip = int((ca * cb).sum())
+
+    a, b = CMS(width=4096, depth=5), CMS(width=4096, depth=5)
+    a.update_batch(keys_a.astype("int64"))
+    b.update_batch(keys_b.astype("int64"))
+    est = a.inner_product(b)
+    assert est >= true_ip
+    import math
+    assert est <= true_ip + 3 * (math.e / 4096) * len(keys_a) * len(keys_b)
+    assert b.inner_product(a) == est
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        a.inner_product(CMS(width=2048, depth=5))
