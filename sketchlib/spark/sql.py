@@ -175,6 +175,19 @@ def register_sql_functions(spark: SparkSession, delta: float = 0.01) -> None:
             out = h if out is None else out.merge(h)
         return (out or HLL(p=14)).serialize()
 
+    @pandas_udf(LongType())
+    def cms_inner_product(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(a, b):
+            if x is None or y is None:
+                out.append(None)
+                continue
+            out.append(int(
+                CMS.deserialize(bytes(x)).inner_product(
+                    CMS.deserialize(bytes(y)))
+            ))
+        return pd.Series(out, dtype="object")
+
     @pandas_udf(BinaryType())
     def cms_agg(v: pd.Series) -> bytes:
         c = CMS(width=16384, depth=5)
@@ -231,6 +244,7 @@ def register_sql_functions(spark: SparkSession, delta: float = 0.01) -> None:
     spark.udf.register("hll_estimate", hll_estimate)
     spark.udf.register("cms_agg", cms_agg)
     spark.udf.register("cms_query", cms_query)
+    spark.udf.register("cms_inner_product", cms_inner_product)
     spark.udf.register("bloom_agg", bloom_agg)
     spark.udf.register("bloom_contains", bloom_contains)
     from sketchlib.kmv import KMV

@@ -143,3 +143,33 @@ def test_sql_mg_frequent_items(spark):
         ).collect()
     }
     assert got == exact
+
+
+def test_sql_cms_inner_product(spark):
+    """cms_inner_product over two SQL-built sketches >= exact join size and
+    NULL-safe."""
+    from sketchlib.spark.sql import register_sql_functions
+
+    register_sql_functions(spark)
+    spark.createDataFrame(
+        [(i % 50,) for i in range(2000)], "k long"
+    ).createOrReplaceTempView("side_a")
+    spark.createDataFrame(
+        [(i % 80,) for i in range(800)], "k long"
+    ).createOrReplaceTempView("side_b")
+    # two scalar subqueries with pandas UDAFs trip Spark's
+    # MergeScalarSubqueries (UnevaluableAggregateFunc internal error) —
+    # build the one-row sketch tables explicitly and cross join
+    row = spark.sql("""
+        WITH a AS (SELECT cms_agg(k) AS s FROM side_a),
+             b AS (SELECT cms_agg(k) AS s FROM side_b)
+        SELECT cms_inner_product(a.s, b.s) AS est FROM a CROSS JOIN b
+    """).collect()[0]
+    exact = spark.sql(
+        "SELECT count(*) c FROM side_a JOIN side_b USING (k)"
+    ).collect()[0]["c"]
+    import math
+    assert row["est"] >= exact
+    assert row["est"] <= exact + 3 * (math.e / 16384) * 2000 * 800
+    assert spark.sql(
+        "SELECT cms_inner_product(NULL, NULL) AS e").collect()[0]["e"] is None
