@@ -2456,6 +2456,40 @@ FROM rk WHERE rn <= 3
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-chunk, ctx=512, 8 hash buckets): every
+    doc's chunk assignment from one bucket-partitioned window cumsum — no
+    global sort, exact integer arithmetic (see ``textops.pack_sequences``)."""
+    from sketchlib.spark.textops import pack_sequences
+
+    return pack_sequences(load(spark, sf_dir, "documents"), ctx_len=512,
+                          n_buckets=8)
+
+
+_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+           AS bucket,
+         greatest(len({_TOKS}), 0)::BIGINT AS n_tokens
+  FROM documents
+),
+run AS (
+  SELECT doc_id, bucket, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS e
+  FROM t
+)
+SELECT doc_id, bucket, n_tokens,
+       CAST(floor((e - n_tokens) / 512) AS BIGINT) AS chunk_id,
+       CAST((e - n_tokens) % 512 AS BIGINT) AS offset_in_chunk,
+       CASE WHEN n_tokens = 0 THEN 0
+            ELSE CAST(floor((e - 1) / 512) - floor((e - n_tokens) / 512)
+                      + 1 AS BIGINT) END AS n_chunks_spanned
+FROM run
+"""
+
+
 QUERIES = {
     "td_quantiles_by_lang": q_td_quantiles_by_lang,
     "td_discrete_quantiles_by_lang": q_td_discrete_quantiles_by_lang,
@@ -2515,6 +2549,7 @@ QUERIES = {
     "distinctive_terms_by_lang": q_distinctive_terms_by_lang,
     "decontam_bloom_flags": q_decontam_bloom_flags,
     "cms_join_size": q_cms_join_size,
+    "pack_sequences": q_pack_sequences,
 }
 
 ORACLES = {
@@ -2619,4 +2654,5 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
     "distinctive_terms_by_lang": _DISTINCTIVE_SQL,
     "decontam_bloom_flags": _DECONTAM_BLOOM_SQL,
     "cms_join_size": _CMS_JOIN_SIZE_SQL,
+    "pack_sequences": _PACK_SQL,
 }

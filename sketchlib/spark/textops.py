@@ -283,3 +283,60 @@ def distinctive_terms(
         .filter(F.col("rn") <= top_k)
         .select(group_col, "term", "tf", "df", "score", F.col("rn").cast("long").alias("rank"))
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    ctx_len: int = 512,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence packing (concat-and-chunk): assign every document its
+    position in fixed-``ctx_len`` training chunks — the tokenizer-feeding
+    step of an LLM data pipeline.  Documents are concatenated in
+    deterministic ``id_col`` order within ``n_buckets`` hash buckets and
+    the chunk grid is laid over the token stream; each doc reports the
+    chunk it starts in, its offset there, and how many chunks it spans.
+
+    Scale design: packing is inherently sequential, so the global stream
+    is sharded into hash buckets that pack INDEPENDENTLY (standard
+    practice — each bucket is one worker's stream).  The plan is one
+    window cumsum per bucket (PARTITION BY bucket ORDER BY id): the
+    shuffle is one hash Exchange of (id, n_tokens) pairs — no global
+    sort, no driver state, and bucket count scales with the cluster.
+    Everything is exact integer arithmetic on whitespace token counts
+    (swap in a real tokenizer count column at will via ``n_tokens``).
+    """
+    d = with_tokens(df.select(id_col, text_col), text_col)
+    # bucket from an md5-derived 32-bit hash of the id's decimal string —
+    # engine-portable (the DuckDB oracle reproduces it bit-for-bit), same
+    # idiom as sampling.stratified_hash_sample
+    h32 = F.conv(
+        F.substring(F.md5(F.encode(F.col(id_col).cast("string"), "UTF-8")), 1, 8),
+        16, 10,
+    ).cast("long")
+    toks = d.select(
+        F.col(id_col),
+        F.pmod(h32, F.lit(n_buckets)).cast("long").alias("bucket"),
+        F.greatest(F.size("tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = toks.withColumn("_end", F.sum("n_tokens").over(w))
+    start = F.col("_end") - F.col("n_tokens")
+    first_chunk = F.floor(start / ctx_len).cast("long")
+    last_chunk = F.floor((F.col("_end") - 1) / ctx_len).cast("long")
+    return run.select(
+        id_col,
+        "bucket",
+        "n_tokens",
+        first_chunk.alias("chunk_id"),
+        (start % ctx_len).cast("long").alias("offset_in_chunk"),
+        F.when(F.col("n_tokens") == 0, F.lit(0).cast("long"))
+        .otherwise(last_chunk - first_chunk + 1)
+        .alias("n_chunks_spanned"),
+    )

@@ -152,3 +152,46 @@ def test_distinctive_terms_exact_and_approx(spark):
     for r in approx:
         # approx_count_distinct's default rsd is 5% (1 sigma) — allow 3 sigma
         assert abs(r["df"] - exact_df[r["term"]]) <= max(2, 0.15 * exact_df[r["term"]])
+
+
+def test_pack_sequences_invariants(spark):
+    from sketchlib.spark.textops import pack_sequences
+
+    rows = pack_sequences(_docs(spark), ctx_len=128, n_buckets=4).collect()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert set(by_bucket) <= set(range(4))
+    for b, rs in by_bucket.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        pos = 0
+        for r in rs:
+            # doc starts exactly where the previous one ended
+            assert r["chunk_id"] == pos // 128
+            assert r["offset_in_chunk"] == pos % 128
+            end = pos + r["n_tokens"]
+            want_span = 0 if r["n_tokens"] == 0 else (
+                (end - 1) // 128 - pos // 128 + 1)
+            assert r["n_chunks_spanned"] == want_span
+            pos = end
+        # bucket's total chunk count is ceil(total_tokens / ctx)
+        total = sum(r["n_tokens"] for r in rs)
+        last_used = max(r["chunk_id"] + max(r["n_chunks_spanned"], 1)
+                        for r in rs) if rs else 0
+        assert last_used == -(-total // 128) or total == 0
+
+
+def test_pack_sequences_empty_and_null_docs(spark):
+    from sketchlib.spark.textops import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, ""), (4, "d e")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in
+           pack_sequences(df, ctx_len=4, n_buckets=1).collect()}
+    assert got[2]["n_tokens"] == 0 and got[2]["n_chunks_spanned"] == 0
+    assert got[3]["n_tokens"] == 0
+    # stream = docs in id order: [a b c][d e] -> doc4 starts at offset 3
+    assert got[1]["chunk_id"] == 0 and got[1]["offset_in_chunk"] == 0
+    assert got[4]["chunk_id"] == 0 and got[4]["offset_in_chunk"] == 3
+    assert got[4]["n_chunks_spanned"] == 2  # spans tokens 3..4 across chunks
