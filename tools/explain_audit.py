@@ -390,6 +390,21 @@ def main():
           must_not=[r"SortMergeJoin", r"ReadSchema:[^\n]*o_totalprice",
                     r"ReadSchema:[^\n]*c_name"])
 
+    # 6aa. sequence packing: 1 pruned scan, ONE hash Exchange (by bucket)
+    # feeding the window cumsum — no global sort, no join
+    from sketchlib.spark.queries import q_pack_sequences
+
+    p = plan_of(q_pack_sequences(spark, sf_dir))
+    n_ex = len(re.findall(r"\(\d+\) Exchange", p))
+    n_scan = len(re.findall(r"\(\d+\) Scan parquet", p))
+    ok = (n_scan == 1 and n_ex == 1 and re.search(r"Window", p)
+          and not re.search(r"Join", p)
+          and not re.search(r"ReadSchema:[^\n]*source", p))
+    print(f"{'packing: 1 scan, 1 exchange, window':40s} "
+          f"{'OK' if ok else 'FAIL'} (scans={n_scan}, ex={n_ex})")
+    if not ok:
+        FAIL.append(f"packing: scans={n_scan} ex={n_ex} or join/sort shape wrong")
+
     # 7. checkpoint resume: anti-join against completed parts is broadcast
     from sketchlib.spark.checkpoint import TDigestCheckpointer
 
