@@ -735,16 +735,17 @@ def eval_ngram_bloom(
     Zero false negatives by construction."""
     from sketchlib.spark.sketch_ops import sketch_aggregate
 
+    from sketchlib.bloom import Bloom
+
     sh = hashed_shingle_sets(eval_df, id_col, text_col, ngram).select(
         "shingle"
     ).distinct()
     n = sh.count()
-    return bytes(
-        sketch_aggregate(
-            sh, [], "shingle", "bloom",
-            {"fpr": fpr, "expected_n": max(n, 1000)},
-        ).collect()[0]["sketch"]
-    )
+    params = {"fpr": fpr, "expected_n": max(n, 1000)}
+    rows = sketch_aggregate(sh, [], "shingle", "bloom", params).collect()
+    if not rows:  # empty eval corpus -> empty filter (flags nothing)
+        return Bloom(expected_n=params["expected_n"], fpr=fpr).serialize()
+    return bytes(rows[0]["sketch"])
 
 
 def bloom_decontam_flags(

@@ -283,3 +283,15 @@ def test_contamination_hashed_equals_string_mode(spark):
     b = sorted(map(tuple, contamination_hits(
         train, ev, ngram=4, hashed=True).collect()))
     assert a == b  # 64-bit space: collisions impossible at this size
+
+
+def test_bloom_decontam_empty_eval_corpus(spark):
+    from sketchlib.spark.dedup import bloom_decontam_flags, eval_ngram_bloom
+
+    train = spark.createDataFrame(
+        [(1, "a b c d e"), (2, None)], "doc_id long, text string")
+    empty_ev = spark.createDataFrame([], "doc_id long, text string")
+    blob = eval_ngram_bloom(empty_ev, ngram=3)
+    flags = {r["doc_id"]: r["contaminated"]
+             for r in bloom_decontam_flags(train, blob, ngram=3).collect()}
+    assert flags == {1: False, 2: False}
