@@ -865,9 +865,66 @@ def frequent_items_bench() -> None:
         "cpus": CPUS,
     }))
 
+def decontam_bench() -> None:
+    """Test-set decontamination throughput over a ~1M-page slice of the
+    bench pages table (1/8 hash sample, ~130 tokens/page), 1% eval split,
+    5-gram containment: hashed (web-scale) vs string-exact mode, plus the
+    stateless Bloom-flag projection.  Best of 2 warm reps each.  One JSON
+    line."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.dedup import (
+        bloom_decontam_flags,
+        contamination_hits,
+        eval_ngram_bloom,
+    )
+    from sketchlib.spark.session import get_spark
+
+    path = os.path.join(BENCH_DIR, f"pages_{BENCH_ROWS}.parquet")
+    ensure_pages(path, BENCH_ROWS)
+    spark = get_spark("decontam-bench", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = spark.read.parquet(path).select("url", "text").filter(
+        F.abs(F.xxhash64("url")) % 8 == 0
+    ).withColumn("doc_id", F.xxhash64("url"))
+    train = pages.filter(F.abs(F.col("doc_id")) % 97 != 0)
+    ev = pages.filter(F.abs(F.col("doc_id")) % 97 == 0)
+
+    def run(stats_df):
+        return stats_df.agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("n_hits") > 0).cast("long")).alias("c"),
+        ).collect()[0]
+
+    def best_of(fn, reps=2):
+        fn()
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        return best
+
+    r = run(contamination_hits(train, ev, ngram=5, hashed=True))
+    t_hash = best_of(lambda: run(contamination_hits(train, ev, ngram=5, hashed=True)))
+    t_str = best_of(lambda: run(contamination_hits(train, ev, ngram=5)))
+    blob = eval_ngram_bloom(ev, ngram=5, fpr=1e-4)
+    flags = bloom_decontam_flags(train, blob, ngram=5)
+    t_bloom = best_of(lambda: flags.agg(
+        F.sum(F.col("contaminated").cast("long"))).collect())
+    spark.stop()
+    print(json.dumps({
+        "train_rows": int(r["n"]), "contaminated": int(r["c"]),
+        "bloom_bytes": len(blob), "cpus": CPUS,
+        "hashed_sec": round(t_hash, 2), "string_sec": round(t_str, 2),
+        "bloom_flags_sec": round(t_bloom, 2),
+        "hashed_docs_per_sec": round(r["n"] / t_hash, 1),
+    }))
+
+
 _MODES = (
     "--scaling", "--compare-builtin", "--sketches", "--frequent",
-    "--joins", "--profile", "--measure-build",
+    "--joins", "--profile", "--decontam", "--measure-build",
 )
 
 if __name__ == "__main__":
@@ -887,6 +944,8 @@ if __name__ == "__main__":
         frequent_items_bench()
     elif len(sys.argv) > 1 and sys.argv[1] == "--profile":
         profile_bench()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--decontam":
+        decontam_bench()
     elif len(sys.argv) > 1 and sys.argv[1] == "--joins":
         joins_bench()
     elif len(sys.argv) > 1 and sys.argv[1] == "--measure-build":
