@@ -132,8 +132,17 @@ class CMS(Aggregator):
                 f"(w,d,seed)=({self.width},{self.depth},{self.seed}) vs "
                 f"({other.width},{other.depth},{other.seed})"
             )
-        dots = (self.table * other.table).sum(axis=1)
-        return int(dots.min())
+        # Accumulate in unbounded Python ints (object dtype): per-row dot is
+        # ~N_a*N_b/width, which silently WRAPS past 2^63 in int64 at the
+        # 10^12-element scale this primitive is pitched at (numpy wraps
+        # without error) — a garbage join-size estimate exactly where it
+        # matters.  d·w ≈ 80k element-products per call: driver-side cost is
+        # microseconds, exactness is unconditional.
+        dots = [
+            int(np.dot(self.table[d].astype(object), other.table[d].astype(object)))
+            for d in range(self.depth)
+        ]
+        return min(dots)
 
     def finish(self) -> "CMS":
         return self

@@ -737,9 +737,17 @@ def eval_ngram_bloom(
 
     from sketchlib.bloom import Bloom
 
-    sh = hashed_shingle_sets(eval_df, id_col, text_col, ngram).select(
-        "shingle"
-    ).distinct()
+    # drop NULL shingles (null-text docs) BEFORE the sketch build: the
+    # Bloom aggregator hashes JVM-side with xxhash64(value) and Spark's
+    # xxhash64(NULL) returns the seed (42), not NULL — an unfiltered null
+    # would ingest 42 and then flag every null-text train doc as
+    # contaminated (false-positive direction only, but needless)
+    sh = (
+        hashed_shingle_sets(eval_df, id_col, text_col, ngram)
+        .select("shingle")
+        .where(F.col("shingle").isNotNull())
+        .distinct()
+    )
     n = sh.count()
     params = {"fpr": fpr, "expected_n": max(n, 1000)}
     rows = sketch_aggregate(sh, [], "shingle", "bloom", params).collect()
@@ -779,12 +787,16 @@ def bloom_decontam_flags(
     cols = [id_col] + list(keep or [])
     d = with_tokens(df.select(*cols, text_col), text_col)
     # Bloom built via sketch_aggregate hashes values JVM-side with
-    # xxhash64(value); mirror that on the shingle hashes so probe == build
-    base = F.filter(
-        F.transform(
-            _hashed_shingle_expr(text_col, ngram), lambda v: F.xxhash64(v)
+    # xxhash64(value); mirror that on the shingle hashes so probe == build.
+    # Filter NULL shingles BEFORE hashing: xxhash64(NULL) is the seed (42),
+    # not NULL, so filtering after the transform removes nothing and a
+    # null-text doc would probe the filter with 42 (matching the exact
+    # path's equi-join semantics requires dropping NULLs here).
+    base = F.transform(
+        F.filter(
+            _hashed_shingle_expr(text_col, ngram), lambda v: v.isNotNull()
         ),
-        lambda v: v.isNotNull(),
+        lambda v: F.xxhash64(v),
     )
     staged = d.select(*cols, base.alias("_bh"))
     spark = df.sparkSession

@@ -2459,19 +2459,32 @@ FROM rk WHERE rn <= 3
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (concat-and-chunk, ctx=512, 8 hash buckets): every
     doc's chunk assignment from one bucket-partitioned window cumsum — no
-    global sort, exact integer arithmetic (see ``textops.pack_sequences``)."""
+    global sort, exact integer arithmetic (see ``textops.pack_sequences``).
+
+    Gated with TWO tokenizers to prove the operator is tokenizer-agnostic
+    (the count source is an injected Column): the default whitespace split
+    and a chars/4 surrogate (``(length(text)+3) DIV 4`` — the standard
+    "~4 chars per BPE token" estimate), tagged in the ``tokenizer`` col."""
     from sketchlib.spark.textops import pack_sequences
 
-    return pack_sequences(load(spark, sf_dir, "documents"), ctx_len=512,
-                          n_buckets=8)
+    docs = load(spark, sf_dir, "documents")
+    ws = pack_sequences(docs, ctx_len=512, n_buckets=8).withColumn(
+        "tokenizer", F.lit("whitespace")
+    )
+    ch = pack_sequences(
+        docs, ctx_len=512, n_buckets=8,
+        token_count=F.expr("(length(text) + 3) DIV 4"),
+    ).withColumn("tokenizer", F.lit("chars4"))
+    return ws.unionByName(ch)
 
 
-_PACK_SQL = f"""
+def _pack_sql(n_tokens_expr: str, tag: str) -> str:
+    return f"""
 WITH t AS (
   SELECT doc_id,
          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
            AS bucket,
-         greatest(len({_TOKS}), 0)::BIGINT AS n_tokens
+         greatest({n_tokens_expr}, 0)::BIGINT AS n_tokens
   FROM documents
 ),
 run AS (
@@ -2485,62 +2498,278 @@ SELECT doc_id, bucket, n_tokens,
        CAST((e - n_tokens) % 512 AS BIGINT) AS offset_in_chunk,
        CASE WHEN n_tokens = 0 THEN 0
             ELSE CAST(floor((e - 1) / 512) - floor((e - n_tokens) / 512)
-                      + 1 AS BIGINT) END AS n_chunks_spanned
+                      + 1 AS BIGINT) END AS n_chunks_spanned,
+       '{tag}' AS tokenizer
 FROM run
 """
 
 
+_PACK_SQL = f"""
+SELECT * FROM ({_pack_sql(f"len({_TOKS})", "whitespace")})
+UNION ALL
+SELECT * FROM ({_pack_sql("(length(text) + 3) // 4", "chars4")})
+"""
+
+
+# ---------------------------------------------------------------------------
+# Folded queries (round 4): the driver's correctness gate records at most
+# ~50 rows, so near-duplicate catalog entries are consolidated — each fold
+# below subsumes TWO previously-green queries (usually strictly more work:
+# both operators' outputs in one gated result), freeing gate slots so EVERY
+# registered query gets a driver CORRECTNESS row.  The original per-operator
+# functions remain above (tests and plan audits still exercise them).
+# ---------------------------------------------------------------------------
+
+
+def q_td_kll_quantiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Folds td_discrete_quantiles_by_lang + kll_nearest_rank_by_lang: the
+    same weighted nearest-rank quantiles computed by BOTH sketch families
+    (discrete t-digest → q*, oracle-mode KLL → kq*), joined on lang.  Two
+    KB-row frames join-broadcast; the fact scans are the only real cost."""
+    td = q_td_discrete_quantiles_by_lang(spark, sf_dir)
+    kll = q_kll_nearest_rank_by_lang(spark, sf_dir)
+    for a in PS_DISCRETE:
+        kll = kll.withColumnRenamed(a, f"k{a}")
+    return td.join(F.broadcast(kll), "lang")
+
+
+def q_td_quantiles_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Folds td_events_by_type + td_lineitem_price: one tagged union of
+    per-key quantiles over two fact tables — discrete nearest-rank on
+    events.value, merging-mode interpolation on lineitem prices."""
+    ev = load(spark, sf_dir, "events")
+    li = load(spark, sf_dir, "lineitem")
+    e = _explode_quantiles(
+        tdigest_aggregate(ev, ["event_type"], "value", discrete=True),
+        "event_type", PS_FLAGSHIP, discrete=True,
+    ).select(
+        F.lit("events").alias("tbl"), F.col("event_type").alias("grp"),
+        *PS_FLAGSHIP.keys(),
+    )
+    l = _explode_quantiles(
+        tdigest_aggregate(li, ["l_returnflag"], "l_extendedprice", delta=0.0),
+        "l_returnflag", PS_FLAGSHIP, discrete=False,
+    ).select(
+        F.lit("lineitem").alias("tbl"), F.col("l_returnflag").alias("grp"),
+        *PS_FLAGSHIP.keys(),
+    )
+    return e.unionByName(l)
+
+
+_MULTI_TABLE_SQL = f"""
+SELECT 'events' AS tbl, event_type AS grp, q50, q95, q99
+FROM ({_nearest_rank_sql("events", "event_type", "value", PS_FLAGSHIP)})
+UNION ALL
+SELECT 'lineitem' AS tbl, l_returnflag AS grp, q50, q95, q99
+FROM ({_interp_quantile_sql("lineitem", "l_returnflag", "l_extendedprice", PS_FLAGSHIP)})
+"""
+
+
+def q_td_info_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Folds td_info_by_lang + td_digest_stats_by_lang: the full reference
+    ``info``/``to_string`` introspection surface off ONE exact-mode digest
+    build — count/size/min/max read from the payload AFTER a wire-container
+    round trip (so both serde formats stay gated), raw and wire byte sizes
+    from octet_length."""
+    from sketchlib.spark.tdigest_ops import (
+        tdigest_info_udf,
+        tdigest_unwire_udf,
+        tdigest_wire_udf,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    dig = tdigest_aggregate(docs, ["lang"], "n_chars", delta=0.0)
+    wire = tdigest_wire_udf(delta=0.0, discrete=False)
+    d = (
+        dig.withColumn("_wire", wire("digest"))
+        .withColumn("_payload", tdigest_unwire_udf("_wire"))
+    )
+    return d.select(
+        "lang",
+        tdigest_info_udf("_payload").alias("i"),
+        F.octet_length("digest").cast("long").alias("digest_bytes"),
+        F.octet_length("_wire").cast("long").alias("wire_bytes"),
+    ).select(
+        "lang",
+        F.col("i.count").alias("total_weight"),
+        F.col("i.size").cast("long").alias("n_centroids"),
+        F.col("i.min").alias("min_val"),
+        F.col("i.max").alias("max_val"),
+        "digest_bytes",
+        "wire_bytes",
+    )
+
+
+_INFO_STATS_SQL = """
+SELECT lang,
+  CAST(count(*) AS DOUBLE) AS total_weight,
+  count(DISTINCT n_chars) AS n_centroids,
+  CAST(min(n_chars) AS DOUBLE) AS min_val,
+  CAST(max(n_chars) AS DOUBLE) AS max_val,
+  16 * count(DISTINCT n_chars) AS digest_bytes,
+  20 + 16 * count(DISTINCT n_chars) AS wire_bytes
+FROM documents GROUP BY lang
+"""
+
+
+def q_mg_sources_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Folds mg_top_sources_by_lang + mg_guarantee_sources: the unsaturated
+    per-lang frequent-items table with the saturated global MG guarantee
+    booleans broadcast-joined per source."""
+    per = q_mg_top_sources_by_lang(spark, sf_dir)
+    laws = q_mg_guarantee_sources(spark, sf_dir)
+    return per.join(F.broadcast(laws), "source").select(
+        "lang", "source", "cnt",
+        "ok_underestimate", "ok_bound", "ok_retention",
+    )
+
+
+_MG_FOLD_SQL = """
+SELECT lang, source, count(*) AS cnt,
+       TRUE AS ok_underestimate, TRUE AS ok_bound, TRUE AS ok_retention
+FROM documents GROUP BY lang, source
+"""
+
+
+def q_text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Folds text_token_stats + doc_fingerprint — and improves on running
+    them separately: ONE projection over one tokens array yields all token/
+    quality counters plus the winnowing fingerprint (no second scan, no
+    doc-grain join)."""
+    from sketchlib.spark.textops import doc_features
+
+    return doc_features(load(spark, sf_dir, "documents"))
+
+
+def _doc_features_sql() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS tk FROM documents)
+SELECT doc_id,
+  len(tk)::BIGINT AS n_tokens,
+  len(list_distinct(tk))::BIGINT AS n_uniq_tokens,
+  len(list_filter(tk, w -> list_contains({_STOP_SQL}, w)))::BIGINT AS n_stopwords,
+  list_max(list_transform(tk, w -> length(w)))::BIGINT AS max_token_len,
+  list_sum(list_transform(tk, w -> length(w)))::BIGINT AS n_chars_nospace,
+  CASE WHEN len(tk) >= 5 THEN
+    list_min(list_transform(range(1, len(tk) - 3),
+                            i -> substr(md5(array_to_string(tk[i:i+4], ' ')), 1, 16)))
+  ELSE substr(md5(text), 1, 16) END AS fingerprint
+FROM t
+"""
+
+
+def q_rollup_hourly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Folds td_hourly_rollup + hll_hourly_rollup: the continuous-aggregate
+    pattern for BOTH sketch families at once — per-(event_type × day)
+    quantiles merged from hourly t-digests next to the distinct-user
+    estimate merged from hourly HLLs, joined on the rollup key."""
+    td = q_td_hourly_rollup(spark, sf_dir)
+    hll = q_hll_hourly_rollup(spark, sf_dir)
+    return td.join(hll, ["event_type", "day"])
+
+
+_ROLLUP_FOLD_SQL = f"""
+SELECT td.*, hll.n_exact, hll.within_tol, hll.rollup_equals_direct
+FROM ({_ROLLUP_SQL}) td JOIN ({_HLL_ROLLUP_SQL}) hll
+USING (event_type, day)
+"""
+
+
+def q_media_meta_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Folds media_sniff_meta + media_frame_sample: typed metadata for every
+    synthetic media payload LEFT-joined with the per-frame sampling plan
+    (frame cols NULL for non-video), so header parsing for all three kinds
+    AND the UDTF-style frame explosion stay gated in one result."""
+    from sketchlib.spark.media import (
+        sample_frames,
+        sniff_media_meta,
+        synth_media_from_docs,
+    )
+
+    media = synth_media_from_docs(load(spark, sf_dir, "documents"))
+    meta = sniff_media_meta(media)
+    frames = sample_frames(media, every_ms=7000)
+    return meta.join(frames, "media_id", "left")
+
+
+_MEDIA_FOLD_SQL = f"""
+SELECT m.media_id, m.kind, m.width, m.height, m.duration_ms, m.payload_bytes,
+       f.frame_idx, f.ts_ms
+FROM ({_MEDIA_META_SQL}) m LEFT JOIN ({_MEDIA_FRAMES_SQL}) f USING (media_id)
+"""
+
+
+def q_ann_ivf_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Folds ann_ivf_topk + ann_ivf_recall: the full-probe IVF top-k rows
+    (≡ brute force, hash-exact) carrying the partial-probe recall@10 ≥ 0.5
+    verdict boolean from the nprobe=4 run."""
+    full = q_ann_ivf_topk(spark, sf_dir)
+    gate = q_ann_ivf_recall(spark, sf_dir).select("recall_ge_half")
+    return full.crossJoin(F.broadcast(gate))
+
+
+def q_hll_users_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Folds hll_users_by_type + hll_union_users: per-event-type HLL user
+    counts with the 2% error gate, plus the semilattice laws (union of the
+    SAME per-type sketches estimates the global count within 2% and is
+    byte-identical to a direct global build) as constant verdict columns."""
+    from sketchlib.hll import HLL
+    from sketchlib.spark.sketch_ops import sketch_aggregate, sketch_merge
+
+    ev = load(spark, sf_dir, "events")
+    per_type = sketch_aggregate(ev, ["event_type"], "user_id", "hll", {"p": 14})
+
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def est(s):
+        import pandas as pd
+
+        return pd.Series([HLL.deserialize(bytes(b)).estimate() for b in s])
+
+    approx = per_type.select("event_type", est("sketch").alias("_est"))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    per_rows = exact.join(F.broadcast(approx), "event_type").select(
+        "event_type",
+        "n_exact",
+        (F.abs(F.col("_est") / F.col("n_exact") - 1.0) < 0.02).alias("within_2pct"),
+    )
+    unioned = sketch_merge(per_type.select("sketch"), [], "hll", {"p": 14})
+    direct = sketch_aggregate(ev, [], "user_id", "hll", {"p": 14})
+    u_blob = bytes(unioned.collect()[0]["sketch"])
+    d_blob = bytes(direct.collect()[0]["sketch"])
+    u_est = HLL.deserialize(u_blob).estimate()
+    gate = ev.agg(F.countDistinct("user_id").alias("n_exact_all")).select(
+        "n_exact_all",
+        (F.abs(F.lit(u_est) / F.col("n_exact_all") - 1.0) < 0.02)
+        .alias("union_within_2pct"),
+        F.lit(u_blob == d_blob).alias("union_equals_direct"),
+    )
+    return per_rows.crossJoin(F.broadcast(gate))
+
+
+_HLL_FOLD_SQL = """
+WITH t AS (
+  SELECT event_type, count(DISTINCT user_id) AS n_exact, TRUE AS within_2pct
+  FROM events GROUP BY event_type
+), g AS (
+  SELECT count(DISTINCT user_id) AS n_exact_all,
+         TRUE AS union_within_2pct, TRUE AS union_equals_direct
+  FROM events
+)
+SELECT t.*, g.* FROM t, g
+"""
+
+
+# 50 entries — at most the driver's correctness gate records (~50 rows/run).
+# Ordering rule (VERDICT r03 #1): queries that have never had a driver
+# CORRECTNESS row come FIRST (the round-3 wave, then the round-4 folds);
+# the long-green remainder follows.
 QUERIES = {
-    "td_quantiles_by_lang": q_td_quantiles_by_lang,
-    "td_discrete_quantiles_by_lang": q_td_discrete_quantiles_by_lang,
-    "td_cdf_by_lang": q_td_cdf_by_lang,
-    "td_digest_stats_by_lang": q_td_digest_stats_by_lang,
-    "td_events_by_type": q_td_events_by_type,
-    "td_lineitem_price": q_td_lineitem_price,
-    "td_compressed_by_lang": q_td_compressed_by_lang,
-    "bloom_membership_by_source": q_bloom_membership_by_source,
-    "cms_source_counts": q_cms_source_counts,
-    "hll_users_by_type": q_hll_users_by_type,
-    "kll_nearest_rank_by_lang": q_kll_nearest_rank_by_lang,
-    "text_token_stats": q_text_token_stats,
-    "text_quality_by_lang": q_text_quality_by_lang,
-    "lang_id_confusion": q_lang_id_confusion,
-    "doc_fingerprint": q_doc_fingerprint,
-    "dedup_exact_keepers": q_dedup_exact_keepers,
-    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
-    "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
-    "dedup_simhash_hamming": q_dedup_simhash_hamming,
-    "ann_topk_cosine": q_ann_topk_cosine,
-    "emb_cosine_pairs": q_emb_cosine_pairs,
-    "media_sniff_meta": q_media_sniff_meta,
-    "media_frame_sample": q_media_frame_sample,
-    "pipeline_clean_corpus": q_pipeline_clean_corpus,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "ann_ivf_recall": q_ann_ivf_recall,
-    "emb_signlsh_precision": q_emb_signlsh_precision,
-    "top_sources_by_lang": q_top_sources_by_lang,
-    "kmv_sample_by_lang": q_kmv_sample_by_lang,
-    "kmv_user_overlap": q_kmv_user_overlap,
-    "td_hourly_rollup": q_td_hourly_rollup,
-    "td_order_value_by_nation": q_td_order_value_by_nation,
-    "event_sessions": q_event_sessions,
-    "td_cube_lang_source": q_td_cube_lang_source,
-    "td_weighted_lineitem": q_td_weighted_lineitem,
-    "td_info_by_lang": q_td_info_by_lang,
-    "td_trimmed_mean_by_lang": q_td_trimmed_mean_by_lang,
-    "cms_heavy_hitters": q_cms_heavy_hitters,
-    "hll_union_users": q_hll_union_users,
-    "dedup_group_keepers": q_dedup_group_keepers,
-    "events_asof_purchase": q_events_asof_purchase,
-    "sample_stratified_hash": q_sample_stratified_hash,
-    "sample_weighted_topk": q_sample_weighted_topk,
-    "td_prank_by_lang": q_td_prank_by_lang,
-    "events_in_purchase_window": q_events_in_purchase_window,
-    "mg_top_sources_by_lang": q_mg_top_sources_by_lang,
-    "mg_guarantee_sources": q_mg_guarantee_sources,
-    "td_merge_laws": q_td_merge_laws,
-    "bloom_join_prune": q_bloom_join_prune,
-    "hll_hourly_rollup": q_hll_hourly_rollup,
+    # --- never driver-gated as of r03 ---
     "td_ks_drift_by_lang": q_td_ks_drift_by_lang,
     "td_winsorize_by_lang": q_td_winsorize_by_lang,
     "corpus_profile_by_lang": q_corpus_profile_by_lang,
@@ -2550,13 +2779,70 @@ QUERIES = {
     "decontam_bloom_flags": q_decontam_bloom_flags,
     "cms_join_size": q_cms_join_size,
     "pack_sequences": q_pack_sequences,
+    # --- round-4 folds (each subsumes two previously-green queries) ---
+    "td_kll_quantiles_by_lang": q_td_kll_quantiles_by_lang,
+    "td_quantiles_multi_table": q_td_quantiles_multi_table,
+    "td_info_stats_by_lang": q_td_info_stats_by_lang,
+    "mg_sources_by_lang": q_mg_sources_by_lang,
+    "text_doc_features": q_text_doc_features,
+    "rollup_hourly_daily": q_rollup_hourly_daily,
+    "media_meta_frames": q_media_meta_frames,
+    "ann_ivf_topk_recall": q_ann_ivf_topk_recall,
+    "hll_users_union": q_hll_users_union,
+    # --- long-green ---
+    "td_quantiles_by_lang": q_td_quantiles_by_lang,
+    "td_cdf_by_lang": q_td_cdf_by_lang,
+    "td_compressed_by_lang": q_td_compressed_by_lang,
+    "bloom_membership_by_source": q_bloom_membership_by_source,
+    "cms_source_counts": q_cms_source_counts,
+    "text_quality_by_lang": q_text_quality_by_lang,
+    "lang_id_confusion": q_lang_id_confusion,
+    "dedup_exact_keepers": q_dedup_exact_keepers,
+    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+    "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
+    "dedup_simhash_hamming": q_dedup_simhash_hamming,
+    "ann_topk_cosine": q_ann_topk_cosine,
+    "emb_cosine_pairs": q_emb_cosine_pairs,
+    "pipeline_clean_corpus": q_pipeline_clean_corpus,
+    "emb_signlsh_precision": q_emb_signlsh_precision,
+    "top_sources_by_lang": q_top_sources_by_lang,
+    "kmv_sample_by_lang": q_kmv_sample_by_lang,
+    "kmv_user_overlap": q_kmv_user_overlap,
+    "td_order_value_by_nation": q_td_order_value_by_nation,
+    "event_sessions": q_event_sessions,
+    "td_cube_lang_source": q_td_cube_lang_source,
+    "td_weighted_lineitem": q_td_weighted_lineitem,
+    "td_trimmed_mean_by_lang": q_td_trimmed_mean_by_lang,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "dedup_group_keepers": q_dedup_group_keepers,
+    "events_asof_purchase": q_events_asof_purchase,
+    "sample_stratified_hash": q_sample_stratified_hash,
+    "sample_weighted_topk": q_sample_weighted_topk,
+    "td_prank_by_lang": q_td_prank_by_lang,
+    "events_in_purchase_window": q_events_in_purchase_window,
+    "td_merge_laws": q_td_merge_laws,
+    "bloom_join_prune": q_bloom_join_prune,
 }
 
 ORACLES = {
-    "td_quantiles_by_lang": _interp_quantile_sql("documents", "lang", "n_chars", PS_FLAGSHIP),
-    "td_discrete_quantiles_by_lang": _nearest_rank_sql(
-        "documents", "lang", "n_chars", PS_DISCRETE
+    # --- never driver-gated as of r03 (oracles unchanged, order matches QUERIES) ---
+    # (entries below appear in the same group order as QUERIES for auditability;
+    #  DuckDB runs each independently so only the key set must match)
+    # --- round-4 folds ---
+    "td_kll_quantiles_by_lang": _nearest_rank_sql(
+        "documents", "lang", "n_chars",
+        {**PS_DISCRETE, **{f"k{a}": p for a, p in PS_DISCRETE.items()}},
     ),
+    "td_quantiles_multi_table": _MULTI_TABLE_SQL,
+    "td_info_stats_by_lang": _INFO_STATS_SQL,
+    "mg_sources_by_lang": _MG_FOLD_SQL,
+    "text_doc_features": _doc_features_sql(),
+    "rollup_hourly_daily": _ROLLUP_FOLD_SQL,
+    "media_meta_frames": _MEDIA_FOLD_SQL,
+    "ann_ivf_topk_recall": f"SELECT t.*, TRUE AS recall_ge_half FROM ({_ANN_TOPK_SQL}) t",
+    "hll_users_union": _HLL_FOLD_SQL,
+    # --- originals ---
+    "td_quantiles_by_lang": _interp_quantile_sql("documents", "lang", "n_chars", PS_FLAGSHIP),
     "td_cdf_by_lang": """
 SELECT lang,
   CAST(count(*) FILTER (WHERE n_chars <= 200) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS cdf_200,
@@ -2564,21 +2850,8 @@ SELECT lang,
   CAST(count(*) FILTER (WHERE n_chars <= 1000) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS cdf_1000
 FROM documents GROUP BY lang
 """,
-    "td_digest_stats_by_lang": """
-SELECT lang,
-  count(DISTINCT n_chars) AS n_centroids,
-  CAST(count(*) AS DOUBLE) AS total_weight,
-  16 * count(DISTINCT n_chars) AS digest_bytes,
-  20 + 16 * count(DISTINCT n_chars) AS wire_bytes
-FROM documents GROUP BY lang
-""",
-    "td_events_by_type": _nearest_rank_sql("events", "event_type", "value", PS_DISCRETE),
-    "td_lineitem_price": _interp_quantile_sql(
-        "lineitem", "l_returnflag", "l_extendedprice", PS_FLAGSHIP
-    ),
-    # the production approximate paths are gated via bounded-error verdict
-    # booleans: Spark computes |rank(estimate) - p| < delta (t-digest) and
-    # |est/exact - 1| < 2% (HLL) from the data; the oracle asserts they hold
+
+
     "td_compressed_by_lang": """
 SELECT lang, count(*) AS n_docs,
        TRUE AS q50_ok, TRUE AS q95_ok, TRUE AS q99_ok
@@ -2591,17 +2864,10 @@ FROM documents GROUP BY source
     "cms_source_counts": """
 SELECT source, count(*) AS est_count FROM documents GROUP BY source
 """,
-    "hll_users_by_type": """
-SELECT event_type, count(DISTINCT user_id) AS n_exact, TRUE AS within_2pct
-FROM events GROUP BY event_type
-""",
-    "kll_nearest_rank_by_lang": _nearest_rank_sql(
-        "documents", "lang", "n_chars", PS_DISCRETE
-    ),
-    "text_token_stats": _token_stats_sql(),
+
+
     "text_quality_by_lang": _quality_sql(),
     "lang_id_confusion": _lang_id_sql(),
-    "doc_fingerprint": _fingerprint_sql(),
     "dedup_exact_keepers": """
 SELECT doc_id, md5(text) AS content_hash,
        min(doc_id) OVER (PARTITION BY text) AS keeper_id,
@@ -2613,11 +2879,9 @@ FROM documents
     "dedup_simhash_hamming": _simhash_pairs_sql(3),
     "ann_topk_cosine": _ANN_TOPK_SQL,
     "emb_cosine_pairs": _COSINE_PAIRS_SQL,
-    "media_sniff_meta": _MEDIA_META_SQL,
-    "media_frame_sample": _MEDIA_FRAMES_SQL,
+
     "pipeline_clean_corpus": _PIPELINE_SQL,
-    "ann_ivf_topk": _ANN_TOPK_SQL,
-    "ann_ivf_recall": _IVF_RECALL_SQL,
+
     "emb_signlsh_precision": """
 SELECT count(*) AS n_exact_pairs, TRUE AS lsh_precision_1
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -2626,26 +2890,21 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
     "top_sources_by_lang": _TOP_SOURCES_SQL,
     "kmv_sample_by_lang": _KMV_SQL,
     "kmv_user_overlap": _KMV_OVERLAP_SQL,
-    "td_hourly_rollup": _ROLLUP_SQL,
     "td_order_value_by_nation": _ORDER_NATION_SQL,
     "event_sessions": _SESSIONS_SQL,
     "td_cube_lang_source": _cube_sql(),
     "td_weighted_lineitem": _WEIGHTED_SQL,
-    "td_info_by_lang": _INFO_SQL,
     "td_trimmed_mean_by_lang": _TRIMMED_MEAN_SQL,
     "cms_heavy_hitters": _CMS_HH_SQL,
-    "hll_union_users": _HLL_UNION_SQL,
     "dedup_group_keepers": _group_keepers_sql(0.8),
     "events_asof_purchase": _ASOF_SQL,
     "sample_stratified_hash": _sample_sql(SAMPLE_RATES),
     "sample_weighted_topk": _WEIGHTED_SAMPLE_SQL,
     "td_prank_by_lang": _PRANK_SQL,
     "events_in_purchase_window": _RANGE_JOIN_SQL,
-    "mg_top_sources_by_lang": _MG_TOP_SQL,
-    "mg_guarantee_sources": _MG_GUARANTEE_SQL,
+
     "td_merge_laws": _MERGE_LAWS_SQL,
     "bloom_join_prune": _BLOOM_JOIN_SQL,
-    "hll_hourly_rollup": _HLL_ROLLUP_SQL,
     "td_ks_drift_by_lang": _KS_DRIFT_SQL,
     "td_winsorize_by_lang": _WINSORIZE_SQL,
     "corpus_profile_by_lang": _PROFILE_SQL,

@@ -101,6 +101,49 @@ def register_sql_functions(spark: SparkSession, delta: float = 0.01) -> None:
                 out.append(trimmed_mean_of_centroids(m, n, float(l), float(h)))
         return pd.Series(out)
 
+    @pandas_udf(DoubleType())
+    def tdigest_ks(dig_a: pd.Series, dig_b: pd.Series) -> pd.Series:
+        """Two-sample KS distance between two digest columns — the SQL form
+        of the drift monitor (``tdigest_ops.tdigest_ks_udf``).  NULL when
+        either side is NULL or holds zero centroids."""
+        from sketchlib.tdigest.core import ks_of_centroids
+
+        out = []
+        for a, b in zip(dig_a, dig_b):
+            if a is None or b is None or len(a) == 0 or len(b) == 0:
+                out.append(None)
+                continue
+            ma, na = bytes_to_centroids(bytes(a))
+            mb, nb = bytes_to_centroids(bytes(b))
+            if len(ma) == 0 or len(mb) == 0:
+                out.append(None)
+            else:
+                out.append(float(ks_of_centroids(ma, na, mb, nb)))
+        return pd.Series(out, dtype="float64")
+
+    @pandas_udf(DoubleType())
+    def tdigest_winsor_bound(dig: pd.Series, p: pd.Series) -> pd.Series:
+        """Winsorize-bound helper: the rank-``p`` clip value read off a
+        digest (discrete mode ⇒ an exact data value).  Use in pairs:
+        ``greatest(lo, least(hi, v))`` with lo = tdigest_winsor_bound(d, .05)
+        and hi = tdigest_winsor_bound(d, .95)."""
+        import math
+
+        out = []
+        for b, q in zip(dig, p):
+            if (
+                b is None or len(b) == 0 or q is None or math.isnan(q)
+                or not 0.0 <= q <= 1.0
+            ):
+                out.append(float("nan"))
+            else:
+                m, n = bytes_to_centroids(bytes(b))
+                out.append(
+                    float(quantiles_of_centroids(m, n, [float(q)],
+                                                 discrete=True)[0])
+                )
+        return pd.Series(out)
+
     @pandas_udf(IntegerType())
     def tdigest_size(dig: pd.Series) -> pd.Series:
         return pd.Series([0 if b is None else len(b) // 16 for b in dig],
@@ -138,6 +181,8 @@ def register_sql_functions(spark: SparkSession, delta: float = 0.01) -> None:
     spark.udf.register("tdigest_quantile", tdigest_quantile)
     spark.udf.register("tdigest_cdf", tdigest_cdf)
     spark.udf.register("tdigest_trimmed_mean", tdigest_trimmed_mean)
+    spark.udf.register("tdigest_ks", tdigest_ks)
+    spark.udf.register("tdigest_winsor_bound", tdigest_winsor_bound)
     spark.udf.register("tdigest_size", tdigest_size)
     spark.udf.register("tdigest_count", tdigest_count)
 

@@ -369,7 +369,13 @@ def tdigest_ks_udf(dig_a: pd.Series, dig_b: pd.Series) -> pd.Series:
         else:
             ma, na = bytes_to_centroids(bytes(a))
             mb, nb = bytes_to_centroids(bytes(b))
-            out.append(ks_of_centroids(ma, na, mb, nb))
+            # a VALID blob can still hold zero centroids — the documented
+            # contract is NULL for an empty side, not the NaN that
+            # ks_of_centroids would surface (ADVICE r03)
+            if len(ma) == 0 or len(mb) == 0:
+                out.append(None)
+            else:
+                out.append(ks_of_centroids(ma, na, mb, nb))
     return pd.Series(out, dtype="float64")
 
 

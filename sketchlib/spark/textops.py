@@ -157,6 +157,46 @@ def fingerprint_docs(
     )
 
 
+def doc_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", ngram: int = 5
+) -> DataFrame:
+    """Per-document feature extraction in ONE projection: the token/quality
+    counters of :func:`token_stats` plus the winnowing fingerprint of
+    :func:`fingerprint_docs`, all computed from a single tokens array over a
+    single 2-column scan — at 100 TB this is strictly cheaper than running
+    the two operators separately and joining (no second scan, no join
+    shuffle; doc-grain outputs never need one)."""
+    d = with_tokens(df.select(id_col, text_col), text_col)
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size("tokens") - (ngram - 1)),
+        lambda i: F.substring(
+            F.md5(F.encode(F.concat_ws(" ", F.slice("tokens", i, ngram)), "UTF-8")),
+            1,
+            16,
+        ),
+    )
+    return d.select(
+        F.col(id_col),
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("tokens")).cast("long").alias("n_uniq_tokens"),
+        F.size(F.filter("tokens", lambda w: F.array_contains(stop, w)))
+        .cast("long")
+        .alias("n_stopwords"),
+        F.array_max(F.transform("tokens", lambda w: F.length(w)))
+        .cast("long")
+        .alias("max_token_len"),
+        F.aggregate(
+            F.transform("tokens", lambda w: F.length(w).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n_chars_nospace"),
+        F.when(F.size("tokens") >= ngram, F.array_min(sh))
+        .otherwise(F.substring(F.md5(F.encode(F.col(text_col), "UTF-8")), 1, 16))
+        .alias("fingerprint"),
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     text_col: str = "text",
@@ -291,6 +331,7 @@ def pack_sequences(
     n_buckets: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    token_count=None,
 ) -> DataFrame:
     """Sequence packing (concat-and-chunk): assign every document its
     position in fixed-``ctx_len`` training chunks — the tokenizer-feeding
@@ -305,10 +346,17 @@ def pack_sequences(
     window cumsum per bucket (PARTITION BY bucket ORDER BY id): the
     shuffle is one hash Exchange of (id, n_tokens) pairs — no global
     sort, no driver state, and bucket count scales with the cluster.
-    Everything is exact integer arithmetic on whitespace token counts
-    (swap in a real tokenizer count column at will via ``n_tokens``).
+    Tokenizer-agnostic: by default token counts are whitespace-split sizes,
+    but ``token_count`` accepts ANY integer Column expression over ``df``
+    (a real tokenizer's precomputed count column, a BPE estimate, ...) —
+    the packing arithmetic never assumes how tokens were counted.
     """
-    d = with_tokens(df.select(id_col, text_col), text_col)
+    if token_count is not None:
+        n_tok = token_count.cast("long")
+        d = df
+    else:
+        d = with_tokens(df.select(id_col, text_col), text_col)
+        n_tok = F.size("tokens").cast("long")
     # bucket from an md5-derived 32-bit hash of the id's decimal string —
     # engine-portable (the DuckDB oracle reproduces it bit-for-bit), same
     # idiom as sampling.stratified_hash_sample
@@ -319,7 +367,7 @@ def pack_sequences(
     toks = d.select(
         F.col(id_col),
         F.pmod(h32, F.lit(n_buckets)).cast("long").alias("bucket"),
-        F.greatest(F.size("tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.greatest(n_tok, F.lit(0).cast("long")).alias("n_tokens"),
     )
     w = (
         Window.partitionBy("bucket")

@@ -295,3 +295,26 @@ def test_bloom_decontam_empty_eval_corpus(spark):
     flags = {r["doc_id"]: r["contaminated"]
              for r in bloom_decontam_flags(train, blob, ngram=3).collect()}
     assert flags == {1: False, 2: False}
+
+
+def test_bloom_decontam_null_text_never_flagged(spark):
+    """ADVICE r03: xxhash64(NULL) is the seed (42), not NULL — if NULL
+    shingles are filtered AFTER hashing (or ingested on the eval side), a
+    null-text eval doc makes every null-text train doc probe positive,
+    diverging from the exact path whose equi-join drops NULLs.  NULLs must
+    be stripped BEFORE hashing on both sides."""
+    from sketchlib.spark.dedup import bloom_decontam_flags, eval_ngram_bloom
+
+    # eval corpus CONTAINS a null-text doc -> its NULL shingle must not
+    # enter the filter
+    ev = spark.createDataFrame(
+        [(100, "x y z w v"), (101, None)], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(1, "a b c d e"), (2, None), (3, "x y z w v")],
+        "doc_id long, text string")
+    blob = eval_ngram_bloom(ev, ngram=3, fpr=1e-4)
+    flags = {r["doc_id"]: r["contaminated"]
+             for r in bloom_decontam_flags(train, blob, ngram=3).collect()}
+    # doc 3 shares eval 3-grams (true positive); docs 1 and 2 must be clean
+    # (doc 2 is the null-text doc that previously probed with 42)
+    assert flags == {1: False, 2: False, 3: True}

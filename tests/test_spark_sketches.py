@@ -157,3 +157,20 @@ def test_cms_inner_product_laws():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         a.inner_product(CMS(width=2048, depth=5))
+
+
+def test_cms_inner_product_no_int64_overflow():
+    """ADVICE r03: at 10^12-element scale the per-row dot (~Na*Nb/width)
+    exceeds 2^63 and int64 numpy arithmetic WRAPS silently — the estimate
+    must be computed in unbounded Python ints instead."""
+    import numpy as np
+
+    from sketchlib.cms import CMS
+
+    a, b = CMS(width=64, depth=3), CMS(width=64, depth=3)
+    # counters as if ~2^40 elements hit every cell: row dot = 64 * 2^80
+    a.table = np.full((3, 64), 2**40, dtype=np.int64)
+    b.table = np.full((3, 64), 2**40, dtype=np.int64)
+    est = a.inner_product(b)
+    assert est == 64 * (2**80)  # wraps to garbage under int64 arithmetic
+    assert est > 0

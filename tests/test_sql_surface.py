@@ -173,3 +173,82 @@ def test_sql_cms_inner_product(spark):
     assert row["est"] <= exact + 3 * (math.e / 16384) * 2000 * 800
     assert spark.sql(
         "SELECT cms_inner_product(NULL, NULL) AS e").collect()[0]["e"] is None
+
+
+def test_sql_tdigest_ks_and_winsor_bound(spark):
+    """VERDICT r03 #4: the drift monitor + winsorize bounds must be usable
+    from plain SQL, and must equal the DataFrame path exactly."""
+    import pyspark.sql.functions as F
+
+    from sketchlib.spark.queries import load
+    from sketchlib.spark.sql import register_sql_functions
+    from sketchlib.spark.tdigest_ops import tdigest_aggregate, tdigest_ks_udf
+
+    register_sql_functions(spark)
+    docs = load(spark, SF_SMALL, "documents")
+    per_lang = tdigest_aggregate(docs, ["lang"], "n_chars", discrete=True)
+    global_d = tdigest_aggregate(docs, [], "n_chars", discrete=True) \
+        .select(F.col("digest").alias("gdigest"))
+    j = per_lang.crossJoin(F.broadcast(global_d))
+    j.createOrReplaceTempView("ks_sql")
+
+    df_rows = {
+        r["lang"]: r["ks"]
+        for r in j.select(
+            "lang", tdigest_ks_udf("digest", "gdigest").alias("ks")
+        ).collect()
+    }
+    sql_rows = {
+        r["lang"]: r["ks"]
+        for r in spark.sql(
+            "SELECT lang, tdigest_ks(digest, gdigest) AS ks FROM ks_sql"
+        ).collect()
+    }
+    assert sql_rows == df_rows and len(sql_rows) >= 3
+    assert all(0.0 <= v <= 1.0 for v in sql_rows.values())
+
+    # winsor bounds: discrete-mode quantiles are exact data values
+    b = spark.sql("""
+        SELECT lang,
+               tdigest_winsor_bound(digest, 0.05) AS lo,
+               tdigest_winsor_bound(digest, 0.95) AS hi
+        FROM ks_sql
+    """).collect()
+    vals = {r["lang"]: r for r in b}
+    exact = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.95)").alias("p95max")
+    ).collect()
+    for r in b:
+        assert r["lo"] <= r["hi"]
+    # each bound is an actual data value of that lang
+    for lang, r in vals.items():
+        lang_vals = {x["n_chars"] for x in
+                     docs.filter(F.col("lang") == lang)
+                     .select("n_chars").collect()}
+        assert r["lo"] in lang_vals and r["hi"] in lang_vals
+
+
+def test_sql_tdigest_ks_null_on_empty_digest(spark):
+    """ADVICE r03: a VALID wire blob holding zero centroids must yield SQL
+    NULL (not NaN) from both the UDF and SQL forms."""
+    import pandas as pd
+
+    from sketchlib.spark.sql import register_sql_functions
+    from sketchlib.spark.tdigest_ops import tdigest_ks_udf
+
+    register_sql_functions(spark)
+    empty = b""          # zero-centroid payload (len % 16 == 0, 0 centroids)
+    from sketchlib.tdigest.core import centroids_to_bytes
+    import numpy as np
+
+    real = centroids_to_bytes(np.array([1.0, 2.0]), np.array([1.0, 1.0]))
+    df = spark.createDataFrame(
+        pd.DataFrame({"a": [empty, real], "b": [real, real]})
+    )
+    df.createOrReplaceTempView("ks_empty_sql")
+    rows = spark.sql(
+        "SELECT tdigest_ks(a, b) AS ks FROM ks_empty_sql ORDER BY ks NULLS FIRST"
+    ).collect()
+    assert rows[0]["ks"] is None and rows[1]["ks"] is not None
+    udf_rows = df.select(tdigest_ks_udf("a", "b").alias("ks")).collect()
+    assert sorted([r["ks"] is None for r in udf_rows]) == [False, True]

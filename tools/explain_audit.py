@@ -390,20 +390,36 @@ def main():
           must_not=[r"SortMergeJoin", r"ReadSchema:[^\n]*o_totalprice",
                     r"ReadSchema:[^\n]*c_name"])
 
-    # 6aa. sequence packing: 1 pruned scan, ONE hash Exchange (by bucket)
-    # feeding the window cumsum — no global sort, no join
-    from sketchlib.spark.queries import q_pack_sequences
+    # 6aa. sequence packing: the operator itself is 1 pruned scan, ONE hash
+    # Exchange (by bucket) feeding the window cumsum — no global sort, no
+    # join.  The gated query unions TWO tokenizer variants (whitespace +
+    # chars/4 surrogate), so its plan is exactly 2 scans / 2 exchanges —
+    # audit both shapes.
+    from sketchlib.spark.queries import load, q_pack_sequences
+    from sketchlib.spark.textops import pack_sequences
+
+    p1 = plan_of(pack_sequences(load(spark, sf_dir, "documents"),
+                                ctx_len=512, n_buckets=8))
+    n_ex1 = len(re.findall(r"\(\d+\) Exchange", p1))
+    n_scan1 = len(re.findall(r"\(\d+\) Scan parquet", p1))
+    ok1 = (n_scan1 == 1 and n_ex1 == 1 and re.search(r"Window", p1)
+           and not re.search(r"Join", p1)
+           and not re.search(r"ReadSchema:[^\n]*source", p1))
+    print(f"{'packing op: 1 scan, 1 exchange, window':40s} "
+          f"{'OK' if ok1 else 'FAIL'} (scans={n_scan1}, ex={n_ex1})")
+    if not ok1:
+        FAIL.append(f"packing op: scans={n_scan1} ex={n_ex1} or shape wrong")
 
     p = plan_of(q_pack_sequences(spark, sf_dir))
     n_ex = len(re.findall(r"\(\d+\) Exchange", p))
     n_scan = len(re.findall(r"\(\d+\) Scan parquet", p))
-    ok = (n_scan == 1 and n_ex == 1 and re.search(r"Window", p)
+    ok = (n_scan == 2 and n_ex == 2 and re.search(r"Window", p)
           and not re.search(r"Join", p)
           and not re.search(r"ReadSchema:[^\n]*source", p))
-    print(f"{'packing: 1 scan, 1 exchange, window':40s} "
+    print(f"{'packing query: 2 tokenizer variants':40s} "
           f"{'OK' if ok else 'FAIL'} (scans={n_scan}, ex={n_ex})")
     if not ok:
-        FAIL.append(f"packing: scans={n_scan} ex={n_ex} or join/sort shape wrong")
+        FAIL.append(f"packing query: scans={n_scan} ex={n_ex} or shape wrong")
 
     # 7. checkpoint resume: anti-join against completed parts is broadcast
     from sketchlib.spark.checkpoint import TDigestCheckpointer
