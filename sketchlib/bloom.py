@@ -182,16 +182,26 @@ class Bloom(Aggregator):
         magic = data[:4]
         if magic not in (_MAGIC, _MAGIC_SPARSE):
             raise ValueError("Bloom: bad magic")
+        if len(data) < 4 + 24:
+            raise ValueError(f"Bloom blob too short: {len(data)} bytes")
         m, k, seed, n_added = struct.unpack_from("<QIIq", data, 4)
+        if m <= 0 or k <= 0:
+            raise ValueError(f"Bloom: invalid m={m} k={k}")
         out = cls(m=m, k=k, seed=seed)
         payload = data[4 + 24 :]
         if magic == _MAGIC_SPARSE:
+            if len(payload) % 8:
+                raise ValueError("Bloom sparse payload not a multiple of 8 bytes")
             bases = np.frombuffer(payload, dtype="<u8").astype(np.uint64)
             if len(bases):
                 out._sparse = [bases]
             out.n_added = n_added
             out._maybe_densify()
             return out
+        if len(payload) != ((m + 63) // 64) * 8:  # packed to whole u64 words
+            raise ValueError(
+                f"Bloom dense payload length mismatch: {len(payload)} bytes "
+                f"for m={m} bits")
         unpacked = np.unpackbits(
             np.frombuffer(payload, dtype=np.uint8), bitorder="little"
         )

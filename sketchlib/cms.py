@@ -108,9 +108,17 @@ class CMS(Aggregator):
     def deserialize(cls, data: bytes, **_: object) -> "CMS":
         if data[:4] != _MAGIC:
             raise ValueError("CMS: bad magic")
+        if len(data) < 4 + 24:
+            raise ValueError(f"CMS blob too short: {len(data)} bytes")
         width, depth, seed, total = struct.unpack_from("<IIQq", data, 4)
-        out = cls(width=width, depth=depth, seed=seed)
         body = np.frombuffer(data[4 + 24 :], dtype="<i8")
+        # length check BEFORE construction: cls() allocates the depth*width
+        # table, and a corrupted header must not trigger a giant allocation
+        if len(body) != depth * width:
+            raise ValueError(
+                f"CMS payload length mismatch: {len(body)} cells for "
+                f"{depth}x{width} table")
+        out = cls(width=width, depth=depth, seed=seed)
         out.table = body.reshape(depth, width).copy()
         out.total = total
         return out

@@ -224,14 +224,20 @@ class HLL(Aggregator):
 
     @classmethod
     def deserialize(cls, data: bytes, **_: object) -> "HLL":
+        if len(data) < 5:
+            raise ValueError(
+                f"HLL blob too short: {len(data)} bytes (want >= 5)")
         magic, p = data[:4], data[4]
-        out = cls(p=p)
+        out = cls(p=p)  # __init__ validates p's range
         if magic == _MAGIC_DENSE:
             regs = np.frombuffer(data[5:], dtype=np.uint8).copy()
             if len(regs) != out.m:
                 raise ValueError("HLL dense payload length mismatch")
             out._regs = regs
         elif magic == _MAGIC_SPARSE:
+            if len(data) < 9:
+                raise ValueError(
+                    f"HLL sparse blob too short: {len(data)} bytes (want >= 9)")
             (n,) = struct.unpack_from("<I", data, 5)
             off = 9
             itype, isize = ("<u2", 2) if p <= 16 else ("<u4", 4)

@@ -130,16 +130,24 @@ class KLL(Aggregator):
     def deserialize(cls, data: bytes, **_: object) -> "KLL":
         if data[:4] != _MAGIC:
             raise ValueError("KLL: bad magic")
+        if len(data) < 4 + struct.calcsize("<IqBI"):
+            raise ValueError(f"KLL blob too short: {len(data)} bytes")
         k, n, flip, nl = struct.unpack_from("<IqBI", data, 4)
         out = cls(k=k)
         out.n, out.flip = n, flip
         off = 4 + struct.calcsize("<IqBI")
         out.levels = []
         for _ in range(nl):
+            if len(data) < off + 4:
+                raise ValueError("KLL blob truncated in level header")
             (cnt,) = struct.unpack_from("<I", data, off)
             off += 4
+            if len(data) < off + 8 * cnt:
+                raise ValueError("KLL blob truncated in level payload")
             out.levels.append(np.frombuffer(data[off : off + 8 * cnt], dtype="<f8").copy())
             off += 8 * cnt
+        if off != len(data):
+            raise ValueError(f"KLL trailing bytes: {len(data) - off}")
         if not out.levels:
             out.levels = [np.empty(0)]
         return out

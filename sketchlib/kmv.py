@@ -149,7 +149,12 @@ class KMV(Aggregator):
     def deserialize(cls, data: bytes, **_: object) -> "KMV":
         if data[:4] != _MAGIC:
             raise ValueError(f"KMV: bad magic {data[:4]!r}")
+        if len(data) < 12:
+            raise ValueError(f"KMV blob too short: {len(data)} bytes")
         k, n = struct.unpack_from("<II", data, 4)
+        if len(data) != 12 + 8 * n:
+            raise ValueError(
+                f"KMV payload length mismatch: {len(data)} bytes for n={n}")
         out = cls(k=k)
         h = np.frombuffer(data[12 : 12 + 8 * n], dtype="<u8")
         if len(h) != n:

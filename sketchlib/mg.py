@@ -126,6 +126,8 @@ class MisraGries(Aggregator):
     def deserialize(cls, data: bytes, m: int | None = None) -> "MisraGries":
         if data[:4] != _MAGIC:
             raise ValueError("MisraGries: bad magic")
+        if len(data) < 4 + 16:
+            raise ValueError(f"MisraGries blob too short: {len(data)} bytes")
         m_wire, n, cnt = struct.unpack_from("<IQI", data, 4)
         if m is not None and m != m_wire:
             raise ValueError(f"MisraGries: m mismatch {m} vs wire {m_wire}")
@@ -133,8 +135,12 @@ class MisraGries(Aggregator):
         off = 4 + 16
         keys, vals = [], []
         for _ in range(cnt):
+            if len(data) < off + 12:
+                raise ValueError("MisraGries blob truncated in entry header")
             klen, v = struct.unpack_from("<Iq", data, off)
             off += 12
+            if len(data) < off + klen:
+                raise ValueError("MisraGries blob truncated in key bytes")
             keys.append(data[off:off + klen].decode("utf-8"))
             off += klen
             vals.append(v)

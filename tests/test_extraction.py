@@ -75,3 +75,27 @@ def test_spark_extraction_byte_identical(spark, tmp_path):
     assert {r["lang"]: bytes(r["digest"]) for r in a} == {
         r["lang"]: bytes(r["digest"]) for r in b
     }
+
+
+def test_extract_len_path_identical():
+    """The length-only projection pushdown (bytes fast path, VERDICT r03 #3)
+    must agree with len(extract_one(...)) everywhere — including its
+    fallback triggers (non-ASCII, \\x1c-\\x1f controls, unclosed
+    script/style, malformed tags)."""
+    import random
+
+    from sketchlib.data.extract import extract_len_one, extract_len_series
+
+    pdf = gen_chunk(0, 3000)
+    got = extract_len_series(pdf["html"])
+    want = pdf["text"].str.len().to_numpy(dtype="float64")
+    assert (got == want).all()
+
+    random.seed(11)
+    frag = ["<script>", "</script>", "<style>", "</style>", "<p>", "</p>",
+            "<", ">", "wörd", "word", " ", "\t", "\n", "\x1c", "\x1d",
+            "\x85", "\xa0", "<SCRIPT>x</SCRIPT>", "a<b", "c>d",
+            "<script>no close", "x</script>", ""]
+    for _ in range(500):
+        d = "".join(random.choices(frag, k=random.randint(0, 10))).encode("utf-8")
+        assert extract_len_one(d) == len(extract_one(d)), repr(d)
