@@ -121,9 +121,22 @@ def _stateful_windowed(
     window: str,
     watermark: str,
     mode: str,
+    slide: str | None = None,
 ) -> DataFrame:
     """The shared skeleton: windowed keying, watermarking, per-key serialized
     sketch state, event-time timeout eviction, tz-corrected emission.
+
+    ``slide`` (< ``window``) turns the tumbling windows into SLIDING ones:
+    Spark's TimeWindowing Expand assigns each row to its window/slide
+    overlapping windows, and everything downstream (state keying, timeout
+    at window_end, emission) is already per-(key x window) so it applies
+    unchanged.  Cost model: each value is ingested window/slide times and
+    live state holds window/slide digests per key — fine for KB sketches,
+    and the reason this parameter exists here rather than on a raw-rows
+    aggregation.  (The even-cheaper two-level alternative that mergeability
+    enables — build slide-grain tumbling digests, merge the trailing k per
+    emission — is `sliding_from_tumbling` in tdigest_ops for stored
+    digests.)
 
     ``mode='update'``: emit a snapshot row per touched window per trigger;
     on timeout just evict.  ``mode='append'``: emit nothing until the
@@ -138,7 +151,7 @@ def _stateful_windowed(
     keyed = (
         stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         .withWatermark(ts_col, watermark)
-        .withColumn("_win", F.window(F.col(ts_col), window))
+        .withColumn("_win", F.window(F.col(ts_col), window, slide or window))
         .select(
             *keys,
             F.col("_win.start").alias("window_start"),
@@ -226,18 +239,20 @@ def streaming_tdigest(
     watermark: str = "2 hours",
     delta: float = 0.01,
     discrete: bool = False,
+    slide: str | None = None,
 ) -> DataFrame:
     """Per-(keys × time-window) t-digest over a streaming DataFrame.
 
     Emits on every trigger (Update mode) one row per touched window:
     (keys..., window_start, window_end, digest).  The digest column is the
     same wire format as the batch path, so downstream quantile/CDF UDFs and
-    merges apply unchanged.
+    merges apply unchanged.  ``slide`` makes the windows sliding ("p99 over
+    the trailing hour, every 5 minutes") — see ``_stateful_windowed``.
     """
     restore, ingest = _digest_hooks(delta, discrete)
     return _stateful_windowed(
         stream, keys, F.col(value_col).cast("double"), restore, ingest,
-        "digest", ts_col, window, watermark, mode="update",
+        "digest", ts_col, window, watermark, mode="update", slide=slide,
     )
 
 
@@ -250,6 +265,7 @@ def streaming_tdigest_final(
     watermark: str = "2 hours",
     delta: float = 0.01,
     discrete: bool = False,
+    slide: str | None = None,
 ) -> DataFrame:
     """Window-close variant: each (keys × window) digest is emitted exactly
     ONCE, when the event-time watermark passes the window end — the append
@@ -265,7 +281,7 @@ def streaming_tdigest_final(
     restore, ingest = _digest_hooks(delta, discrete)
     return _stateful_windowed(
         stream, keys, F.col(value_col).cast("double"), restore, ingest,
-        "digest", ts_col, window, watermark, mode="append",
+        "digest", ts_col, window, watermark, mode="append", slide=slide,
     )
 
 
@@ -443,6 +459,7 @@ def streaming_sketch(
     ts_col: str = "warc_ts",
     window: str = "1 hour",
     watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
     """Per-(keys × event-time window) sibling sketch (hll/cms/bloom/kll/kmv/mg)
     over a streaming DataFrame — ``streaming_tdigest`` generalized to the
@@ -481,5 +498,5 @@ def streaming_sketch(
         val = F.col(value_col).cast("double")
     return _stateful_windowed(
         stream, keys, val, restore, ingest,
-        "sketch", ts_col, window, watermark, mode="update",
+        "sketch", ts_col, window, watermark, mode="update", slide=slide,
     )

@@ -518,3 +518,49 @@ def tdigest_prank_rows(
             yield out
 
     return df.mapInPandas(score, schema=out_schema)
+
+
+def sliding_from_tumbling(
+    df: DataFrame,
+    keys: list[str],
+    k: int,
+    slide_seconds: int,
+    digest_col: str = "digest",
+    window_col: str = "window_start",
+    out_col: str = "sliding_digest",
+) -> DataFrame:
+    """Sliding-window digests from STORED tumbling slide-grain digests —
+    the two-level pattern mergeability enables: instead of ingesting every
+    row into its window/slide overlapping windows (what
+    ``streaming.streaming_tdigest(slide=...)`` does online), build tumbling
+    digests at slide grain ONCE, then derive each sliding window ("the
+    trailing ``k`` slides ending here") by merging k stored KB blobs.
+
+    The merge is a pure-JVM byte concat: the wire payload is
+    concat-mergeable by design (SURVEY §1.3 / reference
+    src/tdigest.ml:of_string semantics — parsers absorb unsorted
+    concatenations losslessly), so the whole derivation is
+    ``aggregate(collect_list(digest) OVER range-window, X'', concat)`` —
+    zero Python, zero fact rescans, and gaps in the time series are
+    handled by the RANGE frame (absent slides contribute nothing).
+
+    ``n_slides`` reports how many tumbling digests actually landed in the
+    frame (< k during warm-up or across gaps).  Parse the result with any
+    digest UDF; re-serialize to canonicalize.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.unix_timestamp(F.col(window_col)))
+        .rangeBetween(-(k - 1) * slide_seconds, 0)
+    )
+    blobs = F.collect_list(digest_col).over(w)
+    return df.select(
+        *keys,
+        F.col(window_col).alias("slide_end_start"),
+        F.aggregate(
+            blobs, F.expr("X''"), lambda acc, x: F.concat(acc, x)
+        ).alias(out_col),
+        F.size(blobs).cast("int").alias("n_slides"),
+    )

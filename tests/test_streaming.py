@@ -485,3 +485,106 @@ def test_streaming_bloom_decontam_matches_batch(spark, tmp_path):
     for i, is_contam in truth.items():
         if is_contam:
             assert batch[i], f"false negative at doc {i}"
+
+
+def test_streaming_sliding_windows_match_batch(spark, tmp_path):
+    """slide= turns the windows sliding: every value lands in its
+    window/slide overlapping windows, and each (lang, window) digest must
+    byte-equal the batch build over the exploded sliding assignment."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.streaming import streaming_tdigest
+    from sketchlib.spark.tdigest_ops import tdigest_aggregate
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_chunks(src)
+
+    static = spark.read.parquet(src)
+    stream = spark.readStream.schema(static.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+
+    out = streaming_tdigest(
+        stream, ["lang"], "n_chars", ts_col="warc_ts",
+        window="1 hour", slide="20 minutes", watermark="10 hours", delta=0.0,
+    )
+    latest = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            latest[(r["lang"], r["window_start"])] = bytes(r["digest"])
+
+    q = out.writeStream.outputMode("update").foreachBatch(sink).start()
+    q.processAllAvailable()
+    q.stop()
+
+    batch = static.withColumn(
+        "_w", F.window("warc_ts", "1 hour", "20 minutes")
+    ).select("lang", F.col("_w.start").alias("window_start"), "n_chars")
+    ref = {
+        (r["lang"], r["window_start"]): bytes(r["digest"])
+        for r in tdigest_aggregate(
+            batch, ["lang", "window_start"], "n_chars", delta=0.0
+        ).collect()
+    }
+    assert set(latest) == set(ref)
+    # 3h of data in 1h windows sliding by 20min -> ~11 windows per lang
+    assert len(ref) >= 2 * 9
+    for key in ref:
+        assert latest[key] == ref[key], f"sliding stream/batch mismatch {key}"
+
+
+def test_sliding_from_tumbling_two_level(spark, tmp_path):
+    """The storage-side alternative: tumbling digests at slide grain,
+    sliding windows derived by pure-JVM byte-concat of the trailing k blobs
+    — canonicalized, they must equal a direct delta=0 build over each
+    sliding window's raw rows."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.tdigest_ops import sliding_from_tumbling, tdigest_aggregate
+    from sketchlib.tdigest.core import MergingDigest
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_chunks(src)
+    static = spark.read.parquet(src)
+
+    # level 1: tumbling 20-minute digests (the stored slide grain)
+    grain = static.withColumn("_w", F.window("warc_ts", "20 minutes")).select(
+        "lang", F.col("_w.start").alias("window_start"), "n_chars"
+    )
+    tumbling = tdigest_aggregate(grain, ["lang", "window_start"], "n_chars",
+                                 delta=0.0)
+    # level 2: 1-hour sliding (k=3 x 20 min), derived without any rescans
+    sliding = sliding_from_tumbling(
+        tumbling, ["lang"], k=3, slide_seconds=20 * 60
+    )
+    got = {
+        (r["lang"], r["slide_end_start"]):
+            (bytes(r["sliding_digest"]), r["n_slides"])
+        for r in sliding.collect()
+    }
+
+    # reference: direct build over the raw rows of each trailing-1h window,
+    # anchored at every populated 20-min slide start
+    ref_src = static.withColumn("_w", F.window("warc_ts", "20 minutes")).select(
+        "lang", F.col("_w.start").alias("anchor"), "warc_ts", "n_chars"
+    )
+    anchors = [(r["lang"], r["anchor"])
+               for r in ref_src.select("lang", "anchor").distinct().collect()]
+    assert set(got) == set(anchors)
+    pdf = static.toPandas()
+    for (lang, anchor), (blob, n_slides) in got.items():
+        lo = anchor - pd.Timedelta(minutes=40)
+        hi = anchor + pd.Timedelta(minutes=20)
+        vals = pdf[(pdf["lang"] == lang) & (pdf["warc_ts"] >= lo)
+                   & (pdf["warc_ts"] < hi)]["n_chars"].to_numpy()
+        d = MergingDigest.deserialize(blob, delta=0.0)
+        want = MergingDigest(delta=0.0)
+        want.update_batch(vals)
+        # canonicalize the concat before comparing bytes
+        canon = MergingDigest(delta=0.0)
+        canon.merge_bytes(blob)
+        assert bytes(canon.serialize()) == bytes(want.serialize()), (lang, anchor)
+        assert 1 <= n_slides <= 3
