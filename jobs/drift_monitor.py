@@ -1,0 +1,122 @@
+"""Production job: distribution-drift monitor between two stored digest
+tables — the operational form of the ``td_ks_drift_by_lang`` query.
+
+    spark-submit --master <cluster> --py-files dist/sketchlib.zip \
+        jobs/drift_monitor.py \
+        --left  /warehouse/digests/2026-08-17 \
+        --right /warehouse/digests/2026-08-18 \
+        --key-cols key  --quantiles 0.5,0.95,0.99 \
+        --ks-threshold 0.1  --output /warehouse/drift/2026-08-18
+
+Inputs are (key..., digest binary) tables as written by
+``jobs/build_digests.py`` (or any ``tdigest_aggregate`` result).  For each
+key the job reports the two-sample KS distance between the stored digests,
+left/right values at the requested quantiles with their absolute deltas,
+ingested counts on both sides, and a ``drifted`` verdict (KS above the
+threshold, or the key present on only one side).  Everything is computed
+from the KB-scale sketch rows — the fact tables the digests summarize are
+NEVER rescanned, which is the point: at 100 TB this job costs seconds and
+can run after every ingest batch.
+
+Exit status is 0 when no key drifted and 2 otherwise, so the job slots
+directly into an alerting scheduler; the JSON metrics line on stdout
+carries the summary either way.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--left", required=True, help="baseline digest table")
+    ap.add_argument("--right", required=True, help="candidate digest table")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--key-cols", default="key",
+                    help="comma-separated key columns shared by both tables")
+    ap.add_argument("--quantiles", default="0.5,0.95,0.99")
+    ap.add_argument("--ks-threshold", type=float, default=0.1)
+    ap.add_argument("--discrete", action="store_true",
+                    help="digests were built in discrete mode")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = SparkSession.builder.appName("sketchlib-drift-monitor").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from sketchlib.spark.tdigest_ops import (
+        tdigest_count_udf,
+        tdigest_ks_udf,
+        tdigest_quantiles_udf,
+    )
+
+    keys = args.key_cols.split(",")
+    ps = [float(p) for p in args.quantiles.split(",")]
+    q_udf = tdigest_quantiles_udf(ps, discrete=args.discrete)
+
+    def side(path: str, tag: str):
+        df = spark.read.parquet(path)
+        return df.select(
+            *keys,
+            F.col("digest").alias(f"digest_{tag}"),
+            tdigest_count_udf("digest").alias(f"count_{tag}"),
+            q_udf("digest").alias(f"q_{tag}"),
+        )
+
+    left = side(args.left, "l")
+    right = side(args.right, "r")
+    joined = left.join(right, keys, "full_outer")
+
+    qcols = []
+    for i, p in enumerate(ps):
+        tag = str(p).replace("0.", "p").replace(".", "_")
+        ql = F.col("q_l")[i]
+        qr = F.col("q_r")[i]
+        qcols += [ql.alias(f"{tag}_left"), qr.alias(f"{tag}_right"),
+                  F.abs(qr - ql).alias(f"{tag}_abs_delta")]
+
+    ks = tdigest_ks_udf("digest_l", "digest_r").alias("ks")
+    report = joined.select(
+        *keys,
+        ks,
+        F.col("count_l").alias("count_left"),
+        F.col("count_r").alias("count_right"),
+        *qcols,
+    ).withColumn(
+        "drifted",
+        # a key that appeared or disappeared IS drift; otherwise gate on KS
+        F.when(F.col("count_left").isNull() | F.col("count_right").isNull(),
+               F.lit(True))
+        .otherwise(F.col("ks") > F.lit(args.ks_threshold)),
+    )
+    report.write.mode("overwrite").parquet(args.output)
+
+    out = spark.read.parquet(args.output)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.col("drifted").cast("long")).alias("n_drifted"),
+        F.max("ks").alias("max_ks"),
+        F.sum(F.col("count_left").isNull().cast("long")).alias("new_keys"),
+        F.sum(F.col("count_right").isNull().cast("long")).alias("gone_keys"),
+    ).collect()[0]
+    print(json.dumps({
+        "n_keys": agg["n_keys"],
+        "n_drifted": int(agg["n_drifted"] or 0),
+        "max_ks": agg["max_ks"],
+        "new_keys": int(agg["new_keys"] or 0),
+        "gone_keys": int(agg["gone_keys"] or 0),
+        "ks_threshold": args.ks_threshold,
+        "output": args.output,
+    }))
+    drifted = int(agg["n_drifted"] or 0)
+    spark.stop()
+    return 0 if drifted == 0 else 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())
