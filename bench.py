@@ -956,9 +956,80 @@ def decontam_bench() -> None:
     }))
 
 
+def rangepart_bench() -> None:
+    """Digest-driven range partitioning vs native ``repartitionByRange`` on
+    the 8M-row pages table (value = length(text), a skewed column).  Three
+    contenders, all ending in sortWithinPartitions + a noop-sink write so
+    the full shuffle+sort executes:
+
+      - native:        df.repartitionByRange(n, v)      (per-job sampling)
+      - digest_inline: repartition_by_digest, digest built in the call
+      - digest_stored: repartition_by_digest with a PRE-built digest —
+                       the claimed production mode (bounds from a stored
+                       KB artifact, zero extra pass over the input)
+
+    Also reports layout quality for native vs digest_stored: max partition
+    rows / ideal (lower = better balance).  Best of 2, interleaved.
+    """
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.plan import repartition_by_digest
+    from sketchlib.spark.session import get_spark
+    from sketchlib.spark.tdigest_ops import tdigest_aggregate
+
+    path = os.path.join(BENCH_DIR, f"pages_{BENCH_ROWS}.parquet")
+    ensure_pages(path, BENCH_ROWS)
+    spark = get_spark("rangepart-bench", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    n_parts = 64
+    df = spark.read.parquet(path).select(
+        "url", F.length("text").cast("double").alias("v"))
+
+    dig = bytes(tdigest_aggregate(
+        df.withColumn("_g", F.lit(0)), ["_g"], "v").collect()[0]["digest"])
+
+    def noop(d):
+        d.write.format("noop").mode("overwrite").save()
+
+    runs = {
+        "native": lambda: noop(
+            df.repartitionByRange(n_parts, "v").sortWithinPartitions("v")),
+        "digest_inline": lambda: noop(
+            repartition_by_digest(df, "v", n_parts)),
+        "digest_stored": lambda: noop(
+            repartition_by_digest(df, "v", n_parts, digest=dig)),
+    }
+    best = {k: float("inf") for k in runs}
+    for _ in range(2):  # interleaved best-of
+        for k, fn in runs.items():
+            t0 = time.time()
+            fn()
+            best[k] = min(best[k], time.time() - t0)
+
+    def balance(d):
+        per = (d.withColumn("pid", F.spark_partition_id())
+               .groupBy("pid").count().agg(
+                   F.max("count").alias("mx"),
+                   F.count(F.lit(1)).alias("nparts")).collect()[0])
+        return round(per["mx"] / (BENCH_ROWS / per["nparts"]), 4)
+
+    out = {
+        "rows": BENCH_ROWS, "cpus": CPUS, "n_parts": n_parts,
+        **{f"{k}_sec": round(v, 2) for k, v in best.items()},
+        "native_max_over_ideal": balance(
+            df.repartitionByRange(n_parts, "v")),
+        "digest_max_over_ideal": balance(
+            repartition_by_digest(df, "v", n_parts, digest=dig,
+                                  sort_within=False)),
+        "stored_vs_native_speedup": round(
+            best["native"] / best["digest_stored"], 2),
+    }
+    print(json.dumps(out))
+
+
 _MODES = (
     "--scaling", "--compare-builtin", "--sketches", "--frequent",
-    "--joins", "--profile", "--decontam", "--measure-build",
+    "--joins", "--profile", "--decontam", "--rangepart", "--measure-build",
 )
 
 if __name__ == "__main__":
@@ -982,6 +1053,8 @@ if __name__ == "__main__":
         decontam_bench()
     elif len(sys.argv) > 1 and sys.argv[1] == "--joins":
         joins_bench()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--rangepart":
+        rangepart_bench()
     elif len(sys.argv) > 1 and sys.argv[1] == "--measure-build":
         reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
         print(json.dumps(measure_build(int(sys.argv[2]), sys.argv[3], reps)))

@@ -106,3 +106,57 @@ def test_searchsorted_path_matches_codegen_path(spark):
     for r in df.collect():
         import bisect
         assert got64[r["id"]] == bisect.bisect_right(bounds[:64], r["v"])
+
+
+def test_streaming_foreachbatch_alignment(spark, tmp_path):
+    """The streaming-stable claim: with bounds from a STORED digest, every
+    micro-batch's foreachBatch write is range-aligned with every other —
+    no output file straddles a range bound, so files from different
+    batches compact/prune together.  repartitionByRange here would
+    re-sample each micro-batch and give drifting, straddling layouts."""
+    import os
+
+    import bisect
+
+    from sketchlib.spark.plan import digest_range_bounds, repartition_by_digest
+    from sketchlib.spark.tdigest_ops import tdigest_aggregate
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    hist = _skewed(spark, 20_000)
+    hist.write.parquet(src + "/seed")  # historical corpus -> stored digest
+    dig = bytes(tdigest_aggregate(
+        hist.withColumn("_g", F.lit(0)), ["_g"], "v").collect()[0]["digest"])
+    bounds = digest_range_bounds(dig, 8)
+
+    stream_dir = str(tmp_path / "stream_in")
+    os.makedirs(stream_dir)
+    for i in range(3):  # 3 single-file chunks -> 3 micro-batches
+        pdf = (_skewed(spark, 2_000)
+               .withColumn("id", F.col("id") + i * 100_000).toPandas())
+        pdf.to_parquet(f"{stream_dir}/f{i}.parquet")
+
+    out_dir = str(tmp_path / "out")
+    static = spark.read.parquet(stream_dir)
+    stream = spark.readStream.schema(static.schema).option(
+        "maxFilesPerTrigger", "1").parquet(stream_dir)
+
+    def sink(batch, _bid):
+        repartition_by_digest(batch, "v", 8, digest=dig).write.mode(
+            "append").parquet(out_dir)
+
+    q = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", str(tmp_path / "ckpt")).start()
+    q.processAllAvailable()
+    q.stop()
+
+    per_file = (
+        spark.read.parquet(out_dir)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .collect()
+    )
+    assert len(per_file) >= 3 * 4  # several files per micro-batch
+    for r in per_file:  # no file straddles a stored bound
+        assert bisect.bisect_right(bounds, r["lo"]) == \
+            bisect.bisect_right(bounds, r["hi"])
