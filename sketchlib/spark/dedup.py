@@ -828,3 +828,93 @@ def bloom_decontam_flags(
             yield out
 
     return staged.mapInPandas(probe, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Cross-document paragraph dedup (boilerplate removal)
+# ---------------------------------------------------------------------------
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    sep: str = "\n\n",
+    broadcast_dups: bool = False,
+) -> DataFrame:
+    """Cross-document paragraph deduplication — the CCNet/Gopher
+    boilerplate rule: a paragraph appearing in >= ``min_docs`` DISTINCT
+    documents (navigation, cookie banners, footers) is removed from EVERY
+    document.  Returns (id, text_clean, n_paragraphs, n_removed) for all
+    input docs (NULL text passes through with zero counts).
+
+    Scale design (the point at 100 TB):
+
+    - paragraph TEXT never shuffles.  Stage 1 explodes (id, pos,
+      md5(paragraph)) — 16-byte hashes; stage 2 finds duplicated hashes
+      with one count-distinct-ids aggregate; stage 3 left-semi joins the
+      removal positions back at (id, pos) grain and collapses them to one
+      tiny int array per doc;
+    - the rebuild is pure JVM codegen over the ORIGINAL row: re-split the
+      text, drop the flagged positions with ``filter(transform(...))``,
+      ``array_join`` the survivors — no Python, no text round-trip, and
+      byte-exact for every surviving paragraph;
+    - empty/whitespace-only paragraphs are ignored for counting (they'd
+      all collide) but preserved positionally until removal decisions are
+      made, so reconstruction is deterministic;
+    - ``broadcast_dups=True`` broadcasts the duplicated-hash set when the
+      boilerplate vocabulary is known to be small; the default shuffle
+      join is safe at any cardinality.
+    """
+    paras = F.split(F.col(text_col), F.lit(sep))
+    base = df.select(id_col, text_col).withColumn("_paras", paras)
+    exploded = (
+        base.select(id_col, F.posexplode("_paras").alias("_pos", "_p"))
+        .filter(F.trim(F.col("_p")) != "")
+        .select(id_col, "_pos", F.md5(F.encode("_p", "UTF-8")).alias("_h"))
+    )
+    dup_h = (
+        exploded.groupBy("_h")
+        .agg(F.count_distinct(F.col(id_col)).alias("_d"))
+        .filter(F.col("_d") >= min_docs)
+        .select("_h")
+    )
+    if broadcast_dups:
+        dup_h = F.broadcast(dup_h)
+    removals = (
+        exploded.join(dup_h, "_h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("_pos").alias("_rm"))
+    )
+    rebuilt = (
+        base.join(removals, id_col, "left")
+        .withColumn("_rm", F.coalesce("_rm", F.array().cast("array<int>")))
+        .select(
+            id_col,
+            F.when(
+                F.col(text_col).isNull(), F.lit(None).cast("string")
+            ).otherwise(
+                F.array_join(
+                    F.transform(
+                        F.filter(
+                            F.transform(
+                                "_paras",
+                                lambda p, i: F.struct(
+                                    p.alias("p"), i.alias("i")),
+                            ),
+                            lambda s: ~F.array_contains("_rm", s["i"]),
+                        ),
+                        lambda s: s["p"],
+                    ),
+                    sep,
+                )
+            ).alias("text_clean"),
+            F.coalesce(
+                F.size(F.filter("_paras", lambda p: F.trim(p) != "")),
+                F.lit(0),
+            ).cast("long").alias("n_paragraphs"),
+            F.size("_rm").cast("long").alias("n_removed"),
+        )
+    )
+    return rebuilt
