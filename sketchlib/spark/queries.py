@@ -2764,12 +2764,135 @@ SELECT t.*, g.* FROM t, g
 """
 
 
+LM_TOPK = 4096  # per-lang vocab cap for the gated LM-quality query
+
+
+def q_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM-quality corpus split (head/middle/tail thirds of a
+    unigram-LM fluency score, per language), gated as per-(lang, bucket)
+    doc counts + token mass + the exact per-lang cut scores.  CCNet scores
+    Common-Crawl with a Wikipedia KenLM and keeps the most-fluent third;
+    here the model is the degenerate unigram case so every number is
+    bit-checkable: ``quantize=6`` stores per-token log-probs as integer
+    micro-nats, making each doc's score EXACT integer arithmetic (one
+    final IEEE division) — identical on any partition layout or engine —
+    and the DISCRETE per-lang t-digest makes the cut points exact
+    nearest-rank quantiles of those scores.  Plan: broadcast model join →
+    one (doc,lang) aggregate → KB digest build → 5-row broadcast → codegen
+    CASE; no row-scale shuffle beyond the score aggregate."""
+    from sketchlib.spark.textops import quality_buckets
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    b = quality_buckets(
+        docs, vocab_top_k=LM_TOPK, alpha=0.5, quantize=6, with_cuts=True
+    )
+    return b.groupBy("lang", "bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.min("cut_lo").alias("cut_lo"),
+        F.min("cut_hi").alias("cut_hi"),
+    )
+
+
+_LM_QUALITY_SQL = f"""
+WITH toks AS (
+  SELECT lang, unnest(list_filter(string_split(text, ' '), w -> w != '')) AS word
+  FROM documents
+), counts AS (
+  SELECT lang, word, count(*) AS cnt FROM toks GROUP BY lang, word
+), model AS (
+  SELECT lang, word, cnt FROM (
+    SELECT lang, word, cnt,
+           row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, word) AS rk
+    FROM counts) WHERE rk <= {LM_TOPK}
+), totals AS (
+  SELECT lang, sum(cnt)::BIGINT AS total, count(*)::BIGINT AS v
+  FROM model GROUP BY lang
+), lp AS (
+  SELECT m.lang, m.word,
+         round(ln((m.cnt + 0.5) / (t.total + 0.5 * (t.v + 1.0))) * 1000000)::BIGINT AS lp
+  FROM model m JOIN totals t USING (lang)
+), oov AS (
+  SELECT lang,
+         round(ln(0.5 / (total + 0.5 * (v + 1.0))) * 1000000)::BIGINT AS oov_lp
+  FROM totals
+), dtoks AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split(text, ' '), w -> w != '')) AS word
+  FROM documents
+), scored AS (
+  SELECT d.doc_id, d.lang, count(*)::BIGINT AS n_tokens,
+         (-sum(coalesce(l.lp, o.oov_lp))::DOUBLE / count(*)) / 1000000.0 AS score
+  FROM dtoks d
+  LEFT JOIN lp l ON l.lang = d.lang AND l.word = d.word
+  JOIN oov o ON o.lang = d.lang
+  GROUP BY d.doc_id, d.lang
+), g AS (
+  SELECT lang, score, CAST(count(*) AS DOUBLE) AS c
+  FROM scored GROUP BY lang, score
+), s AS (
+  SELECT lang, score,
+         sum(c) OVER (PARTITION BY lang ORDER BY score) AS cum,
+         sum(c) OVER (PARTITION BY lang) AS total
+  FROM g
+), cuts AS (
+  SELECT lang,
+         min(score) FILTER (WHERE cum >= total * (1.0/3.0)) AS cut_lo,
+         min(score) FILTER (WHERE cum >= total * (2.0/3.0)) AS cut_hi
+  FROM s GROUP BY lang
+)
+SELECT sc.lang,
+       CASE WHEN sc.score <= c.cut_lo THEN 'head'
+            WHEN sc.score <= c.cut_hi THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       count(*)::BIGINT AS n_docs,
+       sum(sc.n_tokens)::BIGINT AS sum_tokens,
+       min(c.cut_lo) AS cut_lo,
+       min(c.cut_hi) AS cut_hi
+FROM scored sc JOIN cuts c USING (lang)
+GROUP BY sc.lang, bucket
+"""
+
+
+def q_sample_corpus_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Folds sample_stratified_hash + sample_weighted_topk (both long-green;
+    freed a gate slot per VERDICT r03 #1): the two deterministic sampling
+    operators over the same corpus, tagged by method.  Stratified =
+    md5-bucket rate filter (pure codegen, no shuffle); weighted = 10 docs
+    per lang by Efraimidis–Spirakis priority (partial WindowGroupLimit)."""
+    from sketchlib.spark.sampling import (
+        stratified_hash_sample,
+        weighted_priority_sample,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    strat = stratified_hash_sample(docs, SAMPLE_RATES).select(
+        F.lit("stratified_hash").alias("method"), "doc_id", "lang"
+    )
+    wtd = weighted_priority_sample(
+        docs, k=10, weight_col="n_chars", by="lang"
+    ).select(F.lit("weighted_topk").alias("method"), "doc_id", "lang")
+    return strat.unionByName(wtd)
+
+
+def _sample_fold_sql() -> str:
+    return f"""
+SELECT 'stratified_hash' AS method, doc_id, lang
+FROM ({_sample_sql(SAMPLE_RATES)})
+UNION ALL
+SELECT 'weighted_topk' AS method, doc_id, lang
+FROM ({_WEIGHTED_SAMPLE_SQL})
+"""
+
+
 # 50 entries — at most the driver's correctness gate records (~50 rows/run).
 # Ordering rule (VERDICT r03 #1): queries that have never had a driver
 # CORRECTNESS row come FIRST (the round-3 wave, then the round-4 folds);
 # the long-green remainder follows.
 QUERIES = {
     # --- never driver-gated as of r03 ---
+    "lm_quality_buckets": q_lm_quality_buckets,
+    "sample_corpus_methods": q_sample_corpus_methods,
     "td_ks_drift_by_lang": q_td_ks_drift_by_lang,
     "td_winsorize_by_lang": q_td_winsorize_by_lang,
     "corpus_profile_by_lang": q_corpus_profile_by_lang,
@@ -2816,8 +2939,6 @@ QUERIES = {
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "dedup_group_keepers": q_dedup_group_keepers,
     "events_asof_purchase": q_events_asof_purchase,
-    "sample_stratified_hash": q_sample_stratified_hash,
-    "sample_weighted_topk": q_sample_weighted_topk,
     "td_prank_by_lang": q_td_prank_by_lang,
     "events_in_purchase_window": q_events_in_purchase_window,
     "td_merge_laws": q_td_merge_laws,
@@ -2825,6 +2946,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "lm_quality_buckets": _LM_QUALITY_SQL,
+    "sample_corpus_methods": _sample_fold_sql(),
     # --- never driver-gated as of r03 (oracles unchanged, order matches QUERIES) ---
     # (entries below appear in the same group order as QUERIES for auditability;
     #  DuckDB runs each independently so only the key set must match)
@@ -2898,8 +3021,6 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
     "cms_heavy_hitters": _CMS_HH_SQL,
     "dedup_group_keepers": _group_keepers_sql(0.8),
     "events_asof_purchase": _ASOF_SQL,
-    "sample_stratified_hash": _sample_sql(SAMPLE_RATES),
-    "sample_weighted_topk": _WEIGHTED_SAMPLE_SQL,
     "td_prank_by_lang": _PRANK_SQL,
     "events_in_purchase_window": _RANGE_JOIN_SQL,
 

@@ -388,3 +388,166 @@ def pack_sequences(
         .otherwise(last_chunk - first_chunk + 1)
         .alias("n_chunks_spanned"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style LM quality scoring + digest-driven corpus bucketing
+# ---------------------------------------------------------------------------
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    ref: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+    vocab_top_k: int = 65536,
+    alpha: float = 0.5,
+    quantize: int | None = None,
+) -> DataFrame:
+    """CCNet-style language-model quality score: the mean negative log
+    probability of a document's tokens under a unigram model trained on a
+    REFERENCE corpus (CCNet scores Common-Crawl against a Wikipedia-trained
+    KenLM; the unigram degenerate case keeps this operator pure-DataFrame
+    and bit-checkable while the plumbing — train on ref, broadcast the
+    model, score at scan grain — is exactly the production shape, and a
+    stronger model only changes the probability lookup).
+
+    Model: per ``lang_col`` (per-language models, as CCNet trains them;
+    pass ``lang_col=None`` for one global model) token counts over ``ref``
+    (default: ``df`` itself), capped to the ``vocab_top_k`` most frequent
+    words per language (open web vocabulary is unbounded — the cap makes
+    the broadcast ≤ langs × K rows by construction, same policy as
+    ``lang_id_confusion``).  Add-``alpha`` smoothing over vocab + one OOV
+    bucket: p(w) = (cnt + alpha) / (total + alpha·(V+1)), OOV gets
+    alpha / (total + alpha·(V+1)).
+
+    Returns (id, [lang], n_tokens, logprob_per_token) where
+    logprob_per_token = mean of -ln p(token); LOWER is more fluent, and
+    empty docs score NULL.  At scale: the model join is broadcast, the only
+    wide shuffle is the (id, partial-sum) aggregate behind a map-side
+    partial — the same plan as one sketch build.
+
+    ``quantize=q`` rounds each token's log-prob to integer units of
+    10^-q nats before summing, making the per-doc score EXACT integer
+    arithmetic: bit-identical on any partition layout, addition order, or
+    engine (a raw float sum is order-dependent at ~1e-16, which turns
+    exact ties between duplicate documents into nondeterministic
+    near-ties — fatal for reproducible corpus splits and for oracle
+    checking).  q=6 (micro-nats) keeps per-token quantization error below
+    5e-7 while 10^4-token docs still sum < 2^53.
+    """
+    keys = [lang_col] if lang_col else []
+    ref = df if ref is None else ref
+    rtoks = (
+        with_tokens(ref.select(*keys, text_col), text_col)
+        .select(*keys, F.explode("tokens").alias("word"))
+    )
+    counts = rtoks.groupBy(*keys, "word").agg(F.count("*").alias("cnt"))
+    if keys:
+        wk = Window.partitionBy(*keys).orderBy(F.desc("cnt"), F.asc("word"))
+        model = (
+            counts.withColumn("_rk", F.row_number().over(wk))
+            .filter(F.col("_rk") <= vocab_top_k)
+            .drop("_rk")
+        )
+    else:
+        # global model: sort+limit compiles to TakeOrderedAndProject
+        # (distributed partial top-k) — a keyless row_number window would
+        # drag the whole vocabulary through ONE task
+        model = counts.orderBy(F.desc("cnt"), F.asc("word")).limit(vocab_top_k)
+    totals = model.groupBy(*keys).agg(
+        F.sum("cnt").alias("_total"), F.count("*").alias("_v")
+    )
+    denom = F.col("_total") + F.lit(alpha) * (F.col("_v") + F.lit(1.0))
+    lp_expr = F.log((F.col("cnt") + F.lit(alpha)) / denom)
+    oov_expr = F.log(F.lit(alpha) / denom)
+    if quantize is not None:
+        # integer micro-nat (10^-q) units: per-doc sums become exact long
+        # arithmetic — identical on any partition layout or engine
+        scale = float(10**quantize)
+        lp_expr = F.round(lp_expr * scale).cast("long")
+        oov_expr = F.round(oov_expr * scale).cast("long")
+    model = model.join(totals, keys or None, "inner" if keys else "cross").select(
+        *keys, "word", lp_expr.alias("_lp"),
+    )
+    oov = totals.select(*keys, oov_expr.alias("_oov_lp"))
+    toks = (
+        with_tokens(df.select(id_col, *keys, text_col), text_col)
+        .select(id_col, *keys, F.explode("tokens").alias("word"))
+    )
+    joined = (
+        toks.join(F.broadcast(model), keys + ["word"], "left")
+        .join(F.broadcast(oov), keys or None, "inner" if keys else "cross")
+        .withColumn("_lp", F.coalesce("_lp", F.col("_oov_lp")))
+    )
+    score_expr = -F.sum("_lp") / F.count("*")
+    if quantize is not None:
+        # ONE float division of two exact integers — deterministic
+        score_expr = score_expr / F.lit(float(10**quantize))
+    scored = joined.groupBy(id_col, *keys).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        score_expr.alias("logprob_per_token"),
+    )
+    return (
+        df.select(id_col, *keys)
+        .join(scored, [id_col] + keys, "left")
+        .select(
+            id_col, *keys,
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            "logprob_per_token",
+        )
+    )
+
+
+def quality_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    with_cuts: bool = False,
+    **score_kwargs,
+) -> DataFrame:
+    """CCNet's head/middle/tail corpus split, driven by our own sketches:
+    score every doc with ``unigram_logprob_score``, build one DISCRETE
+    t-digest of scores per language (lossless → the cut points are exact
+    per-lang score quantiles), broadcast the ≤|langs| threshold rows back,
+    and bucket each doc with pure JVM comparisons — head = most fluent
+    (lowest score) third, as CCNet keeps it.
+
+    The whole plan is: score (one broadcast join + one aggregate) → digest
+    build over the tiny (id, score) frame → 5-row broadcast → codegen CASE.
+    No row-scale shuffle beyond the score aggregate itself; at 100 TB the
+    thresholds are a stored KB artifact that new batches reuse, which is
+    how a curriculum stays stable while the corpus grows.
+    """
+    from sketchlib.spark.tdigest_ops import tdigest_aggregate, tdigest_quantiles_udf
+
+    scores = unigram_logprob_score(
+        df, id_col=id_col, text_col=text_col, lang_col=lang_col,
+        **score_kwargs,
+    ).filter(F.col("logprob_per_token").isNotNull())
+    digs = tdigest_aggregate(scores, [lang_col], "logprob_per_token",
+                             discrete=True)
+    q = tdigest_quantiles_udf(list(cuts), discrete=True)
+    thr = digs.select(
+        lang_col,
+        q("digest")[0].alias("_lo"),
+        q("digest")[1].alias("_hi"),
+    )
+    extra = (
+        [F.col("_lo").alias("cut_lo"), F.col("_hi").alias("cut_hi")]
+        if with_cuts else []
+    )
+    return (
+        scores.join(F.broadcast(thr), lang_col)
+        .select(
+            id_col, lang_col, "n_tokens", "logprob_per_token",
+            F.when(F.col("logprob_per_token") <= F.col("_lo"), "head")
+            .when(F.col("logprob_per_token") <= F.col("_hi"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+            *extra,
+        )
+    )

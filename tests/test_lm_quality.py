@@ -1,0 +1,191 @@
+"""CCNet-style unigram LM quality scoring + digest-driven head/middle/tail
+bucketing, checked against a pure-python oracle."""
+
+import math
+from collections import Counter, defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+pytestmark = pytest.mark.spark
+
+ALPHA = 0.5
+TOPK = 50
+
+
+def _python_model(rows, top_k=TOPK, alpha=ALPHA):
+    """per-lang capped unigram model -> (logp dict, oov logp) per lang"""
+    counts = defaultdict(Counter)
+    for lang, text in rows:
+        if text:
+            for w in text.split(" "):
+                if w:
+                    counts[lang][w] += 1
+    models = {}
+    for lang, c in counts.items():
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+        total = sum(n for _, n in top)
+        denom = total + alpha * (len(top) + 1)
+        models[lang] = (
+            {w: math.log((n + alpha) / denom) for w, n in top},
+            math.log(alpha / denom),
+        )
+    return models
+
+
+def _python_scores(rows, models):
+    out = {}
+    for did, lang, text in rows:
+        toks = [w for w in (text or "").split(" ") if w]
+        if not toks:
+            out[did] = (0, None)
+            continue
+        lp, oov = models[lang]
+        s = sum(-(lp.get(w, oov)) for w in toks)
+        out[did] = (len(toks), s / len(toks))
+    return out
+
+
+def test_scores_match_python_oracle(spark):
+    from sketchlib.spark.textops import unigram_logprob_score
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "lang", "text")
+    # include an empty-text doc
+    docs = docs.withColumn(
+        "text", F.when(F.col("doc_id") % 29 == 0, F.lit("")).otherwise(
+            F.col("text")))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["logprob_per_token"])
+        for r in unigram_logprob_score(
+            docs, vocab_top_k=TOPK, alpha=ALPHA).collect()
+    }
+    raw = [(r["doc_id"], r["lang"], r["text"]) for r in docs.collect()]
+    models = _python_model([(l, t) for _, l, t in raw])
+    want = _python_scores(raw, models)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        if want[k][1] is None:
+            assert got[k][1] is None, k
+        else:
+            assert abs(got[k][1] - want[k][1]) < 1e-9, (k, got[k], want[k])
+
+
+def test_global_model_and_external_ref(spark):
+    from sketchlib.spark.textops import unigram_logprob_score
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "lang", "text")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)  # train on half
+    out = unigram_logprob_score(
+        docs, ref=ref, lang_col=None, vocab_top_k=TOPK).collect()
+    assert len(out) == docs.count()
+    # scoring corpus != ref: ref-absent docs still score (OOV smoothing)
+    assert all(r["logprob_per_token"] is not None for r in out
+               if r["n_tokens"] > 0)
+
+
+def test_quality_buckets_exact_thirds_law(spark):
+    from sketchlib.spark.textops import quality_buckets, unigram_logprob_score
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "lang", "text")
+    out = quality_buckets(docs, vocab_top_k=TOPK, alpha=ALPHA)
+    rows = out.collect()
+    assert {r["bucket"] for r in rows} == {"head", "middle", "tail"}
+    # discrete digests are lossless: the cut points are the exact
+    # nearest-rank score quantiles, so bucketing must equal the python
+    # recomputation from the (independently oracled) scores
+    scores = defaultdict(list)
+    for r in rows:
+        scores[r["lang"]].append(r["logprob_per_token"])
+    import numpy as np
+
+    for lang, vals in scores.items():
+        xs = np.sort(np.array(vals))
+        n = len(xs)
+        lo = xs[max(0, math.ceil(n / 3.0) - 1)]
+        hi = xs[max(0, math.ceil(2.0 * n / 3.0) - 1)]
+        for r in rows:
+            if r["lang"] != lang:
+                continue
+            want = ("head" if r["logprob_per_token"] <= lo
+                    else "middle" if r["logprob_per_token"] <= hi
+                    else "tail")
+            assert r["bucket"] == want, (lang, r)
+    # head = most fluent third: per lang, head count ~ n/3 up to ties
+    # (duplicate texts score identically; a tie group straddling the cut
+    # goes wholly to the lower bucket by the <= comparison)
+    per = Counter((r["lang"], r["bucket"]) for r in rows)
+    for lang, vals in scores.items():
+        n = len(vals)
+        max_tie = Counter(vals).most_common(1)[0][1]
+        assert abs(per[(lang, "head")] - n / 3.0) <= 1.0 + max_tie, (
+            lang, per[(lang, "head")], n)
+
+
+def test_quantized_scores_deterministic_and_close(spark):
+    """quantize=6: scores are exact integer arithmetic — bit-identical
+    across partition layouts — and within the documented 5e-7/token
+    error of the float path."""
+    from sketchlib.spark.textops import unigram_logprob_score
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "lang", "text")
+    a = {r["doc_id"]: r["logprob_per_token"]
+         for r in unigram_logprob_score(
+             docs, vocab_top_k=TOPK, quantize=6).collect()}
+    b = {r["doc_id"]: r["logprob_per_token"]
+         for r in unigram_logprob_score(
+             docs.repartition(7, "lang"), vocab_top_k=TOPK,
+             quantize=6).collect()}
+    raw = {r["doc_id"]: r["logprob_per_token"]
+           for r in unigram_logprob_score(
+               docs, vocab_top_k=TOPK).collect()}
+    assert a == b  # bit-identical, incl. float equality
+    for k, v in a.items():
+        if v is not None:
+            assert abs(v - raw[k]) < 1e-6, (k, v, raw[k])
+
+
+def test_gate_lp_rounding_margin_sf001():
+    """Cross-engine safety of the gated lm_quality_buckets query: every
+    model log-prob x 1e6 at the driver's gate SF (sf0.01) must sit far
+    (>1e-6) from a .5 rounding boundary, so a 1-ulp ln() difference
+    between Spark's java.lang.Math.log and DuckDB's libm cannot flip the
+    rounded integer micro-nat value.  Pure DuckDB — no Spark session."""
+    import duckdb
+
+    from sketchlib.spark.queries import LM_TOPK
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')")
+    rows = con.execute(f"""
+WITH toks AS (
+  SELECT lang, unnest(list_filter(string_split(text, ' '), w -> w != '')) AS word
+  FROM documents
+), counts AS (
+  SELECT lang, word, count(*) AS cnt FROM toks GROUP BY lang, word
+), model AS (
+  SELECT lang, cnt FROM (
+    SELECT lang, word, cnt,
+           row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, word) AS rk
+    FROM counts) WHERE rk <= {LM_TOPK}
+), totals AS (
+  SELECT lang, sum(cnt)::BIGINT AS total, count(*)::BIGINT AS v
+  FROM model GROUP BY lang
+), lps AS (
+  SELECT ln((m.cnt + 0.5) / (t.total + 0.5 * (t.v + 1.0))) * 1000000 AS x
+  FROM model m JOIN totals t USING (lang)
+  UNION ALL
+  SELECT ln(0.5 / (total + 0.5 * (v + 1.0))) * 1000000 FROM totals
+)
+SELECT min(abs(abs(x - round(x)) - 0.5)) FROM lps
+""").fetchone()
+    # boundary distance: |frac - .5| — min over the whole model
+    assert rows[0] > 1e-6, rows
