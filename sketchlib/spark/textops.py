@@ -395,6 +395,70 @@ def pack_sequences(
 # ---------------------------------------------------------------------------
 
 
+def train_unigram_model(
+    ref: DataFrame,
+    lang_col: str | None = "lang",
+    text_col: str = "text",
+    vocab_top_k: int = 65536,
+    alpha: float = 0.5,
+    quantize: int | None = None,
+) -> DataFrame:
+    """Train the capped-vocab unigram LM used by ``unigram_logprob_score``
+    and return it as a STORABLE table: rows ([lang], word, lp) where lp is
+    ln p(word) under add-``alpha`` smoothing (integer 10^-q units when
+    ``quantize=q``), and the per-language OOV bucket is the ``word IS
+    NULL`` row.  ≤ langs × (K+1) rows by construction — write it once with
+    ``df.write.parquet`` and every future batch/stream scores against it
+    without rescanning the reference corpus (CCNet's train-on-Wikipedia /
+    score-Common-Crawl split)."""
+    keys = [lang_col] if lang_col else []
+    rtoks = (
+        with_tokens(ref.select(*keys, text_col), text_col)
+        .select(*keys, F.explode("tokens").alias("word"))
+    )
+    counts = rtoks.groupBy(*keys, "word").agg(F.count("*").alias("cnt"))
+    if keys:
+        wk = Window.partitionBy(*keys).orderBy(F.desc("cnt"), F.asc("word"))
+        model = (
+            counts.withColumn("_rk", F.row_number().over(wk))
+            .filter(F.col("_rk") <= vocab_top_k)
+            .drop("_rk")
+        )
+    else:
+        # global model: sort+limit compiles to TakeOrderedAndProject
+        # (distributed partial top-k) — a keyless row_number window would
+        # drag the whole vocabulary through ONE task
+        model = counts.orderBy(F.desc("cnt"), F.asc("word")).limit(vocab_top_k)
+    totals = model.groupBy(*keys).agg(
+        F.sum("cnt").alias("_total"), F.count("*").alias("_v")
+    )
+    denom = F.col("_total") + F.lit(alpha) * (F.col("_v") + F.lit(1.0))
+    lp_expr = F.log((F.col("cnt") + F.lit(alpha)) / denom)
+    oov_expr = F.log(F.lit(alpha) / denom)
+    if quantize is not None:
+        # integer micro-nat (10^-q) units: per-doc sums become exact long
+        # arithmetic — identical on any partition layout or engine
+        scale = float(10**quantize)
+        lp_expr = F.round(lp_expr * scale).cast("long")
+        oov_expr = F.round(oov_expr * scale).cast("long")
+    word_rows = model.join(
+        totals, keys or None, "inner" if keys else "cross"
+    ).select(*keys, "word", lp_expr.alias("lp"))
+    oov_rows = totals.select(
+        *keys, F.lit(None).cast("string").alias("word"), oov_expr.alias("lp")
+    )
+    return word_rows.unionByName(oov_rows)
+
+
+def _check_model_quantize(model: DataFrame, quantize: int | None) -> None:
+    lp_type = dict(model.dtypes)["lp"]
+    if (lp_type == "bigint") != (quantize is not None):
+        raise ValueError(
+            f"model lp column is {lp_type} but quantize={quantize}: pass the "
+            "same quantize= the model was trained with"
+        )
+
+
 def unigram_logprob_score(
     df: DataFrame,
     ref: DataFrame | None = None,
@@ -404,6 +468,7 @@ def unigram_logprob_score(
     vocab_top_k: int = 65536,
     alpha: float = 0.5,
     quantize: int | None = None,
+    model: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet-style language-model quality score: the mean negative log
     probability of a document's tokens under a unigram model trained on a
@@ -436,48 +501,32 @@ def unigram_logprob_score(
     near-ties — fatal for reproducible corpus splits and for oracle
     checking).  q=6 (micro-nats) keeps per-token quantization error below
     5e-7 while 10^4-token docs still sum < 2^53.
+
+    Pass ``model=`` (a ``train_unigram_model`` result, e.g. read back from
+    parquet) to skip training entirely — train once on the reference
+    corpus, store the ≤ langs×(K+1)-row table, score every future batch
+    against it.  ``quantize`` must then match the stored model's.
     """
     keys = [lang_col] if lang_col else []
-    ref = df if ref is None else ref
-    rtoks = (
-        with_tokens(ref.select(*keys, text_col), text_col)
-        .select(*keys, F.explode("tokens").alias("word"))
-    )
-    counts = rtoks.groupBy(*keys, "word").agg(F.count("*").alias("cnt"))
-    if keys:
-        wk = Window.partitionBy(*keys).orderBy(F.desc("cnt"), F.asc("word"))
-        model = (
-            counts.withColumn("_rk", F.row_number().over(wk))
-            .filter(F.col("_rk") <= vocab_top_k)
-            .drop("_rk")
+    if model is None:
+        model = train_unigram_model(
+            df if ref is None else ref, lang_col, text_col,
+            vocab_top_k, alpha, quantize,
         )
     else:
-        # global model: sort+limit compiles to TakeOrderedAndProject
-        # (distributed partial top-k) — a keyless row_number window would
-        # drag the whole vocabulary through ONE task
-        model = counts.orderBy(F.desc("cnt"), F.asc("word")).limit(vocab_top_k)
-    totals = model.groupBy(*keys).agg(
-        F.sum("cnt").alias("_total"), F.count("*").alias("_v")
+        _check_model_quantize(model, quantize)
+    words = model.filter(F.col("word").isNotNull()).select(
+        *keys, "word", F.col("lp").alias("_lp")
     )
-    denom = F.col("_total") + F.lit(alpha) * (F.col("_v") + F.lit(1.0))
-    lp_expr = F.log((F.col("cnt") + F.lit(alpha)) / denom)
-    oov_expr = F.log(F.lit(alpha) / denom)
-    if quantize is not None:
-        # integer micro-nat (10^-q) units: per-doc sums become exact long
-        # arithmetic — identical on any partition layout or engine
-        scale = float(10**quantize)
-        lp_expr = F.round(lp_expr * scale).cast("long")
-        oov_expr = F.round(oov_expr * scale).cast("long")
-    model = model.join(totals, keys or None, "inner" if keys else "cross").select(
-        *keys, "word", lp_expr.alias("_lp"),
+    oov = model.filter(F.col("word").isNull()).select(
+        *keys, F.col("lp").alias("_oov_lp")
     )
-    oov = totals.select(*keys, oov_expr.alias("_oov_lp"))
     toks = (
         with_tokens(df.select(id_col, *keys, text_col), text_col)
         .select(id_col, *keys, F.explode("tokens").alias("word"))
     )
     joined = (
-        toks.join(F.broadcast(model), keys + ["word"], "left")
+        toks.join(F.broadcast(words), keys + ["word"], "left")
         .join(F.broadcast(oov), keys or None, "inner" if keys else "cross")
         .withColumn("_lp", F.coalesce("_lp", F.col("_oov_lp")))
     )
@@ -498,6 +547,82 @@ def unigram_logprob_score(
             "logprob_per_token",
         )
     )
+
+
+def score_with_stored_model(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+    quantize: int | None = 6,
+) -> DataFrame:
+    """Score documents against a STORED unigram model with ZERO shuffle:
+    the ≤ langs×(K+1)-row model table is collected once, broadcast as a
+    dict, and scoring is one stateless Arrow-batched ``mapInPandas`` over
+    the scan — no explode, no join, no aggregate.  Because it is stateless
+    it runs unchanged on a ``readStream`` (no watermark, no state store):
+    the production shape for scoring a live crawl against last month's
+    model.  With ``quantize`` (must match the model's), per-doc sums are
+    exact Python-int arithmetic, so results are BIT-IDENTICAL to the
+    broadcast-join path of ``unigram_logprob_score`` — asserted in pytest.
+
+    Same output contract as ``unigram_logprob_score``: (id, [lang],
+    n_tokens, logprob_per_token); empty docs → (0, NULL); docs whose lang
+    has no model row → (0, NULL) (the join path drops them the same way).
+    """
+    _check_model_quantize(model, quantize)
+    rows = model.collect()  # bounded: langs × (vocab_top_k + 1) rows
+    lut: dict = {}
+    oov: dict = {}
+    for r in rows:
+        lang = r[lang_col] if lang_col else None
+        if r["word"] is None:
+            oov[lang] = r["lp"]
+        else:
+            lut.setdefault(lang, {})[r["word"]] = r["lp"]
+    scale = float(10**quantize) if quantize is not None else None
+    bc = df.sparkSession.sparkContext.broadcast((lut, oov))
+    id_type = dict(df.dtypes)[id_col]
+    lang_field = f"{lang_col} string, " if lang_col else ""
+    schema = (f"{id_col} {id_type}, {lang_field}"
+              "n_tokens long, logprob_per_token double")
+
+    def score_batches(batches):
+        import pandas as pd
+
+        lut_, oov_ = bc.value
+        for pdf in batches:
+            out_n, out_s = [], []
+            langs = pdf[lang_col] if lang_col else [None] * len(pdf)
+            for text, lang in zip(pdf[text_col], langs):
+                toks = [w for w in (text or "").split(" ") if w]
+                m = lut_.get(lang)
+                o = oov_.get(lang)
+                if not toks or o is None:
+                    out_n.append(0)
+                    out_s.append(None)
+                    continue
+                s = 0
+                get = m.get
+                for w in toks:
+                    s += get(w, o)
+                n = len(toks)
+                # same op order as the SQL path: (-s / n) / scale
+                v = (-s) / n
+                if scale is not None:
+                    v = v / scale
+                out_n.append(n)
+                out_s.append(v)
+            res = pd.DataFrame({id_col: pdf[id_col]})
+            if lang_col:
+                res[lang_col] = pdf[lang_col]
+            res["n_tokens"] = pd.array(out_n, dtype="int64")
+            res["logprob_per_token"] = pd.array(out_s, dtype="float64")
+            yield res
+
+    cols = [id_col] + ([lang_col] if lang_col else []) + [text_col]
+    return df.select(*cols).mapInPandas(score_batches, schema)
 
 
 def quality_buckets(

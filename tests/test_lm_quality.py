@@ -189,3 +189,83 @@ SELECT min(abs(abs(x - round(x)) - 0.5)) FROM lps
 """).fetchone()
     # boundary distance: |frac - .5| — min over the whole model
     assert rows[0] > 1e-6, rows
+
+
+def test_stored_model_scorer_bit_identical_to_join_path(spark, tmp_path):
+    """train once → store the model table → score with the stateless
+    broadcast-dict mapInPandas scorer: bit-identical to the broadcast-join
+    path under quantize (exact integer sums either way), incl. empty docs
+    and a lang absent from the model."""
+    from sketchlib.spark.textops import (
+        score_with_stored_model,
+        train_unigram_model,
+        unigram_logprob_score,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "lang", "text")
+    docs = docs.withColumn(
+        "text", F.when(F.col("doc_id") % 29 == 0, F.lit("")).otherwise(
+            F.col("text")))
+    # model trained WITHOUT one lang -> those docs must score (0, NULL)
+    ref = docs.filter(F.col("lang") != "zh")
+    mpath = str(tmp_path / "model")
+    train_unigram_model(ref, vocab_top_k=TOPK, quantize=6).write.parquet(mpath)
+    model = spark.read.parquet(mpath)
+
+    join_path = unigram_logprob_score(
+        docs, model=model, vocab_top_k=TOPK, quantize=6)
+    fast_path = score_with_stored_model(docs, model, quantize=6)
+    a = sorted(tuple(r) for r in join_path.collect())
+    b = sorted(tuple(r) for r in fast_path.collect())
+    assert a == b
+    zh = [r for r in a if r[1] == "zh"]
+    assert zh and all(r[2] == 0 and r[3] is None for r in zh)
+
+
+def test_stored_model_scorer_streams(spark, tmp_path):
+    """the scorer is a stateless projection: the SAME function over a
+    readStream (1 file per trigger) yields exactly the batch scores."""
+    from sketchlib.spark.textops import (
+        score_with_stored_model,
+        train_unigram_model,
+    )
+
+    src = str(tmp_path / "src")
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "lang", "text")
+    docs.repartition(4).write.parquet(src)
+    static = spark.read.parquet(src)
+    model = train_unigram_model(static, vocab_top_k=TOPK, quantize=6)
+    model = model.cache()
+    batch = {r["doc_id"]: (r["n_tokens"], r["logprob_per_token"])
+             for r in score_with_stored_model(static, model).collect()}
+
+    stream = spark.readStream.schema(static.schema).option(
+        "maxFilesPerTrigger", "1").parquet(src)
+    got = []
+    q = (score_with_stored_model(stream, model)
+         .writeStream.outputMode("append")
+         .foreachBatch(lambda bdf, _id: got.extend(bdf.collect())).start())
+    q.processAllAvailable()
+    q.stop()
+    streamed = {r["doc_id"]: (r["n_tokens"], r["logprob_per_token"])
+                for r in got}
+    assert streamed == batch
+
+
+def test_model_quantize_mismatch_raises(spark):
+    from sketchlib.spark.textops import (
+        score_with_stored_model,
+        train_unigram_model,
+        unigram_logprob_score,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "lang", "text")
+    m_q = train_unigram_model(docs, vocab_top_k=TOPK, quantize=6)
+    m_f = train_unigram_model(docs, vocab_top_k=TOPK)
+    with pytest.raises(ValueError, match="quantize"):
+        score_with_stored_model(docs, m_q, quantize=None)
+    with pytest.raises(ValueError, match="quantize"):
+        unigram_logprob_score(docs, model=m_f, quantize=6)
