@@ -1027,9 +1027,105 @@ def rangepart_bench() -> None:
     print(json.dumps(out))
 
 
+def lmquality_bench() -> None:
+    """LM-quality (CCNet-style unigram fluency) throughput over a ~1M-page
+    slice of the bench pages table (1/8 hash sample, per-lang models with
+    realistic 55%-en skew): model training time, then corpus scoring via
+    (a) the broadcast-join path and (b) the stored-model stateless
+    mapInPandas scorer — each best of 2 warm reps at local[CPUS], with the
+    scorer also measured at local[8] for N-vs-4N scaling evidence when
+    CPUS=32.  One JSON line."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.session import get_spark
+    from sketchlib.spark.textops import (
+        score_with_stored_model,
+        train_unigram_model,
+        unigram_logprob_score,
+    )
+
+    path = os.path.join(BENCH_DIR, f"pages_{BENCH_ROWS}.parquet")
+    ensure_pages(path, BENCH_ROWS)
+    mdir = tempfile.mkdtemp(prefix="lmq_model_")
+
+    def best_of(fn, reps=2):
+        fn()  # warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        return best
+
+    def corpus(spark):
+        return spark.read.parquet(path).select("url", "lang", "text").filter(
+            F.abs(F.xxhash64("url")) % 8 == 0
+        )
+
+    def force(scored):
+        # full compute: touch every score, no partial short-circuit
+        return scored.agg(
+            F.count("*"), F.sum("n_tokens"), F.sum("logprob_per_token")
+        ).collect()
+
+    spark = get_spark("lmquality-bench", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = corpus(spark)
+    n_docs = docs.count()
+
+    t0 = time.time()
+    train_unigram_model(docs, vocab_top_k=65536, quantize=6).write.mode(
+        "overwrite").parquet(f"{mdir}/model")
+    t_train = time.time() - t0
+    model = spark.read.parquet(f"{mdir}/model")
+    n_model = model.count()
+
+    # construct ONCE: the scorer's setup (model collect + broadcast) is a
+    # per-job cost, not per-batch — measure it separately from scoring
+    t0 = time.time()
+    scored_stored = score_with_stored_model(docs, model, id_col="url")
+    t_setup = time.time() - t0
+    t_stored = best_of(lambda: force(scored_stored))
+    scored_join = unigram_logprob_score(
+        docs, id_col="url", model=model, quantize=6)
+    t_join = best_of(lambda: force(scored_join))
+    spark.stop()
+
+    out = {
+        "rows": n_docs, "model_rows": n_model, "cpus": CPUS,
+        "train_sec": round(t_train, 2),
+        "scorer_setup_sec": round(t_setup, 2),
+        "score_stored_sec": round(t_stored, 2),
+        "score_join_sec": round(t_join, 2),
+        "stored_docs_per_sec": round(n_docs / t_stored, 1),
+        "join_docs_per_sec": round(n_docs / t_join, 1),
+    }
+    if str(CPUS) == "32":
+        t_at = {}
+        for n in (8, 2):
+            sp = get_spark(f"lmquality-bench-{n}", cpus=n)
+            sp.sparkContext.setLogLevel("ERROR")
+            sc = score_with_stored_model(
+                corpus(sp), sp.read.parquet(f"{mdir}/model"), id_col="url")
+            t_at[n] = best_of(lambda: force(sc))
+            sp.stop()
+        out["score_stored_sec_local8"] = round(t_at[8], 2)
+        out["score_stored_sec_local2"] = round(t_at[2], 2)
+        # north-rule N vs 4N pairs (primary 2->8; 8->32 hits the known
+        # single-kernel-VM allocation ceiling, see BENCH/BASELINE.md)
+        out["scaling_eff_2_to_8"] = round(t_at[2] / (4.0 * t_at[8]), 3)
+        out["scaling_eff_8_to_32"] = round(t_at[8] / (4.0 * t_stored), 3)
+    shutil.rmtree(mdir, ignore_errors=True)
+    print(json.dumps(out))
+
+
 _MODES = (
     "--scaling", "--compare-builtin", "--sketches", "--frequent",
-    "--joins", "--profile", "--decontam", "--rangepart", "--measure-build",
+    "--joins", "--profile", "--decontam", "--rangepart", "--lmquality",
+    "--measure-build",
 )
 
 if __name__ == "__main__":
@@ -1055,6 +1151,8 @@ if __name__ == "__main__":
         joins_bench()
     elif len(sys.argv) > 1 and sys.argv[1] == "--rangepart":
         rangepart_bench()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--lmquality":
+        lmquality_bench()
     elif len(sys.argv) > 1 and sys.argv[1] == "--measure-build":
         reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
         print(json.dumps(measure_build(int(sys.argv[2]), sys.argv[3], reps)))

@@ -1,0 +1,138 @@
+"""Production job: CCNet-style LM-quality scoring — train a per-language
+unigram fluency model once, or score a corpus against a stored model.
+
+Train (on the reference corpus, e.g. a vetted wiki-like slice):
+
+    spark-submit --master <cluster> --py-files dist/sketchlib.zip \
+        jobs/score_quality.py train \
+        --input /warehouse/reference_corpus --model /warehouse/lm/2026-08 \
+        --lang-col lang --text-col text --vocab-top-k 65536
+
+Score (any later batch — the live crawl — against the stored model):
+
+    spark-submit --master <cluster> --py-files dist/sketchlib.zip \
+        jobs/score_quality.py score \
+        --input /warehouse/crawl/2026-08-18 --model /warehouse/lm/2026-08 \
+        --output /warehouse/scored/2026-08-18 \
+        --buckets   # optionally add head/middle/tail via per-lang digests
+
+The model is a ≤ langs×(K+1)-row parquet table (OOV bucket = word-NULL
+row); scoring is ONE stateless broadcast-dict pass over the scan — no
+explode, no join, no aggregate — so at 100 TB the job is scan-bound and
+the same call works inside ``readStream``/``foreachBatch``.  Scores are
+integer micro-nats (``quantize=6``): bit-identical on any partition
+layout, cluster size, or engine, so stored scores from different runs are
+directly comparable.  With ``--buckets`` the job additionally builds one
+DISCRETE t-digest per language over the scores (KB shuffle) and labels
+each doc head/middle/tail at the exact per-lang score terciles — CCNet's
+"keep the most fluent third" split.
+
+JSON metrics line on stdout; exit 0 on success.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("mode", choices=["train", "score"])
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--model", required=True,
+                    help="model table path (written by train, read by score)")
+    ap.add_argument("--output", help="scored output path (score mode)")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--lang-col", default="lang")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--vocab-top-k", type=int, default=65536)
+    ap.add_argument("--alpha", type=float, default=0.5)
+    ap.add_argument("--quantize", type=int, default=6)
+    ap.add_argument("--buckets", action="store_true",
+                    help="also label head/middle/tail per lang (score mode)")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = SparkSession.builder.appName("sketchlib-score-quality").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from sketchlib.spark.textops import (
+        score_with_stored_model,
+        train_unigram_model,
+    )
+
+    t0 = time.time()
+    if args.mode == "train":
+        model = train_unigram_model(
+            spark.read.parquet(args.input),
+            lang_col=args.lang_col, text_col=args.text_col,
+            vocab_top_k=args.vocab_top_k, alpha=args.alpha,
+            quantize=args.quantize,
+        )
+        model.write.mode("overwrite").parquet(args.model)
+        stored = spark.read.parquet(args.model)
+        print(json.dumps({
+            "mode": "train", "model": args.model,
+            "model_rows": stored.count(),
+            "langs": stored.select(args.lang_col).distinct().count(),
+            "sec": round(time.time() - t0, 2),
+        }))
+        return 0
+
+    if not args.output:
+        ap.error("score mode requires --output")
+    model = spark.read.parquet(args.model)
+    docs = spark.read.parquet(args.input)
+    scored = score_with_stored_model(
+        docs, model, id_col=args.id_col, text_col=args.text_col,
+        lang_col=args.lang_col, quantize=args.quantize,
+    )
+    if args.buckets:
+        from sketchlib.spark.tdigest_ops import (
+            tdigest_aggregate,
+            tdigest_quantiles_udf,
+        )
+
+        usable = scored.filter(F.col("logprob_per_token").isNotNull())
+        digs = tdigest_aggregate(
+            usable, [args.lang_col], "logprob_per_token", discrete=True)
+        q = tdigest_quantiles_udf([1.0 / 3.0, 2.0 / 3.0], discrete=True)
+        thr = digs.select(
+            args.lang_col,
+            q("digest")[0].alias("_lo"), q("digest")[1].alias("_hi"))
+        scored = (
+            scored.join(F.broadcast(thr), args.lang_col, "left")
+            .select(
+                args.id_col, args.lang_col, "n_tokens", "logprob_per_token",
+                F.when(F.col("logprob_per_token").isNull(), None)
+                .when(F.col("logprob_per_token") <= F.col("_lo"), "head")
+                .when(F.col("logprob_per_token") <= F.col("_hi"), "middle")
+                .otherwise("tail")
+                .alias("bucket"),
+            )
+        )
+    scored.write.mode("overwrite").parquet(args.output)
+    out = spark.read.parquet(args.output)
+    metrics = {
+        "mode": "score", "output": args.output,
+        "rows": out.count(),
+        "scored_rows": out.filter(
+            F.col("logprob_per_token").isNotNull()).count(),
+        "sec": round(time.time() - t0, 2),
+    }
+    if args.buckets:
+        metrics["bucket_counts"] = {
+            r["bucket"]: r["n"]
+            for r in out.groupBy("bucket").agg(
+                F.count("*").alias("n")).collect()
+        }
+    print(json.dumps(metrics))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,63 @@
+"""jobs/score_quality.py: train-once / score-later lifecycle end-to-end."""
+
+import json
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_MED
+
+pytestmark = pytest.mark.spark
+
+
+def _run(monkeypatch, job, argv, capture):
+    monkeypatch.setattr(sys, "argv", ["job"] + argv)
+    return job.main()
+
+
+def test_score_quality_job_end_to_end(spark, tmp_path, monkeypatch):
+    sys.path.insert(0, "jobs")
+    import score_quality as job
+
+    capture = []
+    monkeypatch.setattr("builtins.print", lambda s: capture.append(s))
+
+    mpath = str(tmp_path / "model")
+    opath = str(tmp_path / "scored")
+
+    # train on the even half, score the whole corpus (ref != scored corpus)
+    src = str(tmp_path / "ref")
+    docs = spark.read.parquet(f"{SF_MED}/documents.parquet").select(
+        "doc_id", "lang", "text")
+    docs.filter("doc_id % 2 = 0").write.parquet(src)
+
+    rc = _run(monkeypatch, job, [
+        "train", "--input", src, "--model", mpath,
+        "--vocab-top-k", "64"], capture)
+    rep = json.loads(capture[-1])
+    assert rc == 0 and rep["mode"] == "train"
+    assert rep["langs"] == 5
+    # model bound: <= langs * (K+1) rows, OOV = word-NULL row per lang
+    model = spark.read.parquet(mpath)
+    assert rep["model_rows"] == model.count() <= 5 * 65
+    assert model.filter("word IS NULL").count() == 5
+
+    full = str(tmp_path / "full")
+    docs.write.parquet(full)
+    rc = _run(monkeypatch, job, [
+        "score", "--input", full, "--model", mpath,
+        "--output", opath, "--buckets"], capture)
+    rep = json.loads(capture[-1])
+    assert rc == 0 and rep["rows"] == docs.count()
+    assert rep["scored_rows"] == rep["rows"]  # sf0.01 has no empty docs
+    assert set(rep["bucket_counts"]) == {"head", "middle", "tail"}
+
+    # stored scores equal the library path bit-for-bit
+    from sketchlib.spark.textops import score_with_stored_model
+
+    lib = {r["doc_id"]: (r["n_tokens"], r["logprob_per_token"])
+           for r in score_with_stored_model(docs, model).collect()}
+    got = {r["doc_id"]: (r["n_tokens"], r["logprob_per_token"])
+           for r in spark.read.parquet(opath).collect()}
+    assert got == lib
