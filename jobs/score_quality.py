@@ -52,6 +52,13 @@ def main() -> int:
     ap.add_argument("--quantize", type=int, default=6)
     ap.add_argument("--buckets", action="store_true",
                     help="also label head/middle/tail per lang (score mode)")
+    ap.add_argument("--cuts-in",
+                    help="stored (lang, cut_lo, cut_hi) table: label against "
+                         "a PREVIOUS epoch's cuts instead of recomputing — "
+                         "the split stays stable while the corpus grows")
+    ap.add_argument("--cuts-out",
+                    help="write the freshly built cut table here (with "
+                         "--buckets) for later --cuts-in runs")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -91,30 +98,20 @@ def main() -> int:
         docs, model, id_col=args.id_col, text_col=args.text_col,
         lang_col=args.lang_col, quantize=args.quantize,
     )
-    if args.buckets:
-        from sketchlib.spark.tdigest_ops import (
-            tdigest_aggregate,
-            tdigest_quantiles_udf,
-        )
+    if args.buckets or args.cuts_in:
+        from sketchlib.spark.textops import bucket_by_cuts, score_cut_table
 
-        usable = scored.filter(F.col("logprob_per_token").isNotNull())
-        digs = tdigest_aggregate(
-            usable, [args.lang_col], "logprob_per_token", discrete=True)
-        q = tdigest_quantiles_udf([1.0 / 3.0, 2.0 / 3.0], discrete=True)
-        thr = digs.select(
-            args.lang_col,
-            q("digest")[0].alias("_lo"), q("digest")[1].alias("_hi"))
-        scored = (
-            scored.join(F.broadcast(thr), args.lang_col, "left")
-            .select(
-                args.id_col, args.lang_col, "n_tokens", "logprob_per_token",
-                F.when(F.col("logprob_per_token").isNull(), None)
-                .when(F.col("logprob_per_token") <= F.col("_lo"), "head")
-                .when(F.col("logprob_per_token") <= F.col("_hi"), "middle")
-                .otherwise("tail")
-                .alias("bucket"),
-            )
-        )
+        if args.cuts_in:
+            thr = spark.read.parquet(args.cuts_in)
+        else:
+            thr = score_cut_table(
+                scored.filter(F.col("logprob_per_token").isNotNull()),
+                lang_col=args.lang_col)
+            if args.cuts_out:
+                thr.write.mode("overwrite").parquet(args.cuts_out)
+                thr = spark.read.parquet(args.cuts_out)
+        scored = bucket_by_cuts(
+            scored, thr, id_col=args.id_col, lang_col=args.lang_col)
     scored.write.mode("overwrite").parquet(args.output)
     out = spark.read.parquet(args.output)
     metrics = {
@@ -124,7 +121,7 @@ def main() -> int:
             F.col("logprob_per_token").isNotNull()).count(),
         "sec": round(time.time() - t0, 2),
     }
-    if args.buckets:
+    if args.buckets or args.cuts_in:
         metrics["bucket_counts"] = {
             r["bucket"]: r["n"]
             for r in out.groupBy("bucket").agg(

@@ -647,30 +647,62 @@ def quality_buckets(
     thresholds are a stored KB artifact that new batches reuse, which is
     how a curriculum stays stable while the corpus grows.
     """
-    from sketchlib.spark.tdigest_ops import tdigest_aggregate, tdigest_quantiles_udf
-
     scores = unigram_logprob_score(
         df, id_col=id_col, text_col=text_col, lang_col=lang_col,
         **score_kwargs,
     ).filter(F.col("logprob_per_token").isNotNull())
-    digs = tdigest_aggregate(scores, [lang_col], "logprob_per_token",
-                             discrete=True)
+    thr = score_cut_table(scores, lang_col=lang_col, cuts=cuts)
+    return bucket_by_cuts(scores, thr, id_col=id_col, lang_col=lang_col,
+                          with_cuts=with_cuts)
+
+
+def score_cut_table(
+    scores: DataFrame,
+    lang_col: str = "lang",
+    cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    score_col: str = "logprob_per_token",
+) -> DataFrame:
+    """The STORED form of the corpus split: one DISCRETE t-digest of scores
+    per language (lossless -> cut points are exact nearest-rank quantiles),
+    reduced to a (lang, cut_lo, cut_hi) table of <=|langs| rows.  Write it
+    once per curriculum epoch; :func:`bucket_by_cuts` then labels any later
+    batch or stream against it with zero recomputation, which is how the
+    head/middle/tail split stays STABLE while the corpus grows."""
+    from sketchlib.spark.tdigest_ops import tdigest_aggregate, tdigest_quantiles_udf
+
+    digs = tdigest_aggregate(scores, [lang_col], score_col, discrete=True)
     q = tdigest_quantiles_udf(list(cuts), discrete=True)
-    thr = digs.select(
+    return digs.select(
         lang_col,
-        q("digest")[0].alias("_lo"),
-        q("digest")[1].alias("_hi"),
+        q("digest")[0].alias("cut_lo"),
+        q("digest")[1].alias("cut_hi"),
     )
-    extra = (
-        [F.col("_lo").alias("cut_lo"), F.col("_hi").alias("cut_hi")]
-        if with_cuts else []
-    )
+
+
+def bucket_by_cuts(
+    scores: DataFrame,
+    cut_table: DataFrame,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    score_col: str = "logprob_per_token",
+    with_cuts: bool = False,
+) -> DataFrame:
+    """Label scored docs head/middle/tail against a (lang, cut_lo, cut_hi)
+    table (freshly built or read back from storage): a <=|langs|-row
+    broadcast join + one codegen CASE — stateless, so it runs unchanged on
+    a readStream.  head = most fluent (lowest score) third, as CCNet keeps
+    it; score <= cut_lo -> head, <= cut_hi -> middle, else tail.  NULL
+    scores (empty docs) and languages absent from the cut table label NULL
+    — the left join keeps every input row."""
+    extra = ([F.col("cut_lo"), F.col("cut_hi")] if with_cuts else [])
     return (
-        scores.join(F.broadcast(thr), lang_col)
+        scores.join(F.broadcast(cut_table), lang_col, "left")
         .select(
-            id_col, lang_col, "n_tokens", "logprob_per_token",
-            F.when(F.col("logprob_per_token") <= F.col("_lo"), "head")
-            .when(F.col("logprob_per_token") <= F.col("_hi"), "middle")
+            id_col, lang_col, "n_tokens", F.col(score_col),
+            F.when(F.col(score_col).isNull() | F.col("cut_lo").isNull(),
+                   F.lit(None).cast("string"))
+            .when(F.col(score_col) <= F.col("cut_lo"), "head")
+            .when(F.col(score_col) <= F.col("cut_hi"), "middle")
             .otherwise("tail")
             .alias("bucket"),
             *extra,

@@ -269,3 +269,45 @@ def test_model_quantize_mismatch_raises(spark):
         score_with_stored_model(docs, m_q, quantize=None)
     with pytest.raises(ValueError, match="quantize"):
         unigram_logprob_score(docs, model=m_f, quantize=6)
+
+
+def test_streaming_bucket_labeling_with_stored_cuts(spark, tmp_path):
+    """the full curriculum pipeline on a stream: stored model + stored cut
+    table -> score_with_stored_model + bucket_by_cuts over a readStream is
+    stateless and yields exactly the batch labels."""
+    from sketchlib.spark.textops import (
+        bucket_by_cuts,
+        score_cut_table,
+        score_with_stored_model,
+        train_unigram_model,
+    )
+
+    src = str(tmp_path / "src")
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "lang", "text")
+    docs.repartition(3).write.parquet(src)
+    static = spark.read.parquet(src)
+    model = train_unigram_model(static, vocab_top_k=TOPK, quantize=6).cache()
+    scored = score_with_stored_model(static, model)
+    cuts = score_cut_table(
+        scored.filter(F.col("logprob_per_token").isNotNull())).cache()
+    cuts.count()
+    batch = {r["doc_id"]: r["bucket"]
+             for r in bucket_by_cuts(scored, cuts).collect()}
+    assert set(batch.values()) == {"head", "middle", "tail"}
+
+    stream = spark.readStream.schema(static.schema).option(
+        "maxFilesPerTrigger", "1").parquet(src)
+    got = []
+    q = (bucket_by_cuts(score_with_stored_model(stream, model), cuts)
+         .writeStream.outputMode("append")
+         .foreachBatch(lambda b, _i: got.extend(b.collect())).start())
+    q.processAllAvailable()
+    q.stop()
+    assert {r["doc_id"]: r["bucket"] for r in got} == batch
+
+    # lang absent from the cut table -> NULL bucket, row kept
+    part = bucket_by_cuts(scored, cuts.filter(F.col("lang") != "zh"))
+    rows = part.filter(F.col("lang") == "zh").collect()
+    assert rows and all(r["bucket"] is None for r in rows)
+    assert part.count() == scored.count()

@@ -61,3 +61,47 @@ def test_score_quality_job_end_to_end(spark, tmp_path, monkeypatch):
     got = {r["doc_id"]: (r["n_tokens"], r["logprob_per_token"])
            for r in spark.read.parquet(opath).collect()}
     assert got == lib
+
+
+def test_score_job_stable_cuts_across_epochs(spark, tmp_path, monkeypatch):
+    """--cuts-out then --cuts-in: a later (grown) corpus is labeled against
+    the FIRST epoch's cut table, so docs keep their bucket as the corpus
+    grows — and the cuts actually used are the stored ones."""
+    sys.path.insert(0, "jobs")
+    import score_quality as job
+
+    capture = []
+    monkeypatch.setattr("builtins.print", lambda s: capture.append(s))
+
+    docs = spark.read.parquet(f"{SF_MED}/documents.parquet").select(
+        "doc_id", "lang", "text")
+    epoch1 = str(tmp_path / "e1")
+    full = str(tmp_path / "full")
+    docs.filter("doc_id % 2 = 0").write.parquet(epoch1)
+    docs.write.parquet(full)
+    mpath = str(tmp_path / "model")
+    cuts = str(tmp_path / "cuts")
+
+    _run(monkeypatch, job, ["train", "--input", epoch1, "--model", mpath,
+                            "--vocab-top-k", "64"], capture)
+    _run(monkeypatch, job, ["score", "--input", epoch1, "--model", mpath,
+                            "--output", str(tmp_path / "s1"), "--buckets",
+                            "--cuts-out", cuts], capture)
+    _run(monkeypatch, job, ["score", "--input", full, "--model", mpath,
+                            "--output", str(tmp_path / "s2"),
+                            "--cuts-in", cuts], capture)
+    s1 = {r["doc_id"]: r["bucket"]
+          for r in spark.read.parquet(str(tmp_path / "s1")).collect()}
+    s2 = {r["doc_id"]: r["bucket"]
+          for r in spark.read.parquet(str(tmp_path / "s2")).collect()}
+    # epoch-1 docs keep their labels under the stored cuts
+    assert all(s2[k] == v for k, v in s1.items())
+    # the new docs were labeled too (same model, same stored cuts)
+    assert len(s2) == len(docs.collect())
+    # labels equal the library path against the stored artifacts
+    from sketchlib.spark.textops import bucket_by_cuts, score_with_stored_model
+
+    lib = {r["doc_id"]: r["bucket"] for r in bucket_by_cuts(
+        score_with_stored_model(docs, spark.read.parquet(mpath)),
+        spark.read.parquet(cuts)).collect()}
+    assert s2 == lib
