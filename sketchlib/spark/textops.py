@@ -589,6 +589,8 @@ def score_with_stored_model(
               "n_tokens long, logprob_per_token double")
 
     def score_batches(batches):
+        from itertools import repeat
+
         import pandas as pd
 
         lut_, oov_ = bc.value
@@ -596,17 +598,17 @@ def score_with_stored_model(
             out_n, out_s = [], []
             langs = pdf[lang_col] if lang_col else [None] * len(pdf)
             for text, lang in zip(pdf[text_col], langs):
-                toks = [w for w in (text or "").split(" ") if w]
+                toks = (text or "").split(" ")
+                if "" in toks:  # only pay the filter on irregular spacing
+                    toks = [w for w in toks if w]
                 m = lut_.get(lang)
                 o = oov_.get(lang)
                 if not toks or o is None:
                     out_n.append(0)
                     out_s.append(None)
                     continue
-                s = 0
-                get = m.get
-                for w in toks:
-                    s += get(w, o)
+                # C-level lookup loop: sum(map(dict.get, toks, repeat(oov)))
+                s = sum(map(m.get, toks, repeat(o)))
                 n = len(toks)
                 # same op order as the SQL path: (-s / n) / scale
                 v = (-s) / n
