@@ -556,6 +556,7 @@ def score_with_stored_model(
     text_col: str = "text",
     lang_col: str | None = "lang",
     quantize: int | None = 6,
+    max_broadcast_rows: int | None = 2_000_000,
 ) -> DataFrame:
     """Score documents against a STORED unigram model with ZERO shuffle:
     the ≤ langs×(K+1)-row model table is collected once, broadcast as a
@@ -570,8 +571,23 @@ def score_with_stored_model(
     Same output contract as ``unigram_logprob_score``: (id, [lang],
     n_tokens, logprob_per_token); empty docs → (0, NULL); docs whose lang
     has no model row → (0, NULL) (the join path drops them the same way).
+
+    The broadcast dict is the scale trade: ~60 MB per million model rows
+    on every executor.  ``max_broadcast_rows`` (default 2M ≈ 30 langs at
+    K=65536) guards against silently shipping a giant model — above it
+    this raises and the broadcast-JOIN path (``unigram_logprob_score``
+    with ``model=``, fully JVM, no driver collect) is the right plan.
     """
     _check_model_quantize(model, quantize)
+    if max_broadcast_rows is not None:
+        n_model = model.count()  # model tables are KB-MB parquet — cheap
+        if n_model > max_broadcast_rows:
+            raise ValueError(
+                f"model has {n_model} rows > max_broadcast_rows="
+                f"{max_broadcast_rows}: use unigram_logprob_score(df, "
+                "model=model) (broadcast-join path) for models this large, "
+                "or raise/disable the guard explicitly"
+            )
     rows = model.collect()  # bounded: langs × (vocab_top_k + 1) rows
     lut: dict = {}
     oov: dict = {}

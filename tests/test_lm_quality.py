@@ -311,3 +311,71 @@ def test_streaming_bucket_labeling_with_stored_cuts(spark, tmp_path):
     rows = part.filter(F.col("lang") == "zh").collect()
     assert rows and all(r["bucket"] is None for r in rows)
     assert part.count() == scored.count()
+
+
+def test_huge_model_guard_routes_to_join_path(spark):
+    from sketchlib.spark.textops import (
+        score_with_stored_model,
+        train_unigram_model,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "lang", "text")
+    model = train_unigram_model(docs, vocab_top_k=TOPK, quantize=6)
+    with pytest.raises(ValueError, match="max_broadcast_rows"):
+        score_with_stored_model(docs, model, max_broadcast_rows=3)
+    # explicit disable works
+    out = score_with_stored_model(docs, model, max_broadcast_rows=None)
+    assert out.count() == docs.count()
+
+
+def test_property_random_corpora_match_python_oracle(spark):
+    """Hypothesis: random corpora (tiny vocab, odd whitespace, dup docs,
+    uncovered langs) — quantized Spark scores == pure-python recompute."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from sketchlib.spark.textops import unigram_logprob_score
+
+    words = st.sampled_from(["aa", "b", "ccc", "dd", "e"])
+    text = st.lists(
+        st.one_of(words, st.just(""), st.just(" ")), min_size=0, max_size=12
+    ).map(" ".join)
+    doc = st.tuples(st.sampled_from(["x", "y"]), text)
+
+    def py_round(x):
+        # Spark ROUND = half away from zero (not python banker's)
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.lists(doc, min_size=1, max_size=14))
+    def run(docs_py):
+        rows = [(i, lang, t) for i, (lang, t) in enumerate(docs_py)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        got = {r["doc_id"]: (r["n_tokens"], r["logprob_per_token"])
+               for r in unigram_logprob_score(
+                   df, vocab_top_k=3, alpha=0.5, quantize=6).collect()}
+        # python oracle with the same top-3 cap / smoothing / quantization
+        counts = defaultdict(Counter)
+        for _, lang, t in rows:
+            for w in t.split(" "):
+                if w:
+                    counts[lang][w] += 1
+        lps, oovs = {}, {}
+        for lang, c in counts.items():
+            top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+            denom = sum(n for _, n in top) + 0.5 * (len(top) + 1.0)
+            lps[lang] = {w: py_round(math.log((n + 0.5) / denom) * 1e6)
+                         for w, n in top}
+            oovs[lang] = py_round(math.log(0.5 / denom) * 1e6)
+        for i, lang, t in rows:
+            toks = [w for w in t.split(" ") if w]
+            if not toks or lang not in oovs:
+                assert got[i] == (0, None), (i, got[i])
+                continue
+            s = sum(lps[lang].get(w, oovs[lang]) for w in toks)
+            want = ((-s) / len(toks)) / 1e6
+            assert got[i] == (len(toks), want), (i, got[i], want)
+
+    run()
