@@ -105,3 +105,63 @@ def test_score_job_stable_cuts_across_epochs(spark, tmp_path, monkeypatch):
         score_with_stored_model(docs, spark.read.parquet(mpath)),
         spark.read.parquet(cuts)).collect()}
     assert s2 == lib
+
+
+def test_quality_drift_monitoring_across_epochs(spark, tmp_path, monkeypatch):
+    """The jobs compose: score two crawl epochs against the SAME stored
+    model, digest the per-lang score distributions, and drift_monitor
+    flags the epoch whose text degraded — corpus-quality regression
+    detection from KB sketches, zero rescans of either epoch."""
+    sys.path.insert(0, "jobs")
+    import drift_monitor
+    import score_quality
+
+    from sketchlib.spark.tdigest_ops import tdigest_aggregate
+
+    capture = []
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    monkeypatch.setattr("builtins.print", lambda s: capture.append(s))
+
+    docs = spark.read.parquet(f"{SF_MED}/documents.parquet").select(
+        "doc_id", "lang", "text")
+    e1 = str(tmp_path / "e1")
+    e2 = str(tmp_path / "e2")
+    docs.write.parquet(e1)
+    # epoch 2: half the docs degrade into low-fluency repeated junk
+    docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat_ws(" ", *[F.lit(f"zz{i}qq") for i in range(30)]))
+        .otherwise(F.col("text"))).write.parquet(e2)
+
+    mpath = str(tmp_path / "model")
+    _run(monkeypatch, score_quality, [
+        "train", "--input", e1, "--model", mpath, "--vocab-top-k", "64"],
+        capture)
+    for src, dst in [(e1, "s1"), (e2, "s2")]:
+        _run(monkeypatch, score_quality, [
+            "score", "--input", src, "--model", mpath,
+            "--output", str(tmp_path / dst)], capture)
+
+    for tag in ("s1", "s2"):
+        scored = spark.read.parquet(str(tmp_path / tag)).filter(
+            F.col("logprob_per_token").isNotNull())
+        tdigest_aggregate(scored, ["lang"], "logprob_per_token",
+                          discrete=True).write.mode("overwrite").parquet(
+            str(tmp_path / f"dig_{tag}"))
+
+    # same epoch vs itself: no drift (exit 0, KS exactly 0)
+    rc = _run(monkeypatch, drift_monitor, [
+        "--left", str(tmp_path / "dig_s1"), "--right", str(tmp_path / "dig_s1"),
+        "--key-cols", "lang", "--discrete",
+        "--output", str(tmp_path / "rep0")], capture)
+    rep = json.loads(capture[-1])
+    assert rc == 0 and rep["n_drifted"] == 0 and rep["max_ks"] == 0.0
+
+    # degraded epoch: every lang's score distribution drifted (exit 2)
+    rc = _run(monkeypatch, drift_monitor, [
+        "--left", str(tmp_path / "dig_s1"), "--right", str(tmp_path / "dig_s2"),
+        "--key-cols", "lang", "--discrete", "--ks-threshold", "0.1",
+        "--output", str(tmp_path / "rep1")], capture)
+    rep = json.loads(capture[-1])
+    assert rc == 2 and rep["n_drifted"] == 5, rep
