@@ -59,6 +59,12 @@ def main() -> int:
     ap.add_argument("--cuts-out",
                     help="write the freshly built cut table here (with "
                          "--buckets) for later --cuts-in runs")
+    ap.add_argument("--model-distribution", choices=["broadcast", "path"],
+                    default="broadcast",
+                    help="'broadcast': driver collects the model and "
+                         "broadcasts a dict (small models); 'path': each "
+                         "executor worker reads the model parquet itself — "
+                         "for huge multi-language models")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -68,6 +74,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("WARN")
 
     from sketchlib.spark.textops import (
+        score_with_model_path,
         score_with_stored_model,
         train_unigram_model,
     )
@@ -92,12 +99,18 @@ def main() -> int:
 
     if not args.output:
         ap.error("score mode requires --output")
-    model = spark.read.parquet(args.model)
     docs = spark.read.parquet(args.input)
-    scored = score_with_stored_model(
-        docs, model, id_col=args.id_col, text_col=args.text_col,
-        lang_col=args.lang_col, quantize=args.quantize,
-    )
+    if args.model_distribution == "path":
+        scored = score_with_model_path(
+            docs, args.model, id_col=args.id_col, text_col=args.text_col,
+            lang_col=args.lang_col, quantize=args.quantize,
+        )
+    else:
+        model = spark.read.parquet(args.model)
+        scored = score_with_stored_model(
+            docs, model, id_col=args.id_col, text_col=args.text_col,
+            lang_col=args.lang_col, quantize=args.quantize,
+        )
     if args.buckets or args.cuts_in:
         from sketchlib.spark.textops import bucket_by_cuts, score_cut_table
 

@@ -584,9 +584,10 @@ def score_with_stored_model(
         if n_model > max_broadcast_rows:
             raise ValueError(
                 f"model has {n_model} rows > max_broadcast_rows="
-                f"{max_broadcast_rows}: use unigram_logprob_score(df, "
-                "model=model) (broadcast-join path) for models this large, "
-                "or raise/disable the guard explicitly"
+                f"{max_broadcast_rows}: for models this large use "
+                "score_with_model_path (executor-side read, no broadcast) "
+                "or unigram_logprob_score(df, model=model) (broadcast-join "
+                "path), or raise/disable the guard explicitly"
             )
     rows = model.collect()  # bounded: langs × (vocab_top_k + 1) rows
     lut: dict = {}
@@ -599,6 +600,68 @@ def score_with_stored_model(
             lut.setdefault(lang, {})[r["word"]] = r["lp"]
     scale = float(10**quantize) if quantize is not None else None
     bc = df.sparkSession.sparkContext.broadcast((lut, oov))
+    return _apply_score_kernel(df, lambda: bc.value, id_col, text_col,
+                               lang_col, scale)
+
+
+#: worker-side (path, lang_col) -> (lut, oov) cache; python workers are
+#: long-lived (spark.python.worker.reuse), so each worker pays the model
+#: read once per job, not once per task
+_WORKER_MODEL_CACHE: dict = {}
+
+
+def _load_model_dicts(path: str, lang_col: str | None):
+    key = (path, lang_col)
+    hit = _WORKER_MODEL_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import pyarrow.dataset as ds
+
+    cols = ([lang_col] if lang_col else []) + ["word", "lp"]
+    tbl = ds.dataset(path, format="parquet").to_table(columns=cols)
+    langs = (tbl[lang_col].to_pylist() if lang_col
+             else [None] * tbl.num_rows)
+    lut: dict = {}
+    oov: dict = {}
+    for lang, w, lp in zip(langs, tbl["word"].to_pylist(),
+                           tbl["lp"].to_pylist()):
+        if w is None:
+            oov[lang] = lp
+        else:
+            lut.setdefault(lang, {})[w] = lp
+    if len(_WORKER_MODEL_CACHE) >= 3:  # bound worker memory across jobs
+        _WORKER_MODEL_CACHE.clear()
+    _WORKER_MODEL_CACHE[key] = (lut, oov)
+    return lut, oov
+
+
+def score_with_model_path(
+    df: DataFrame,
+    model_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+    quantize: int | None = 6,
+) -> DataFrame:
+    """The big-model variant of :func:`score_with_stored_model`: instead of
+    driver-collecting and broadcasting the model, each executor-side Python
+    WORKER reads the stored model parquet itself (pyarrow, pruned to
+    word/lp columns) and caches the dicts for the life of the worker — no
+    driver collect, no broadcast, so a 10M-row multi-language model costs
+    the driver nothing and each worker one pruned columnar read.  Same
+    stateless zero-shuffle plan, same streaming capability, and
+    BIT-IDENTICAL output to both other paths under ``quantize``
+    (pytest-gated).  ``model_path`` must be readable from the executors
+    (shared FS / object store — the normal cluster arrangement)."""
+    model_schema = df.sparkSession.read.parquet(model_path)
+    _check_model_quantize(model_schema, quantize)
+    scale = float(10**quantize) if quantize is not None else None
+    return _apply_score_kernel(
+        df, lambda: _load_model_dicts(model_path, lang_col),
+        id_col, text_col, lang_col, scale)
+
+
+def _apply_score_kernel(df, get_model, id_col, text_col, lang_col, scale):
     id_type = dict(df.dtypes)[id_col]
     lang_field = f"{lang_col} string, " if lang_col else ""
     schema = (f"{id_col} {id_type}, {lang_field}"
@@ -609,7 +672,7 @@ def score_with_stored_model(
 
         import pandas as pd
 
-        lut_, oov_ = bc.value
+        lut_, oov_ = get_model()
         for pdf in batches:
             out_n, out_s = [], []
             langs = pdf[lang_col] if lang_col else [None] * len(pdf)

@@ -379,3 +379,45 @@ def test_property_random_corpora_match_python_oracle(spark):
             assert got[i] == (len(toks), want), (i, got[i], want)
 
     run()
+
+
+def test_path_scorer_bit_identical_and_streams(spark, tmp_path):
+    """score_with_model_path (executor-side model read, no driver collect,
+    no broadcast): bit-identical to both other paths, worker cache warm on
+    the second pass, and stateless on a readStream."""
+    from sketchlib.spark.textops import (
+        score_with_model_path,
+        score_with_stored_model,
+        train_unigram_model,
+    )
+
+    src = str(tmp_path / "src")
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "lang", "text")
+    docs.repartition(3).write.parquet(src)
+    static = spark.read.parquet(src)
+    mpath = str(tmp_path / "model")
+    train_unigram_model(static, vocab_top_k=TOPK, quantize=6).write.parquet(
+        mpath)
+    model = spark.read.parquet(mpath)
+
+    bcast = sorted(tuple(r) for r in
+                   score_with_stored_model(static, model).collect())
+    from_path = score_with_model_path(static, mpath)
+    assert sorted(tuple(r) for r in from_path.collect()) == bcast
+    # second pass: worker cache path (same results)
+    assert sorted(tuple(r) for r in from_path.collect()) == bcast
+
+    # quantize mismatch rejected from the stored schema
+    with pytest.raises(ValueError, match="quantize"):
+        score_with_model_path(static, mpath, quantize=None)
+
+    stream = spark.readStream.schema(static.schema).option(
+        "maxFilesPerTrigger", "1").parquet(src)
+    got = []
+    q = (score_with_model_path(stream, mpath)
+         .writeStream.outputMode("append")
+         .foreachBatch(lambda b, _i: got.extend(b.collect())).start())
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(tuple(r) for r in got) == bcast
