@@ -8,6 +8,15 @@ tables — the operational form of the ``td_ks_drift_by_lang`` query.
         --key-cols key  --quantiles 0.5,0.95,0.99 \
         --ks-threshold 0.1  --output /warehouse/drift/2026-08-18
 
+Timeline mode walks N stored epochs of ONE table instead of comparing two
+(the windowed-trend report: per (key, epoch) quantiles, deltas and KS vs
+the previous stored epoch, via ``digest_timeline``):
+
+    spark-submit ... jobs/drift_monitor.py \
+        --timeline /warehouse/digests_by_day --epoch-col day \
+        --key-cols key --quantiles 0.5,0.95 --ks-threshold 0.1 \
+        --output /warehouse/drift/timeline
+
 Inputs are (key..., digest binary) tables as written by
 ``jobs/build_digests.py`` (or any ``tdigest_aggregate`` result).  For each
 key the job reports the two-sample KS distance between the stored digests,
@@ -32,8 +41,14 @@ import sys
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--left", required=True, help="baseline digest table")
-    ap.add_argument("--right", required=True, help="candidate digest table")
+    ap.add_argument("--left", help="baseline digest table (pair mode)")
+    ap.add_argument("--right", help="candidate digest table (pair mode)")
+    ap.add_argument("--timeline",
+                    help="single digest table WITH an epoch column "
+                         "(timeline mode: N-epoch windowed-trend report "
+                         "instead of a two-table comparison)")
+    ap.add_argument("--epoch-col", default="epoch",
+                    help="epoch column of the --timeline table")
     ap.add_argument("--output", required=True)
     ap.add_argument("--key-cols", default="key",
                     help="comma-separated key columns shared by both tables")
@@ -42,6 +57,11 @@ def main() -> int:
     ap.add_argument("--discrete", action="store_true",
                     help="digests were built in discrete mode")
     args = ap.parse_args()
+    if bool(args.timeline) == bool(args.left or args.right):
+        ap.error("pass either --left AND --right (pair mode) "
+                 "or --timeline (timeline mode)")
+    if not args.timeline and not (args.left and args.right):
+        ap.error("pair mode needs both --left and --right")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -57,6 +77,43 @@ def main() -> int:
 
     keys = args.key_cols.split(",")
     ps = [float(p) for p in args.quantiles.split(",")]
+
+    if args.timeline:
+        # timeline mode: one stored per-epoch digest table -> per (key,
+        # epoch) trend rows (n, quantiles, deltas, KS vs previous stored
+        # epoch); drifted = ks_prev above threshold.  First epoch per key
+        # has nothing to compare against -> not drift.
+        from sketchlib.spark.tdigest_ops import digest_timeline
+
+        digs = spark.read.parquet(args.timeline)
+        report = digest_timeline(
+            digs, keys, args.epoch_col, ps=ps, discrete=args.discrete
+        ).withColumn(
+            "drifted",
+            F.coalesce(F.col("ks_prev") > F.lit(args.ks_threshold),
+                       F.lit(False)),
+        )
+        report.write.mode("overwrite").parquet(args.output)
+        out = spark.read.parquet(args.output)
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(*keys).alias("n_keys"),
+            F.sum(F.col("drifted").cast("long")).alias("n_drifted"),
+            F.max("ks_prev").alias("max_ks"),
+        ).collect()[0]
+        print(json.dumps({
+            "mode": "timeline",
+            "n_rows": agg["n_rows"],
+            "n_keys": agg["n_keys"],
+            "n_drifted": int(agg["n_drifted"] or 0),
+            "max_ks": agg["max_ks"],
+            "ks_threshold": args.ks_threshold,
+            "output": args.output,
+        }))
+        drifted = int(agg["n_drifted"] or 0)
+        spark.stop()
+        return 0 if drifted == 0 else 2
+
     q_udf = tdigest_quantiles_udf(ps, discrete=args.discrete)
 
     def side(path: str, tag: str):

@@ -2885,11 +2885,105 @@ FROM ({_WEIGHTED_SAMPLE_SQL})
 """
 
 
+def q_td_timeline_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed-trend report over stored per-epoch digests (the time-series
+    form of the drift monitor): build one DISCRETE digest of event value
+    per (event_type, day) — in production these are the per-epoch tables
+    ``jobs/build_digests.py`` already writes — then walk each key's epochs
+    reporting n, p50/p95, their deltas vs the previous stored epoch, and
+    the exact two-sample KS distance vs the previous epoch's digest.  All
+    trend arithmetic runs on ~150 KB sketch rows (one lag window); the
+    fact table is scanned ONCE for the digest build and never again, so at
+    100 TB a 90-day × 10k-key timeline costs seconds.  Discrete digests
+    are lossless → every number is the exact statistic, and the oracle
+    recomputes KS with window-function CDFs over the per-key union
+    support."""
+    from sketchlib.spark.tdigest_ops import digest_timeline
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    ).filter(F.col("value").isNotNull())
+    dig = tdigest_aggregate(ev, ["event_type", "day"], "value", discrete=True)
+    return digest_timeline(
+        dig, ["event_type"], "day", ps=[0.5, 0.95], discrete=True
+    )
+
+
+_TIMELINE_SQL = """
+WITH d AS (
+  SELECT event_type AS k, CAST(ts AS DATE) AS day, value AS v
+  FROM events WHERE value IS NOT NULL
+), g AS (
+  SELECT k, day, v, CAST(count(*) AS DOUBLE) AS c FROM d GROUP BY k, day, v
+), s AS (
+  SELECT k, day, v,
+         sum(c) OVER (PARTITION BY k, day ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY k, day) AS total
+  FROM g
+), q AS (
+  SELECT k, day,
+         CAST(max(total) AS BIGINT) AS n,
+         min(v) FILTER (WHERE cum >= total * 0.5) AS p5,
+         min(v) FILTER (WHERE cum >= total * 0.95) AS p95
+  FROM s GROUP BY k, day
+), grid AS (  -- every (key, day) CDF evaluated on the key's union support
+  SELECT kd.k, kd.day, pts.v
+  FROM (SELECT DISTINCT k, day FROM d) kd
+  JOIN (SELECT DISTINCT k, v FROM d) pts ON pts.k = kd.k
+), cdf AS (
+  SELECT grid.k, grid.day, grid.v,
+         sum(coalesce(g.c, 0)) OVER (PARTITION BY grid.k, grid.day ORDER BY grid.v)
+           / sum(coalesce(g.c, 0)) OVER (PARTITION BY grid.k, grid.day) AS f
+  FROM grid LEFT JOIN g ON g.k = grid.k AND g.day = grid.day AND g.v = grid.v
+), pairs AS (
+  SELECT k, day, lag(day) OVER (PARTITION BY k ORDER BY day) AS prev_day
+  FROM (SELECT DISTINCT k, day FROM d)
+), ks AS (
+  SELECT p.k, p.day, max(abs(a.f - b.f)) AS ks_prev
+  FROM pairs p
+  JOIN cdf a ON a.k = p.k AND a.day = p.day
+  JOIN cdf b ON b.k = p.k AND b.day = p.prev_day AND b.v = a.v
+  GROUP BY p.k, p.day
+)
+SELECT q.k AS event_type, q.day, q.n,
+       q.p5,
+       q.p5 - lag(q.p5) OVER (PARTITION BY q.k ORDER BY q.day) AS delta_p5,
+       q.p95,
+       q.p95 - lag(q.p95) OVER (PARTITION BY q.k ORDER BY q.day) AS delta_p95,
+       ks.ks_prev
+FROM q LEFT JOIN ks ON ks.k = q.k AND ks.day = q.day
+"""
+
+
+def q_td_quantiles_cdf_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Folds td_quantiles_by_lang + td_cdf_by_lang (both green in every
+    driver run since r01; freed a gate slot for the round-4 timeline/bigram
+    wave): exact-mode p50/p95/p99 of n_chars per lang joined with the
+    discrete-mode CDF at fixed thresholds — two digest builds reduced to 5
+    rows each, then a 5-row broadcast join."""
+    q = q_td_quantiles_by_lang(spark, sf_dir)
+    c = q_td_cdf_by_lang(spark, sf_dir)
+    return q.join(F.broadcast(c), "lang")
+
+
+def q_sketch_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Folds bloom_membership_by_source + cms_source_counts (both green in
+    every driver run since r01; freed a gate slot): per-source Bloom
+    membership totals (zero false negatives → matched == total) joined
+    with the CMS point estimates (w≫#keys → collision-free → exact) — 20
+    sketch-derived rows joined on source."""
+    b = q_bloom_membership_by_source(spark, sf_dir)
+    c = q_cms_source_counts(spark, sf_dir)
+    return b.join(c, "source")
+
+
 # 50 entries — at most the driver's correctness gate records (~50 rows/run).
 # Ordering rule (VERDICT r03 #1): queries that have never had a driver
 # CORRECTNESS row come FIRST (the round-3 wave, then the round-4 folds);
 # the long-green remainder follows.
 QUERIES = {
+    # --- new in round 4 (never driver-gated) ---
+    "td_timeline_by_type": q_td_timeline_by_type,
     # --- never driver-gated as of r03 ---
     "lm_quality_buckets": q_lm_quality_buckets,
     "sample_corpus_methods": q_sample_corpus_methods,
@@ -2912,12 +3006,11 @@ QUERIES = {
     "media_meta_frames": q_media_meta_frames,
     "ann_ivf_topk_recall": q_ann_ivf_topk_recall,
     "hll_users_union": q_hll_users_union,
+    # --- round-4 second-wave folds (each subsumes two long-green queries) ---
+    "td_quantiles_cdf_by_lang": q_td_quantiles_cdf_by_lang,
+    "sketch_source_counts": q_sketch_source_counts,
     # --- long-green ---
-    "td_quantiles_by_lang": q_td_quantiles_by_lang,
-    "td_cdf_by_lang": q_td_cdf_by_lang,
     "td_compressed_by_lang": q_td_compressed_by_lang,
-    "bloom_membership_by_source": q_bloom_membership_by_source,
-    "cms_source_counts": q_cms_source_counts,
     "text_quality_by_lang": q_text_quality_by_lang,
     "lang_id_confusion": q_lang_id_confusion,
     "dedup_exact_keepers": q_dedup_exact_keepers,
@@ -2946,6 +3039,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "td_timeline_by_type": _TIMELINE_SQL,
     "lm_quality_buckets": _LM_QUALITY_SQL,
     "sample_corpus_methods": _sample_fold_sql(),
     # --- never driver-gated as of r03 (oracles unchanged, order matches QUERIES) ---
@@ -2964,31 +3058,28 @@ ORACLES = {
     "media_meta_frames": _MEDIA_FOLD_SQL,
     "ann_ivf_topk_recall": f"SELECT t.*, TRUE AS recall_ge_half FROM ({_ANN_TOPK_SQL}) t",
     "hll_users_union": _HLL_FOLD_SQL,
-    # --- originals ---
-    "td_quantiles_by_lang": _interp_quantile_sql("documents", "lang", "n_chars", PS_FLAGSHIP),
-    "td_cdf_by_lang": """
-SELECT lang,
-  CAST(count(*) FILTER (WHERE n_chars <= 200) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS cdf_200,
-  CAST(count(*) FILTER (WHERE n_chars <= 500) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS cdf_500,
-  CAST(count(*) FILTER (WHERE n_chars <= 1000) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS cdf_1000
-FROM documents GROUP BY lang
+    # --- round-4 second-wave folds ---
+    "td_quantiles_cdf_by_lang": f"""
+SELECT q.*, c.cdf_200, c.cdf_500, c.cdf_1000
+FROM ({_interp_quantile_sql("documents", "lang", "n_chars", PS_FLAGSHIP)}) q
+JOIN (
+  SELECT lang,
+    CAST(count(*) FILTER (WHERE n_chars <= 200) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS cdf_200,
+    CAST(count(*) FILTER (WHERE n_chars <= 500) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS cdf_500,
+    CAST(count(*) FILTER (WHERE n_chars <= 1000) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS cdf_1000
+  FROM documents GROUP BY lang
+) c USING (lang)
 """,
-
-
+    "sketch_source_counts": """
+SELECT source, count(*) AS n_members, count(*) AS n_docs, count(*) AS est_count
+FROM documents GROUP BY source
+""",
+    # --- originals ---
     "td_compressed_by_lang": """
 SELECT lang, count(*) AS n_docs,
        TRUE AS q50_ok, TRUE AS q95_ok, TRUE AS q99_ok
 FROM documents GROUP BY lang
 """,
-    "bloom_membership_by_source": """
-SELECT source, count(*) AS n_members, count(*) AS n_docs
-FROM documents GROUP BY source
-""",
-    "cms_source_counts": """
-SELECT source, count(*) AS est_count FROM documents GROUP BY source
-""",
-
-
     "text_quality_by_lang": _quality_sql(),
     "lang_id_confusion": _lang_id_sql(),
     "dedup_exact_keepers": """

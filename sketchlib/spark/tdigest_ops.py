@@ -564,3 +564,64 @@ def sliding_from_tumbling(
         ).alias(out_col),
         F.size(blobs).cast("int").alias("n_slides"),
     )
+
+
+def digest_timeline(
+    digests: DataFrame,
+    keys: list[str],
+    epoch_col: str,
+    ps: Iterable[float] = (0.5,),
+    discrete: bool = False,
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Windowed-trend report over a STORED per-epoch digest table: for each
+    key, order the epochs and report per epoch the ingested count, the
+    requested quantiles, their deltas vs the previous stored epoch, and the
+    two-sample KS distance vs the previous epoch's digest — the time-series
+    form of the drift monitor (``jobs/drift_monitor.py`` compares two fixed
+    tables; this walks N of them in one pass).
+
+    Input is any ``tdigest_aggregate(df, keys + [epoch_col], ...)`` result
+    (fresh or read back from parquet): one KB blob per (key, epoch).  The
+    only shuffle is the lag window over those KB sketch rows — the fact
+    data the digests summarize is NEVER rescanned, so at 100 TB a
+    90-epoch × 10k-key timeline costs seconds.  With ``discrete=True``
+    digests are lossless, so every reported number is the EXACT statistic
+    of the underlying data (oracle-checkable; gated as
+    ``td_timeline_by_type``).
+
+    Output columns: ``keys..., epoch_col, n, <ptag>, delta_<ptag> per
+    requested quantile, ks_prev`` where ``<ptag>`` is e.g. ``p5`` for 0.5,
+    ``p95`` for 0.95.  The first stored epoch of each key has NULL deltas
+    and NULL ``ks_prev`` (nothing to compare against); gaps in the epoch
+    sequence compare against the previous STORED epoch, not the previous
+    calendar epoch — a monitor should never silently skip a comparison
+    because an ingest was late.
+    """
+    from pyspark.sql import Window
+
+    ps = list(ps)
+    w = Window.partitionBy(*keys).orderBy(epoch_col)
+    q_udf = tdigest_quantiles_udf(ps, discrete=discrete)
+    base = digests.select(
+        *keys,
+        epoch_col,
+        F.col(digest_col).alias("_dig"),
+        tdigest_count_udf(digest_col).cast("long").alias("n"),
+        q_udf(digest_col).alias("_q"),
+    )
+    base = base.withColumn("_prev", F.lag("_dig").over(w)).withColumn(
+        "_qprev", F.lag("_q").over(w)
+    )
+    qcols = []
+    for i, p in enumerate(ps):
+        tag = ("%g" % p).replace("0.", "p").replace(".", "_")
+        qcols.append(F.col("_q")[i].alias(tag))
+        qcols.append((F.col("_q")[i] - F.col("_qprev")[i]).alias(f"delta_{tag}"))
+    return base.select(
+        *keys,
+        epoch_col,
+        "n",
+        *qcols,
+        tdigest_ks_udf("_dig", "_prev").alias("ks_prev"),
+    )

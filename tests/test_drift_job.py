@@ -85,3 +85,70 @@ def test_drift_monitor_end_to_end(spark, tmp_path, monkeypatch):
     calm = [l for l in langs if l not in (hot, gone)]
     assert all(not rows[l]["drifted"] and rows[l]["ks"] == 0.0 for l in calm)
     assert rep["n_drifted"] == 2
+
+def test_drift_monitor_timeline_mode(spark, tmp_path, monkeypatch):
+    """--timeline mode: one per-epoch digest table -> per (key, epoch)
+    trend rows.  Epoch 0 is the baseline (NULL ks_prev, not drift), epoch 1
+    repeats it exactly (ks_prev == 0), epoch 2 triples one lang's values
+    (that lang drifts, calm langs stay at 0); a lang with a MISSING epoch 1
+    compares epoch 2 against its previous STORED epoch (0), not a NULL."""
+    sys.path.insert(0, "jobs")
+    import drift_monitor as job
+
+    from sketchlib.spark.tdigest_ops import tdigest_aggregate
+
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    capture = []
+    monkeypatch.setattr("builtins.print", lambda s: capture.append(s))
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    langs = sorted(r["lang"] for r in docs.select("lang").distinct().collect())
+    hot, gappy = langs[0], langs[1]
+    v = F.length("text").cast("double")
+
+    e0 = docs.withColumn("v", v).withColumn("epoch", F.lit(0))
+    e1 = (docs.filter(F.col("lang") != gappy)
+          .withColumn("v", v).withColumn("epoch", F.lit(1)))
+    e2 = docs.withColumn(
+        "v", F.when(F.col("lang") == hot, v * 3.0).otherwise(v)
+    ).withColumn("epoch", F.lit(2))
+    all_epochs = e0.unionByName(e1).unionByName(e2)
+    digs = str(tmp_path / "epoch_digests")
+    tdigest_aggregate(
+        all_epochs, ["lang", "epoch"], "v", discrete=True
+    ).write.mode("overwrite").parquet(digs)
+
+    out = str(tmp_path / "timeline_report")
+    monkeypatch.setattr(sys, "argv", [
+        "job", "--timeline", digs, "--epoch-col", "epoch",
+        "--key-cols", "lang", "--quantiles", "0.5,0.95", "--discrete",
+        "--ks-threshold", "0.1", "--output", out])
+    rc = job.main()
+    rep = json.loads(capture[-1])
+    assert rc == 2
+    assert rep["mode"] == "timeline" and rep["n_keys"] == len(langs)
+
+    rows = {(r["lang"], r["epoch"]): r
+            for r in spark.read.parquet(out).collect()}
+    assert len(rows) == 3 * len(langs) - 1  # gappy lang has no epoch 1
+    for lg in langs:
+        r0 = rows[(lg, 0)]
+        assert r0["ks_prev"] is None and r0["delta_p5"] is None
+        assert not r0["drifted"]
+    for lg in langs:
+        if lg == gappy:
+            continue
+        r1 = rows[(lg, 1)]
+        assert r1["ks_prev"] == 0.0 and r1["delta_p5"] == 0.0
+        assert not r1["drifted"]
+    # epoch 2: hot lang tripled -> big KS and positive p5 delta
+    assert rows[(hot, 2)]["drifted"] and rows[(hot, 2)]["ks_prev"] > 0.5
+    assert rows[(hot, 2)]["delta_p5"] > 0
+    # gap semantics: gappy's epoch 2 compares against its stored epoch 0
+    rg = rows[(gappy, 2)]
+    assert rg["ks_prev"] == 0.0 and rg["delta_p5"] == 0.0 and not rg["drifted"]
+    calm = [l for l in langs if l not in (hot, gappy)]
+    for lg in calm:
+        r2 = rows[(lg, 2)]
+        assert not r2["drifted"] and r2["ks_prev"] == 0.0
+    assert rep["n_drifted"] == 1
