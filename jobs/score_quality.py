@@ -1,5 +1,6 @@
 """Production job: CCNet-style LM-quality scoring — train a per-language
-unigram fluency model once, or score a corpus against a stored model.
+unigram (or ``--ngram 2`` stupid-backoff bigram) fluency model once, or
+score a corpus against a stored model.
 
 Train (on the reference corpus, e.g. a vetted wiki-like slice):
 
@@ -59,13 +60,26 @@ def main() -> int:
     ap.add_argument("--cuts-out",
                     help="write the freshly built cut table here (with "
                          "--buckets) for later --cuts-in runs")
-    ap.add_argument("--model-distribution", choices=["broadcast", "path"],
+    ap.add_argument("--model-distribution",
+                    choices=["broadcast", "path", "join"],
                     default="broadcast",
                     help="'broadcast': driver collects the model and "
                          "broadcasts a dict (small models); 'path': each "
                          "executor worker reads the model parquet itself — "
-                         "for huge multi-language models")
+                         "for huge multi-language models; 'join': fully-JVM "
+                         "broadcast-join plan (no driver collect)")
+    ap.add_argument("--ngram", type=int, choices=[1, 2], default=1,
+                    help="1 = unigram model; 2 = stupid-backoff bigram")
+    ap.add_argument("--bigram-top-k", type=int, default=262144,
+                    help="per-lang stored-bigram cap (ngram=2)")
+    ap.add_argument("--min-count", type=int, default=1,
+                    help="prune bigrams rarer than this before the cap")
+    ap.add_argument("--backoff", type=float, default=0.4,
+                    help="stupid-backoff multiplier (ngram=2)")
     args = ap.parse_args()
+    if args.ngram == 2 and args.model_distribution == "path":
+        ap.error("--ngram 2 supports broadcast/join model distribution "
+                 "(use 'join' for models too big to collect)")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -74,19 +88,32 @@ def main() -> int:
     spark.sparkContext.setLogLevel("WARN")
 
     from sketchlib.spark.textops import (
+        bigram_logprob_score,
         score_with_model_path,
+        score_with_stored_bigram,
         score_with_stored_model,
+        train_bigram_model,
         train_unigram_model,
+        unigram_logprob_score,
     )
 
     t0 = time.time()
     if args.mode == "train":
-        model = train_unigram_model(
-            spark.read.parquet(args.input),
-            lang_col=args.lang_col, text_col=args.text_col,
-            vocab_top_k=args.vocab_top_k, alpha=args.alpha,
-            quantize=args.quantize,
-        )
+        if args.ngram == 2:
+            model = train_bigram_model(
+                spark.read.parquet(args.input),
+                lang_col=args.lang_col, text_col=args.text_col,
+                vocab_top_k=args.vocab_top_k,
+                bigram_top_k=args.bigram_top_k, alpha=args.alpha,
+                quantize=args.quantize, min_count=args.min_count,
+            )
+        else:
+            model = train_unigram_model(
+                spark.read.parquet(args.input),
+                lang_col=args.lang_col, text_col=args.text_col,
+                vocab_top_k=args.vocab_top_k, alpha=args.alpha,
+                quantize=args.quantize,
+            )
         model.write.mode("overwrite").parquet(args.model)
         stored = spark.read.parquet(args.model)
         print(json.dumps({
@@ -100,9 +127,29 @@ def main() -> int:
     if not args.output:
         ap.error("score mode requires --output")
     docs = spark.read.parquet(args.input)
-    if args.model_distribution == "path":
+    if args.ngram == 2:
+        model = spark.read.parquet(args.model)
+        if args.model_distribution == "join":
+            scored = bigram_logprob_score(
+                docs, model=model, id_col=args.id_col,
+                text_col=args.text_col, lang_col=args.lang_col,
+                quantize=args.quantize, backoff=args.backoff,
+            )
+        else:
+            scored = score_with_stored_bigram(
+                docs, model, id_col=args.id_col, text_col=args.text_col,
+                lang_col=args.lang_col, quantize=args.quantize,
+                backoff=args.backoff,
+            )
+    elif args.model_distribution == "path":
         scored = score_with_model_path(
             docs, args.model, id_col=args.id_col, text_col=args.text_col,
+            lang_col=args.lang_col, quantize=args.quantize,
+        )
+    elif args.model_distribution == "join":
+        scored = unigram_logprob_score(
+            docs, model=spark.read.parquet(args.model),
+            id_col=args.id_col, text_col=args.text_col,
             lang_col=args.lang_col, quantize=args.quantize,
         )
     else:

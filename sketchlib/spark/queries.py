@@ -2955,6 +2955,98 @@ FROM q LEFT JOIN ks ON ks.k = q.k AND ks.day = q.day
 """
 
 
+LM_BIGRAM_TOPK = 512  # per-lang bigram cap — small enough that the gated
+#                       run actually exercises the top-k truncation (sf0.01
+#                       has ~900 distinct bigrams/lang)
+
+
+def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff bigram LM quality score, per document — the n-gram
+    upgrade of the unigram scorer (Brants et al. 2007's web-scale scoring
+    rule: stored relative frequency when the bigram is in the capped
+    model, else ln(0.4) + the smoothed unigram score; a doc's first token
+    scores as pure unigram).  ``quantize=6`` makes every per-doc sum exact
+    integer arithmetic, so all 500 per-doc doubles hash-match the oracle,
+    which retrains the same capped model in SQL (total-ordered top-k
+    tie-break) and rescores every document.  Plan: token pairing is an
+    in-array JVM projection (no window), both model joins broadcast, one
+    per-doc aggregate — the same shape that scores a live crawl."""
+    from sketchlib.spark.textops import bigram_logprob_score
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return bigram_logprob_score(
+        docs, vocab_top_k=LM_TOPK, bigram_top_k=LM_BIGRAM_TOPK,
+        alpha=0.5, quantize=6, backoff=0.4,
+    )
+
+
+_LM_BIGRAM_SQL = f"""
+WITH dt AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), w -> w != '') AS toks
+  FROM documents
+), rtoks AS (
+  SELECT lang, unnest(toks) AS word FROM dt
+), counts AS (
+  SELECT lang, word, count(*) AS cnt FROM rtoks GROUP BY lang, word
+), model AS (
+  SELECT lang, word, cnt FROM (
+    SELECT lang, word, cnt,
+           row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, word) AS rk
+    FROM counts) WHERE rk <= {LM_TOPK}
+), totals AS (
+  SELECT lang, sum(cnt)::BIGINT AS total, count(*)::BIGINT AS v
+  FROM model GROUP BY lang
+), ulp AS (
+  SELECT m.lang, m.word,
+         round(ln((m.cnt + 0.5) / (t.total + 0.5 * (t.v + 1.0))) * 1000000)::BIGINT AS lp
+  FROM model m JOIN totals t USING (lang)
+), oov AS (
+  SELECT lang,
+         round(ln(0.5 / (total + 0.5 * (v + 1.0))) * 1000000)::BIGINT AS oov_lp
+  FROM totals
+), rpairs AS (
+  SELECT lang, p[1] AS word, p[2] AS ctx FROM (
+    SELECT lang, unnest(list_zip(toks, list_prepend(NULL, toks))) AS p
+    FROM dt) z
+  WHERE p[1] IS NOT NULL AND p[2] IS NOT NULL
+), bic AS (
+  SELECT lang, ctx, word, count(*) AS cnt FROM rpairs GROUP BY lang, ctx, word
+), tot AS (
+  SELECT lang, ctx, sum(cnt) AS tot FROM bic GROUP BY lang, ctx
+), bim AS (
+  SELECT lang, ctx, word,
+         round(ln(CAST(cnt AS DOUBLE) / tot) * 1000000)::BIGINT AS blp
+  FROM (
+    SELECT b.lang, b.ctx, b.word, b.cnt, t.tot,
+           row_number() OVER (PARTITION BY b.lang
+                              ORDER BY b.cnt DESC, b.ctx, b.word) AS rk
+    FROM bic b JOIN tot t ON t.lang = b.lang AND t.ctx = b.ctx)
+  WHERE rk <= {LM_BIGRAM_TOPK}
+), dpairs AS (
+  SELECT doc_id, lang, p[1] AS word, p[2] AS ctx FROM (
+    SELECT doc_id, lang, unnest(list_zip(toks, list_prepend(NULL, toks))) AS p
+    FROM dt) z
+  WHERE p[1] IS NOT NULL
+), scored AS (
+  SELECT d.doc_id, d.lang, count(*)::BIGINT AS n_tokens,
+         (-sum(CASE WHEN bm.blp IS NOT NULL THEN bm.blp
+               ELSE (CASE WHEN d.ctx IS NULL THEN 0 ELSE -916291 END)
+                    + coalesce(u.lp, o.oov_lp) END)::DOUBLE
+          / count(*)) / 1000000.0 AS logprob_per_token
+  FROM dpairs d
+  LEFT JOIN bim bm ON bm.lang = d.lang AND bm.ctx = d.ctx AND bm.word = d.word
+  LEFT JOIN ulp u ON u.lang = d.lang AND u.word = d.word
+  JOIN oov o ON o.lang = d.lang
+  GROUP BY d.doc_id, d.lang
+)
+SELECT doc.doc_id, doc.lang,
+       coalesce(s.n_tokens, 0)::BIGINT AS n_tokens, s.logprob_per_token
+FROM documents doc
+LEFT JOIN scored s ON s.doc_id = doc.doc_id AND s.lang = doc.lang
+"""
+
+
 def q_td_quantiles_cdf_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Folds td_quantiles_by_lang + td_cdf_by_lang (both green in every
     driver run since r01; freed a gate slot for the round-4 timeline/bigram
@@ -2984,6 +3076,7 @@ def q_sketch_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     # --- new in round 4 (never driver-gated) ---
     "td_timeline_by_type": q_td_timeline_by_type,
+    "lm_bigram_score": q_lm_bigram_score,
     # --- never driver-gated as of r03 ---
     "lm_quality_buckets": q_lm_quality_buckets,
     "sample_corpus_methods": q_sample_corpus_methods,
@@ -3040,6 +3133,7 @@ QUERIES = {
 
 ORACLES = {
     "td_timeline_by_type": _TIMELINE_SQL,
+    "lm_bigram_score": _LM_BIGRAM_SQL,
     "lm_quality_buckets": _LM_QUALITY_SQL,
     "sample_corpus_methods": _sample_fold_sql(),
     # --- never driver-gated as of r03 (oracles unchanged, order matches QUERIES) ---

@@ -789,3 +789,288 @@ def bucket_by_cuts(
             *extra,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram (stupid-backoff) upgrade of the LM quality scorer
+# ---------------------------------------------------------------------------
+
+
+def _token_pairs() -> "F.Column":
+    """(word, ctx=previous word) pairs computed INSIDE the tokens array —
+    ``F.get`` is 0-based and NULL out-of-bounds, so the first token gets
+    ctx NULL with no window/shuffle: the pairing is a JVM-side projection
+    at scan grain."""
+    return F.transform(
+        F.col("tokens"),
+        lambda w, i: F.struct(
+            w.alias("word"), F.get(F.col("tokens"), i - 1).alias("ctx")
+        ),
+    )
+
+
+def train_bigram_model(
+    ref: DataFrame,
+    lang_col: str | None = "lang",
+    text_col: str = "text",
+    vocab_top_k: int = 65536,
+    bigram_top_k: int = 262144,
+    alpha: float = 0.5,
+    quantize: int | None = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """Train the stupid-backoff bigram LM used by ``bigram_logprob_score``
+    and return ONE storable table: rows ([lang], ctx, word, lp).
+
+    - ``ctx IS NULL``  → the unigram sub-model (``train_unigram_model``
+      verbatim: capped vocab + add-alpha smoothing + the ``word IS NULL``
+      OOV bucket), which the bigram path backs off to.
+    - ``ctx NOT NULL`` → bigram rows with lp = ln(cnt(ctx,word)/cnt(ctx)),
+      the stupid-backoff relative frequency (Brants et al. 2007, "Large
+      Language Models in Machine Translation"): NO normalization across
+      the backoff — the published web-scale choice precisely because it
+      keeps training one pair-count aggregate, embarrassingly parallel.
+
+    Context totals cnt(ctx) are computed over ALL bigrams BEFORE capping,
+    so stored probabilities are true relative frequencies regardless of
+    which rows survive the cap.  The per-lang cap (``bigram_top_k`` most
+    frequent, total-ordered tie-break cnt DESC, ctx, word) bounds the
+    stored/broadcast model; ``min_count`` prunes hapax bigrams BEFORE the
+    top-k window — at web scale the bigram vocabulary is hapax-dominated,
+    so ``min_count=2`` typically shrinks the window input ~2× for free.
+    ``quantize=q`` stores integer 10^-q-nat log-probs (exact arithmetic
+    downstream), matching ``train_unigram_model``."""
+    keys = [lang_col] if lang_col else []
+    uni = train_unigram_model(
+        ref, lang_col, text_col, vocab_top_k, alpha, quantize
+    ).withColumn("ctx", F.lit(None).cast("string"))
+    pairs = (
+        with_tokens(ref.select(*keys, text_col), text_col)
+        .select(*keys, F.explode(_token_pairs()).alias("_p"))
+        .select(*keys, F.col("_p.ctx").alias("ctx"), F.col("_p.word").alias("word"))
+        .filter(F.col("ctx").isNotNull())
+    )
+    bic = pairs.groupBy(*keys, "ctx", "word").agg(F.count("*").alias("cnt"))
+    tot = bic.groupBy(*keys, "ctx").agg(F.sum("cnt").alias("_tot"))
+    if min_count > 1:
+        bic = bic.filter(F.col("cnt") >= min_count)
+    lp_expr = F.log(F.col("cnt") / F.col("_tot"))
+    if quantize is not None:
+        lp_expr = F.round(lp_expr * float(10**quantize)).cast("long")
+    scored = bic.join(tot, keys + ["ctx"])
+    if keys:
+        wk = Window.partitionBy(*keys).orderBy(
+            F.desc("cnt"), F.asc("ctx"), F.asc("word")
+        )
+        capped = (
+            scored.withColumn("_rk", F.row_number().over(wk))
+            .filter(F.col("_rk") <= bigram_top_k)
+        )
+    else:
+        capped = scored.orderBy(
+            F.desc("cnt"), F.asc("ctx"), F.asc("word")
+        ).limit(bigram_top_k)
+    bi_rows = capped.select(*keys, "ctx", "word", lp_expr.alias("lp"))
+    return uni.select(*keys, "ctx", "word", "lp").unionByName(bi_rows)
+
+
+def bigram_logprob_score(
+    df: DataFrame,
+    ref: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+    vocab_top_k: int = 65536,
+    bigram_top_k: int = 262144,
+    alpha: float = 0.5,
+    quantize: int | None = None,
+    backoff: float = 0.4,
+    model: DataFrame | None = None,
+    hash_bigrams: bool = False,
+) -> DataFrame:
+    """Stupid-backoff bigram LM quality score — the n-gram upgrade of
+    ``unigram_logprob_score`` with the SAME output contract (id, [lang],
+    n_tokens, logprob_per_token; lower = more fluent; empty docs NULL).
+
+    Per-token log-score: the stored bigram lp when (ctx, word) is in the
+    model, else ln(``backoff``) + the unigram score (smoothed lp or OOV);
+    a document's FIRST token has no context and scores as pure unigram
+    with no penalty.  With ``quantize`` every per-doc sum is exact integer
+    arithmetic (one final IEEE division) — bit-identical across partition
+    layouts and engines, driver-gated as ``lm_bigram_score``.
+
+    Plan shape is unchanged from the unigram scorer: token pairing is an
+    in-array JVM projection (``_token_pairs`` — no window, no extra
+    shuffle), both model joins are broadcasts, and the only wide shuffle
+    is the per-doc aggregate.  ``hash_bigrams=True`` replaces the (ctx,
+    word) string join key with one JVM-side ``xxhash64`` long on BOTH
+    sides before the broadcast — the stored model keeps strings, but the
+    shipped broadcast shrinks to 8 B/key (what "hashed-context capping"
+    buys at langs × 262k rows); a 64-bit collision scoring a false bigram
+    is ~1e-11 per model and only perturbs that one token's score.
+    """
+    keys = [lang_col] if lang_col else []
+    if model is None:
+        model = train_bigram_model(
+            df if ref is None else ref, lang_col, text_col,
+            vocab_top_k, bigram_top_k, alpha, quantize,
+        )
+    else:
+        _check_model_quantize(model, quantize)
+    import math
+
+    if quantize is not None:
+        bq = F.lit(int(round(math.log(backoff) * 10**quantize)))
+        zero = F.lit(0).cast("long")
+    else:
+        bq = F.lit(float(math.log(backoff)))
+        zero = F.lit(0.0)
+    uni = model.filter(F.col("ctx").isNull() & F.col("word").isNotNull()).select(
+        *keys, "word", F.col("lp").alias("_uni")
+    )
+    oov = model.filter(F.col("ctx").isNull() & F.col("word").isNull()).select(
+        *keys, F.col("lp").alias("_oov")
+    )
+    bi = model.filter(F.col("ctx").isNotNull()).select(
+        *keys, "ctx", "word", F.col("lp").alias("_bi")
+    )
+    toks = (
+        with_tokens(df.select(id_col, *keys, text_col), text_col)
+        .select(id_col, *keys, F.explode(_token_pairs()).alias("_p"))
+        .select(id_col, *keys, F.col("_p.ctx").alias("ctx"),
+                F.col("_p.word").alias("word"))
+    )
+    if hash_bigrams:
+        bi = bi.select(*keys, F.xxhash64("ctx", "word").alias("_bw"), "_bi")
+        toks = toks.withColumn(
+            "_bw",
+            F.when(F.col("ctx").isNotNull(), F.xxhash64("ctx", "word")),
+        )
+        bi_keys = keys + ["_bw"]
+    else:
+        bi_keys = keys + ["ctx", "word"]
+    joined = (
+        toks.join(F.broadcast(bi), bi_keys, "left")
+        .join(F.broadcast(uni), keys + ["word"], "left")
+        .join(F.broadcast(oov), keys or None, "inner" if keys else "cross")
+        .withColumn(
+            "_lp",
+            F.when(F.col("_bi").isNotNull(), F.col("_bi")).otherwise(
+                F.when(F.col("ctx").isNull(), zero).otherwise(bq)
+                + F.coalesce("_uni", "_oov")
+            ),
+        )
+    )
+    score_expr = -F.sum("_lp") / F.count("*")
+    if quantize is not None:
+        score_expr = score_expr / F.lit(float(10**quantize))
+    scored = joined.groupBy(id_col, *keys).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        score_expr.alias("logprob_per_token"),
+    )
+    return (
+        df.select(id_col, *keys)
+        .join(scored, [id_col] + keys, "left")
+        .select(
+            id_col, *keys,
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            "logprob_per_token",
+        )
+    )
+
+
+def score_with_stored_bigram(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+    quantize: int | None = 6,
+    backoff: float = 0.4,
+    max_broadcast_rows: int | None = 2_000_000,
+) -> DataFrame:
+    """Zero-shuffle stateless scorer for a STORED bigram model — the
+    bigram sibling of ``score_with_stored_model``: collect the capped
+    model once, broadcast dicts, score with one Arrow-batched
+    ``mapInPandas`` over the scan (runs unchanged on a readStream).  With
+    ``quantize`` (must match the model's) results are BIT-IDENTICAL to
+    ``bigram_logprob_score(df, model=...)`` — asserted in pytest.  Same
+    broadcast-size guard and contract as the unigram scorer."""
+    import math
+
+    _check_model_quantize(model, quantize)
+    if max_broadcast_rows is not None:
+        n_model = model.count()
+        if n_model > max_broadcast_rows:
+            raise ValueError(
+                f"model has {n_model} rows > max_broadcast_rows="
+                f"{max_broadcast_rows}: use bigram_logprob_score(df, "
+                "model=model) (broadcast-join path, fully JVM) or raise "
+                "the guard explicitly"
+            )
+    rows = model.collect()
+    uni: dict = {}
+    oov: dict = {}
+    big: dict = {}
+    for r in rows:
+        lang = r[lang_col] if lang_col else None
+        if r["ctx"] is not None:
+            big.setdefault(lang, {})[(r["ctx"], r["word"])] = r["lp"]
+        elif r["word"] is None:
+            oov[lang] = r["lp"]
+        else:
+            uni.setdefault(lang, {})[r["word"]] = r["lp"]
+    bq = (int(round(math.log(backoff) * 10**quantize))
+          if quantize is not None else math.log(backoff))
+    scale = float(10**quantize) if quantize is not None else None
+    bc = df.sparkSession.sparkContext.broadcast((uni, oov, big))
+
+    id_type = dict(df.dtypes)[id_col]
+    lang_field = f"{lang_col} string, " if lang_col else ""
+    schema = (f"{id_col} {id_type}, {lang_field}"
+              "n_tokens long, logprob_per_token double")
+
+    def score_batches(batches):
+        from itertools import repeat
+
+        import pandas as pd
+
+        uni_, oov_, big_ = bc.value
+        for pdf in batches:
+            out_n, out_s = [], []
+            langs = pdf[lang_col] if lang_col else [None] * len(pdf)
+            for text, lang in zip(pdf[text_col], langs):
+                toks = (text or "").split(" ")
+                if "" in toks:
+                    toks = [w for w in toks if w]
+                m = uni_.get(lang)
+                o = oov_.get(lang)
+                if not toks or o is None:
+                    out_n.append(0)
+                    out_s.append(None)
+                    continue
+                g = big_.get(lang, {})
+                # unigram scores for every position in one C-level pass
+                u = list(map(m.get, toks, repeat(o)))
+                s = u[0]
+                prev = toks[0]
+                for i in range(1, len(toks)):
+                    w = toks[i]
+                    b = g.get((prev, w))
+                    s += b if b is not None else bq + u[i]
+                    prev = w
+                n = len(toks)
+                v = (-s) / n
+                if scale is not None:
+                    v = v / scale
+                out_n.append(n)
+                out_s.append(v)
+            res = pd.DataFrame({id_col: pdf[id_col]})
+            if lang_col:
+                res[lang_col] = pdf[lang_col]
+            res["n_tokens"] = pd.array(out_n, dtype="int64")
+            res["logprob_per_token"] = pd.array(out_s, dtype="float64")
+            yield res
+
+    cols = [id_col] + ([lang_col] if lang_col else []) + [text_col]
+    return df.select(*cols).mapInPandas(score_batches, schema)

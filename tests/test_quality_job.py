@@ -165,3 +165,44 @@ def test_quality_drift_monitoring_across_epochs(spark, tmp_path, monkeypatch):
         "--output", str(tmp_path / "rep1")], capture)
     rep = json.loads(capture[-1])
     assert rc == 2 and rep["n_drifted"] == 5, rep
+
+
+def test_score_quality_job_bigram_mode(spark, tmp_path, monkeypatch):
+    """--ngram 2 lifecycle: train a stupid-backoff bigram model, score with
+    the broadcast-kernel and the fully-JVM join distributions — identical
+    outputs (exact integer arithmetic), and bigram rows actually stored."""
+    sys.path.insert(0, "jobs")
+    import score_quality as job
+
+    capture = []
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    monkeypatch.setattr("builtins.print", lambda s: capture.append(s))
+
+    src = str(tmp_path / "ref")
+    docs = spark.read.parquet(f"{SF_MED}/documents.parquet").select(
+        "doc_id", "lang", "text")
+    docs.write.parquet(src)
+    mpath = str(tmp_path / "bimodel")
+
+    rc = _run(monkeypatch, job, [
+        "train", "--input", src, "--model", mpath, "--ngram", "2",
+        "--vocab-top-k", "64", "--bigram-top-k", "128"], capture)
+    assert rc == 0
+    stored = spark.read.parquet(mpath)
+    assert stored.filter("ctx IS NOT NULL").count() > 0
+    per_lang = stored.filter("ctx IS NOT NULL").groupBy("lang").count()
+    assert all(r["count"] <= 128 for r in per_lang.collect())
+
+    outs = {}
+    for dist in ("broadcast", "join"):
+        out = str(tmp_path / f"scored_{dist}")
+        rc = _run(monkeypatch, job, [
+            "score", "--input", src, "--model", mpath, "--ngram", "2",
+            "--model-distribution", dist, "--output", out], capture)
+        assert rc == 0
+        outs[dist] = {
+            r["doc_id"]: (r["n_tokens"], r["logprob_per_token"])
+            for r in spark.read.parquet(out).collect()
+        }
+    assert outs["broadcast"] == outs["join"]
+    assert any(v[1] is not None for v in outs["join"].values())
