@@ -113,11 +113,14 @@ def main() -> None:
     #   media_meta_frames          <- media_sniff_meta + media_frame_sample
     #   ann_ivf_topk_recall        <- ann_ivf_topk (+ recall gate)
     #   hll_users_union            <- hll_users_by_type (+ union laws)
+    #   td_quantiles_cdf_by_lang   <- td_quantiles_by_lang + td_cdf_by_lang
+    #   sketch_source_counts       <- bloom_membership_by_source
+    #                                 + cms_source_counts
     r01 = {
-        "td_quantiles_by_lang", "td_kll_quantiles_by_lang",
-        "td_cdf_by_lang", "td_info_stats_by_lang",
+        "td_quantiles_cdf_by_lang", "td_kll_quantiles_by_lang",
+        "td_info_stats_by_lang",
         "td_quantiles_multi_table", "td_compressed_by_lang",
-        "bloom_membership_by_source", "cms_source_counts",
+        "sketch_source_counts",
         "hll_users_union", "text_doc_features",
         "text_quality_by_lang", "lang_id_confusion",
         "dedup_exact_keepers", "dedup_jaccard_pairs",

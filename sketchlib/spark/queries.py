@@ -2971,12 +2971,18 @@ def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break) and rescores every document.  Plan: token pairing is an
     in-array JVM projection (no window), both model joins broadcast, one
     per-doc aggregate — the same shape that scores a live crawl."""
-    from sketchlib.spark.textops import bigram_logprob_score
+    from sketchlib.spark.textops import bigram_logprob_score, train_bigram_model
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    return bigram_logprob_score(
+    # cache the (KB-scale) model table: it feeds THREE broadcast joins in
+    # the scorer — uncached, each join re-derives the whole training
+    # sub-plan (9 fact scans instead of 1 training pass + 1 scoring scan)
+    model = train_bigram_model(
         docs, vocab_top_k=LM_TOPK, bigram_top_k=LM_BIGRAM_TOPK,
-        alpha=0.5, quantize=6, backoff=0.4,
+        alpha=0.5, quantize=6,
+    ).cache()
+    return bigram_logprob_score(
+        docs, model=model, quantize=6, backoff=0.4,
     )
 
 

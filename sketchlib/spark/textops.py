@@ -521,31 +521,35 @@ def unigram_logprob_score(
     oov = model.filter(F.col("word").isNull()).select(
         *keys, F.col("lp").alias("_oov_lp")
     )
+    # explode_OUTER keeps empty/NULL-text docs as one word-NULL row, and the
+    # OOV join is LEFT so docs whose lang has no model row keep their rows
+    # too: every doc reaches the aggregate, so there is NO row-scale
+    # join-back to restore (0, NULL) rows — that join was a SortMergeJoin +
+    # an extra full-corpus Exchange (plan-audited out in round 4).  A row
+    # counts as a scored token only when it has a word AND its lang has a
+    # model (`_valid`); docs with zero valid rows score (0, NULL).
     toks = (
         with_tokens(df.select(id_col, *keys, text_col), text_col)
-        .select(id_col, *keys, F.explode("tokens").alias("word"))
+        .select(id_col, *keys, F.explode_outer("tokens").alias("word"))
     )
     joined = (
         toks.join(F.broadcast(words), keys + ["word"], "left")
-        .join(F.broadcast(oov), keys or None, "inner" if keys else "cross")
-        .withColumn("_lp", F.coalesce("_lp", F.col("_oov_lp")))
+        .join(F.broadcast(oov), keys, "left") if keys else
+        toks.join(F.broadcast(words), ["word"], "left").crossJoin(
+            F.broadcast(oov))
     )
-    score_expr = -F.sum("_lp") / F.count("*")
+    valid = F.col("word").isNotNull() & F.col("_oov_lp").isNotNull()
+    joined = joined.withColumn(
+        "_lp", F.when(valid, F.coalesce("_lp", F.col("_oov_lp")))
+    )
+    n_expr = F.sum(valid.cast("long"))
+    score_expr = -F.sum("_lp") / n_expr
     if quantize is not None:
         # ONE float division of two exact integers — deterministic
         score_expr = score_expr / F.lit(float(10**quantize))
-    scored = joined.groupBy(id_col, *keys).agg(
-        F.count("*").cast("long").alias("n_tokens"),
-        score_expr.alias("logprob_per_token"),
-    )
-    return (
-        df.select(id_col, *keys)
-        .join(scored, [id_col] + keys, "left")
-        .select(
-            id_col, *keys,
-            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
-            "logprob_per_token",
-        )
+    return joined.groupBy(id_col, *keys).agg(
+        n_expr.cast("long").alias("n_tokens"),
+        F.when(n_expr > 0, score_expr).alias("logprob_per_token"),
     )
 
 
@@ -934,9 +938,12 @@ def bigram_logprob_score(
     bi = model.filter(F.col("ctx").isNotNull()).select(
         *keys, "ctx", "word", F.col("lp").alias("_bi")
     )
+    # explode_OUTER + LEFT OOV join: every doc reaches the aggregate (empty
+    # docs as one word-NULL row, lang-absent docs with _oov NULL), so no
+    # row-scale join-back is needed — see unigram_logprob_score.
     toks = (
         with_tokens(df.select(id_col, *keys, text_col), text_col)
-        .select(id_col, *keys, F.explode(_token_pairs()).alias("_p"))
+        .select(id_col, *keys, F.explode_outer(_token_pairs()).alias("_p"))
         .select(id_col, *keys, F.col("_p.ctx").alias("ctx"),
                 F.col("_p.word").alias("word"))
     )
@@ -952,30 +959,27 @@ def bigram_logprob_score(
     joined = (
         toks.join(F.broadcast(bi), bi_keys, "left")
         .join(F.broadcast(uni), keys + ["word"], "left")
-        .join(F.broadcast(oov), keys or None, "inner" if keys else "cross")
-        .withColumn(
-            "_lp",
+    )
+    joined = (joined.join(F.broadcast(oov), keys, "left") if keys
+              else joined.crossJoin(F.broadcast(oov)))
+    valid = F.col("word").isNotNull() & F.col("_oov").isNotNull()
+    joined = joined.withColumn(
+        "_lp",
+        F.when(
+            valid,
             F.when(F.col("_bi").isNotNull(), F.col("_bi")).otherwise(
                 F.when(F.col("ctx").isNull(), zero).otherwise(bq)
                 + F.coalesce("_uni", "_oov")
             ),
-        )
+        ),
     )
-    score_expr = -F.sum("_lp") / F.count("*")
+    n_expr = F.sum(valid.cast("long"))
+    score_expr = -F.sum("_lp") / n_expr
     if quantize is not None:
         score_expr = score_expr / F.lit(float(10**quantize))
-    scored = joined.groupBy(id_col, *keys).agg(
-        F.count("*").cast("long").alias("n_tokens"),
-        score_expr.alias("logprob_per_token"),
-    )
-    return (
-        df.select(id_col, *keys)
-        .join(scored, [id_col] + keys, "left")
-        .select(
-            id_col, *keys,
-            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
-            "logprob_per_token",
-        )
+    return joined.groupBy(id_col, *keys).agg(
+        n_expr.cast("long").alias("n_tokens"),
+        F.when(n_expr > 0, score_expr).alias("logprob_per_token"),
     )
 
 

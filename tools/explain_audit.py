@@ -421,6 +421,52 @@ def main():
     if not ok:
         FAIL.append(f"packing query: scans={n_scan} ex={n_ex} or shape wrong")
 
+    # 6ab. bigram LM scoring against a STORED model (the production shape:
+    # train once, score every later batch): token pairing is an IN-ARRAY
+    # projection — the plan must contain NO Window (a lag-window pairing
+    # would shuffle the corpus at token grain); the three model joins are
+    # all broadcast; explode_outer + LEFT oov join keep every doc in the
+    # aggregate so there is NO row-scale join-back (no SortMergeJoin) and
+    # exactly ONE Exchange (the per-doc aggregate)
+    import tempfile
+
+    from sketchlib.spark.textops import bigram_logprob_score, train_bigram_model
+
+    mpath = tempfile.mkdtemp(prefix="audit_bigram_") + "/model"
+    train_bigram_model(
+        docs, vocab_top_k=4096, bigram_top_k=512, quantize=6
+    ).write.parquet(mpath)
+    p = plan_of(bigram_logprob_score(
+        docs.select("doc_id", "lang", "text"),
+        model=spark.read.parquet(mpath), quantize=6))
+    n_bhj = len(re.findall(r"\(\d+\) BroadcastHashJoin", p))
+    n_win = len(re.findall(r"\(\d+\) Window", p))
+    n_smj = len(re.findall(r"\(\d+\) SortMergeJoin", p))
+    n_exch = len(re.findall(r"\(\d+\) Exchange", p))
+    ok = n_bhj == 3 and n_win == 0 and n_smj == 0 and n_exch == 1
+    print(f"{'bigram scorer: 3 bcast, 0 win, 1 exch':40s} "
+          f"{'OK' if ok else 'FAIL'} "
+          f"(bhj={n_bhj}, win={n_win}, smj={n_smj}, exch={n_exch})")
+    if not ok:
+        FAIL.append(
+            f"bigram: bhj={n_bhj} (want 3), windows={n_win} (want 0), "
+            f"smj={n_smj} (want 0), exchanges={n_exch} (want 1)")
+
+    # 6ac. digest timeline: ONE fact scan; the only Exchanges are the
+    # digest-row merge shuffle and the lag window over KB sketch rows
+    from sketchlib.spark.queries import q_td_timeline_by_type
+
+    p = plan_of(q_td_timeline_by_type(spark, sf_dir))
+    n_scan = len(re.findall(r"\(\d+\) Scan parquet", p))
+    n_exch = len(re.findall(r"\(\d+\) Exchange", p))
+    ok = n_scan == 1 and n_exch == 2 and "Join" not in p
+    print(f"{'timeline: 1 scan, 2 exchanges, 0 join':40s} "
+          f"{'OK' if ok else 'FAIL'} (scans={n_scan}, exchanges={n_exch})")
+    if not ok:
+        FAIL.append(
+            f"timeline: scans={n_scan} (want 1), exchanges={n_exch} "
+            "(want 2), joins must be absent")
+
     # 7. checkpoint resume: anti-join against completed parts is broadcast
     from sketchlib.spark.checkpoint import TDigestCheckpointer
 
