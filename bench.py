@@ -1106,14 +1106,56 @@ def lmquality_bench() -> None:
         "stored_docs_per_sec": round(n_docs / t_stored, 1),
         "join_docs_per_sec": round(n_docs / t_join, 1),
     }
+    # bigram (stupid-backoff) upgrade: same corpus, same protocol
+    from sketchlib.spark.textops import (
+        bigram_logprob_score,
+        score_with_stored_bigram,
+        train_bigram_model,
+    )
+
+    spark = get_spark("lmquality-bench-bigram", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = corpus(spark)
+    t0 = time.time()
+    train_bigram_model(
+        docs, vocab_top_k=65536, bigram_top_k=262144, quantize=6,
+        min_count=2,
+    ).write.mode("overwrite").parquet(f"{mdir}/bimodel")
+    t_btrain = time.time() - t0
+    bimodel = spark.read.parquet(f"{mdir}/bimodel")
+    n_bimodel = bimodel.count()
+    t0 = time.time()
+    bscored_stored = score_with_stored_bigram(docs, bimodel, id_col="url")
+    t_bsetup = time.time() - t0
+    t_bstored = best_of(lambda: force(bscored_stored))
+    bscored_join = bigram_logprob_score(
+        docs, id_col="url", model=bimodel, quantize=6)
+    t_bjoin = best_of(lambda: force(bscored_join))
+    spark.stop()
+    out["bigram"] = {
+        "model_rows": n_bimodel,
+        "train_sec": round(t_btrain, 2),
+        "scorer_setup_sec": round(t_bsetup, 2),
+        "score_stored_sec": round(t_bstored, 2),
+        "score_join_sec": round(t_bjoin, 2),
+        "stored_docs_per_sec": round(n_docs / t_bstored, 1),
+        "join_docs_per_sec": round(n_docs / t_bjoin, 1),
+    }
+
     if str(CPUS) == "32":
         t_at = {}
+        bt_at = {}
         for n in (8, 2):
             sp = get_spark(f"lmquality-bench-{n}", cpus=n)
             sp.sparkContext.setLogLevel("ERROR")
             sc = score_with_stored_model(
                 corpus(sp), sp.read.parquet(f"{mdir}/model"), id_col="url")
             t_at[n] = best_of(lambda: force(sc))
+            if n == 8:
+                bsc = score_with_stored_bigram(
+                    corpus(sp), sp.read.parquet(f"{mdir}/bimodel"),
+                    id_col="url")
+                bt_at[n] = best_of(lambda: force(bsc))
             sp.stop()
         out["score_stored_sec_local8"] = round(t_at[8], 2)
         out["score_stored_sec_local2"] = round(t_at[2], 2)
@@ -1121,6 +1163,9 @@ def lmquality_bench() -> None:
         # single-kernel-VM allocation ceiling, see BENCH/BASELINE.md)
         out["scaling_eff_2_to_8"] = round(t_at[2] / (4.0 * t_at[8]), 3)
         out["scaling_eff_8_to_32"] = round(t_at[8] / (4.0 * t_stored), 3)
+        out["bigram"]["score_stored_sec_local8"] = round(bt_at[8], 2)
+        out["bigram"]["scaling_eff_8_to_32"] = round(
+            bt_at[8] / (4.0 * t_bstored), 3)
     shutil.rmtree(mdir, ignore_errors=True)
     print(json.dumps(out))
 

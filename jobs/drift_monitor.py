@@ -49,6 +49,9 @@ def main() -> int:
                          "instead of a two-table comparison)")
     ap.add_argument("--epoch-col", default="epoch",
                     help="epoch column of the --timeline table")
+    ap.add_argument("--ma-window", type=int, default=0,
+                    help="timeline mode: trailing moving-average window "
+                         "(>=2) added as ma_<q> columns; 0 = off")
     ap.add_argument("--output", required=True)
     ap.add_argument("--key-cols", default="key",
                     help="comma-separated key columns shared by both tables")
@@ -87,7 +90,8 @@ def main() -> int:
 
         digs = spark.read.parquet(args.timeline)
         report = digest_timeline(
-            digs, keys, args.epoch_col, ps=ps, discrete=args.discrete
+            digs, keys, args.epoch_col, ps=ps, discrete=args.discrete,
+            ma_window=args.ma_window,
         ).withColumn(
             "drifted",
             F.coalesce(F.col("ks_prev") > F.lit(args.ks_threshold),

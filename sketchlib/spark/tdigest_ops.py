@@ -573,13 +573,18 @@ def digest_timeline(
     ps: Iterable[float] = (0.5,),
     discrete: bool = False,
     digest_col: str = "digest",
+    ma_window: int = 0,
 ) -> DataFrame:
     """Windowed-trend report over a STORED per-epoch digest table: for each
     key, order the epochs and report per epoch the ingested count, the
     requested quantiles, their deltas vs the previous stored epoch, and the
     two-sample KS distance vs the previous epoch's digest — the time-series
     form of the drift monitor (``jobs/drift_monitor.py`` compares two fixed
-    tables; this walks N of them in one pass).
+    tables; this walks N of them in one pass).  ``ma_window=k`` (k >= 2)
+    additionally smooths each quantile with a trailing k-epoch moving
+    average (``ma_<ptag>`` columns; warm-up epochs average over however
+    many stored epochs exist so far) — the denoised trend line a dashboard
+    plots next to the raw per-epoch value.
 
     Input is any ``tdigest_aggregate(df, keys + [epoch_col], ...)`` result
     (fresh or read back from parquet): one KB blob per (key, epoch).  The
@@ -613,11 +618,16 @@ def digest_timeline(
     base = base.withColumn("_prev", F.lag("_dig").over(w)).withColumn(
         "_qprev", F.lag("_q").over(w)
     )
+    if ma_window and ma_window < 2:
+        raise ValueError(f"ma_window must be >= 2, got {ma_window}")
+    wma = w.rowsBetween(-(ma_window - 1), 0) if ma_window else None
     qcols = []
     for i, p in enumerate(ps):
         tag = ("%g" % p).replace("0.", "p").replace(".", "_")
         qcols.append(F.col("_q")[i].alias(tag))
         qcols.append((F.col("_q")[i] - F.col("_qprev")[i]).alias(f"delta_{tag}"))
+        if wma is not None:
+            qcols.append(F.avg(F.col("_q")[i]).over(wma).alias(f"ma_{tag}"))
     return base.select(
         *keys,
         epoch_col,

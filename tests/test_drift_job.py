@@ -152,3 +152,26 @@ def test_drift_monitor_timeline_mode(spark, tmp_path, monkeypatch):
         r2 = rows[(lg, 2)]
         assert not r2["drifted"] and r2["ks_prev"] == 0.0
     assert rep["n_drifted"] == 1
+
+
+def test_digest_timeline_moving_average(spark):
+    """ma_window=k smooths each quantile over the trailing k STORED epochs
+    (warm-up epochs average what exists so far)."""
+    from sketchlib.spark.tdigest_ops import digest_timeline, tdigest_aggregate
+
+    rows = [("a", e, float(10 * e)) for e in range(1, 5) for _ in range(3)]
+    df = spark.createDataFrame(rows, "k string, epoch int, v double")
+    digs = tdigest_aggregate(df, ["k", "epoch"], "v", discrete=True)
+    t = {r["epoch"]: r for r in digest_timeline(
+        digs, ["k"], "epoch", ps=[0.5], discrete=True, ma_window=3
+    ).collect()}
+    # per-epoch p5 is exactly 10*epoch; trailing-3 means:
+    assert [t[e]["p5"] for e in range(1, 5)] == [10.0, 20.0, 30.0, 40.0]
+    assert t[1]["ma_p5"] == 10.0           # warm-up: 1 epoch
+    assert t[2]["ma_p5"] == 15.0           # warm-up: 2 epochs
+    assert t[3]["ma_p5"] == 20.0           # (10+20+30)/3
+    assert t[4]["ma_p5"] == 30.0           # (20+30+40)/3
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        digest_timeline(digs, ["k"], "epoch", ma_window=1)
