@@ -732,6 +732,21 @@ def quality_buckets(
     thresholds are a stored KB artifact that new batches reuse, which is
     how a curriculum stays stable while the corpus grows.
     """
+    if "model" not in score_kwargs:
+        # the scores frame feeds BOTH the cut-table build and the bucket
+        # labeling, so an inline-trained model would be re-derived once per
+        # consumer (each re-derivation is a full training pass over the
+        # reference corpus).  Train it once and cache the KB-scale table.
+        ref = score_kwargs.pop("ref", None)
+        train_kw = {
+            k: score_kwargs.pop(k)
+            for k in ("vocab_top_k", "alpha", "quantize")
+            if k in score_kwargs
+        }
+        score_kwargs["model"] = train_unigram_model(
+            df if ref is None else ref, lang_col, text_col, **train_kw
+        ).cache()
+        score_kwargs["quantize"] = train_kw.get("quantize")
     scores = unigram_logprob_score(
         df, id_col=id_col, text_col=text_col, lang_col=lang_col,
         **score_kwargs,
