@@ -77,9 +77,6 @@ def main() -> int:
     ap.add_argument("--backoff", type=float, default=0.4,
                     help="stupid-backoff multiplier (ngram=2)")
     args = ap.parse_args()
-    if args.ngram == 2 and args.model_distribution == "path":
-        ap.error("--ngram 2 supports broadcast/join model distribution "
-                 "(use 'join' for models too big to collect)")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -128,18 +125,26 @@ def main() -> int:
         ap.error("score mode requires --output")
     docs = spark.read.parquet(args.input)
     if args.ngram == 2:
-        model = spark.read.parquet(args.model)
         if args.model_distribution == "join":
             scored = bigram_logprob_score(
-                docs, model=model, id_col=args.id_col,
+                docs, model=spark.read.parquet(args.model),
+                id_col=args.id_col, text_col=args.text_col,
+                lang_col=args.lang_col,
+                quantize=args.quantize, backoff=args.backoff,
+            )
+        elif args.model_distribution == "path":
+            from sketchlib.spark.textops import score_with_bigram_path
+
+            scored = score_with_bigram_path(
+                docs, args.model, id_col=args.id_col,
                 text_col=args.text_col, lang_col=args.lang_col,
                 quantize=args.quantize, backoff=args.backoff,
             )
         else:
             scored = score_with_stored_bigram(
-                docs, model, id_col=args.id_col, text_col=args.text_col,
-                lang_col=args.lang_col, quantize=args.quantize,
-                backoff=args.backoff,
+                docs, spark.read.parquet(args.model), id_col=args.id_col,
+                text_col=args.text_col, lang_col=args.lang_col,
+                quantize=args.quantize, backoff=args.backoff,
             )
     elif args.model_distribution == "path":
         scored = score_with_model_path(

@@ -1043,7 +1043,71 @@ def score_with_stored_bigram(
           if quantize is not None else math.log(backoff))
     scale = float(10**quantize) if quantize is not None else None
     bc = df.sparkSession.sparkContext.broadcast((uni, oov, big))
+    return _apply_bigram_kernel(df, lambda: bc.value, id_col, text_col,
+                                lang_col, scale, bq)
 
+
+def _load_bigram_dicts(path: str, lang_col: str | None):
+    """worker-side pruned columnar read of a stored bigram-model table ->
+    (uni, oov, big) dicts, cached per worker like ``_load_model_dicts``."""
+    key = (path, lang_col, "bigram")
+    hit = _WORKER_MODEL_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import pyarrow.dataset as ds
+
+    cols = ([lang_col] if lang_col else []) + ["ctx", "word", "lp"]
+    tbl = ds.dataset(path, format="parquet").to_table(columns=cols)
+    langs = (tbl[lang_col].to_pylist() if lang_col
+             else [None] * tbl.num_rows)
+    uni: dict = {}
+    oov: dict = {}
+    big: dict = {}
+    for lang, c, w, lp in zip(langs, tbl["ctx"].to_pylist(),
+                              tbl["word"].to_pylist(),
+                              tbl["lp"].to_pylist()):
+        if c is not None:
+            big.setdefault(lang, {})[(c, w)] = lp
+        elif w is None:
+            oov[lang] = lp
+        else:
+            uni.setdefault(lang, {})[w] = lp
+    if len(_WORKER_MODEL_CACHE) >= 3:  # bound worker memory across jobs
+        _WORKER_MODEL_CACHE.clear()
+    _WORKER_MODEL_CACHE[key] = (uni, oov, big)
+    return uni, oov, big
+
+
+def score_with_bigram_path(
+    df: DataFrame,
+    model_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+    quantize: int | None = 6,
+    backoff: float = 0.4,
+) -> DataFrame:
+    """The big-model variant of :func:`score_with_stored_bigram` — the
+    bigram sibling of ``score_with_model_path``: each executor-side Python
+    worker reads the stored bigram-model parquet itself (pyarrow, pruned
+    columns, cached for the worker's lifetime) — no driver collect, no
+    broadcast, so a 10M-row multi-language bigram model costs the driver
+    nothing.  Same stateless zero-shuffle plan, same streaming capability,
+    BIT-IDENTICAL to the other two bigram paths under ``quantize``
+    (pytest-gated).  ``model_path`` must be readable from the executors."""
+    import math
+
+    model_schema = df.sparkSession.read.parquet(model_path)
+    _check_model_quantize(model_schema, quantize)
+    bq = (int(round(math.log(backoff) * 10**quantize))
+          if quantize is not None else math.log(backoff))
+    scale = float(10**quantize) if quantize is not None else None
+    return _apply_bigram_kernel(
+        df, lambda: _load_bigram_dicts(model_path, lang_col),
+        id_col, text_col, lang_col, scale, bq)
+
+
+def _apply_bigram_kernel(df, get_model, id_col, text_col, lang_col, scale, bq):
     id_type = dict(df.dtypes)[id_col]
     lang_field = f"{lang_col} string, " if lang_col else ""
     schema = (f"{id_col} {id_type}, {lang_field}"
@@ -1054,7 +1118,7 @@ def score_with_stored_bigram(
 
         import pandas as pd
 
-        uni_, oov_, big_ = bc.value
+        uni_, oov_, big_ = get_model()
         for pdf in batches:
             out_n, out_s = [], []
             langs = pdf[lang_col] if lang_col else [None] * len(pdf)

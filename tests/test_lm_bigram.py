@@ -106,13 +106,17 @@ def test_three_paths_bit_identical(spark, tmp_path):
     ).write.parquet(mpath)
     model = spark.read.parquet(mpath)
 
+    from sketchlib.spark.textops import score_with_bigram_path
+
     a = sorted(tuple(r) for r in bigram_logprob_score(
         docs, model=model, quantize=Q).collect())
     b = sorted(tuple(r) for r in bigram_logprob_score(
         docs, model=model, quantize=Q, hash_bigrams=True).collect())
     c = sorted(tuple(r) for r in score_with_stored_bigram(
         docs, model, quantize=Q).collect())
-    assert a == b == c
+    d = sorted(tuple(r) for r in score_with_bigram_path(
+        docs, mpath, quantize=Q).collect())
+    assert a == b == c == d
     zh = [r for r in a if r[1] == "zh"]
     assert zh and all(r[2] == 0 and r[3] is None for r in zh)
 
