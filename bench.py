@@ -1151,11 +1151,10 @@ def lmquality_bench() -> None:
             sc = score_with_stored_model(
                 corpus(sp), sp.read.parquet(f"{mdir}/model"), id_col="url")
             t_at[n] = best_of(lambda: force(sc))
-            if n == 8:
-                bsc = score_with_stored_bigram(
-                    corpus(sp), sp.read.parquet(f"{mdir}/bimodel"),
-                    id_col="url")
-                bt_at[n] = best_of(lambda: force(bsc))
+            bsc = score_with_stored_bigram(
+                corpus(sp), sp.read.parquet(f"{mdir}/bimodel"),
+                id_col="url")
+            bt_at[n] = best_of(lambda: force(bsc))
             sp.stop()
         out["score_stored_sec_local8"] = round(t_at[8], 2)
         out["score_stored_sec_local2"] = round(t_at[2], 2)
@@ -1164,6 +1163,9 @@ def lmquality_bench() -> None:
         out["scaling_eff_2_to_8"] = round(t_at[2] / (4.0 * t_at[8]), 3)
         out["scaling_eff_8_to_32"] = round(t_at[8] / (4.0 * t_stored), 3)
         out["bigram"]["score_stored_sec_local8"] = round(bt_at[8], 2)
+        out["bigram"]["score_stored_sec_local2"] = round(bt_at[2], 2)
+        out["bigram"]["scaling_eff_2_to_8"] = round(
+            bt_at[2] / (4.0 * bt_at[8]), 3)
         out["bigram"]["scaling_eff_8_to_32"] = round(
             bt_at[8] / (4.0 * t_bstored), 3)
     shutil.rmtree(mdir, ignore_errors=True)

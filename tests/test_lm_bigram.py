@@ -195,3 +195,70 @@ def test_stored_bigram_scorer_streams(spark, tmp_path):
     q.stop()
     assert {r["doc_id"]: (r["n_tokens"], r["logprob_per_token"])
             for r in got} == batch
+
+
+def test_property_random_corpora_bigram_match_python_oracle(spark):
+    """Hypothesis: random corpora (tiny vocab, odd whitespace, dup docs,
+    repeated bigrams, uncovered langs) — quantized Spark bigram scores ==
+    pure-python stupid-backoff recompute with the same caps."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from sketchlib.spark.textops import bigram_logprob_score
+
+    words = st.sampled_from(["aa", "b", "ccc"])
+    text = st.lists(
+        st.one_of(words, st.just(""), st.just(" ")), min_size=0, max_size=10
+    ).map(" ".join)
+    doc = st.tuples(st.sampled_from(["x", "y"]), text)
+
+    def py_round(x):
+        # Spark ROUND = half away from zero (not python banker's)
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.lists(doc, min_size=1, max_size=12))
+    def run(docs_py):
+        rows = [(i, lang, t) for i, (lang, t) in enumerate(docs_py)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        got = {r["doc_id"]: (r["n_tokens"], r["logprob_per_token"])
+               for r in bigram_logprob_score(
+                   df, vocab_top_k=3, bigram_top_k=4, alpha=0.5,
+                   quantize=6, backoff=0.4).collect()}
+        # python oracle: top-3 unigram, top-4 bigram (total-order tie-break
+        # cnt DESC, ctx, word), ctx totals over ALL bigrams pre-cap
+        uc, bc = defaultdict(Counter), defaultdict(Counter)
+        for _, lang, t in rows:
+            toks = [w for w in t.split(" ") if w]
+            uc[lang].update(toks)
+            bc[lang].update(zip(toks, toks[1:]))
+        lps, oovs, bigs = {}, {}, {}
+        for lang, c in uc.items():
+            top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+            denom = sum(n for _, n in top) + 0.5 * (len(top) + 1.0)
+            lps[lang] = {w: py_round(math.log((n + 0.5) / denom) * 1e6)
+                         for w, n in top}
+            oovs[lang] = py_round(math.log(0.5 / denom) * 1e6)
+            tot = Counter()
+            for (cx, _w), n in bc[lang].items():
+                tot[cx] += n
+            kept = sorted(bc[lang].items(),
+                          key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[:4]
+            bigs[lang] = {cw: py_round(math.log(n / tot[cw[0]]) * 1e6)
+                          for cw, n in kept}
+        bq = py_round(math.log(0.4) * 1e6)
+        for i, lang, t in rows:
+            toks = [w for w in t.split(" ") if w]
+            if not toks or lang not in oovs:
+                assert got[i] == (0, None), (i, got[i])
+                continue
+            u = [lps[lang].get(w, oovs[lang]) for w in toks]
+            s = u[0]
+            for j in range(1, len(toks)):
+                b = bigs[lang].get((toks[j - 1], toks[j]))
+                s += b if b is not None else bq + u[j]
+            want = ((-s) / len(toks)) / 1e6
+            assert got[i] == (len(toks), want), (i, got[i], want)
+
+    run()
