@@ -116,10 +116,12 @@ def main() -> None:
     #   td_quantiles_cdf_by_lang   <- td_quantiles_by_lang + td_cdf_by_lang
     #   sketch_source_counts       <- bloom_membership_by_source
     #                                 + cms_source_counts
+    #   td_compress_trim_by_lang   <- td_compressed_by_lang
+    #                                 + td_trimmed_mean_by_lang
     r01 = {
         "td_quantiles_cdf_by_lang", "td_kll_quantiles_by_lang",
         "td_info_stats_by_lang",
-        "td_quantiles_multi_table", "td_compressed_by_lang",
+        "td_quantiles_multi_table", "td_compress_trim_by_lang",
         "sketch_source_counts",
         "hll_users_union", "text_doc_features",
         "text_quality_by_lang", "lang_id_confusion",

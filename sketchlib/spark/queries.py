@@ -3053,6 +3053,127 @@ LEFT JOIN scored s ON s.doc_id = doc.doc_id AND s.lang = doc.lang
 """
 
 
+def q_lm_trigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff TRIGRAM LM quality score, per document — the
+    order-agnostic extension of ``lm_bigram_score`` (Brants et al. 2007's
+    backoff chain walked top-down: stored trigram relative frequency when
+    (w-2 w-1, w) is in the capped model, else ln(0.4) + the bigram score,
+    else 2·ln(0.4) + the smoothed unigram; positions lacking the context
+    skip that level with NO penalty).  ``quantize=6`` keeps every per-doc
+    sum exact integer arithmetic, so all 500 per-doc doubles hash-match the
+    oracle, which retrains the same per-level capped model in SQL
+    (total-ordered top-k tie-break per level) and rescores every document.
+    Plan: per-token contexts are one in-array JVM projection (no window),
+    all three model levels join as broadcasts, one per-doc aggregate."""
+    from sketchlib.spark.textops import ngram_logprob_score, train_ngram_model
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    # cache the KB-scale model: it feeds FOUR broadcast joins in the scorer
+    model = train_ngram_model(
+        docs, order=3, vocab_top_k=LM_TOPK, ngram_top_k=LM_BIGRAM_TOPK,
+        alpha=0.5, quantize=6,
+    ).cache()
+    return ngram_logprob_score(
+        docs, order=3, model=model, quantize=6, backoff=0.4,
+    )
+
+
+_LM_TRIGRAM_SQL = f"""
+WITH dt AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), w -> w != '') AS toks
+  FROM documents
+), rtoks AS (
+  SELECT lang, unnest(toks) AS word FROM dt
+), counts AS (
+  SELECT lang, word, count(*) AS cnt FROM rtoks GROUP BY lang, word
+), model AS (
+  SELECT lang, word, cnt FROM (
+    SELECT lang, word, cnt,
+           row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, word) AS rk
+    FROM counts) WHERE rk <= {LM_TOPK}
+), totals AS (
+  SELECT lang, sum(cnt)::BIGINT AS total, count(*)::BIGINT AS v
+  FROM model GROUP BY lang
+), ulp AS (
+  SELECT m.lang, m.word,
+         round(ln((m.cnt + 0.5) / (t.total + 0.5 * (t.v + 1.0))) * 1000000)::BIGINT AS lp
+  FROM model m JOIN totals t USING (lang)
+), oov AS (
+  SELECT lang,
+         round(ln(0.5 / (total + 0.5 * (v + 1.0))) * 1000000)::BIGINT AS oov_lp
+  FROM totals
+), grams AS (
+  SELECT doc_id, lang, p[1] AS word, p[2] AS ctx1,
+         p[3] || ' ' || p[2] AS ctx2
+  FROM (
+    SELECT doc_id, lang,
+           unnest(list_zip(toks, list_prepend(NULL, toks),
+                           list_prepend(NULL, list_prepend(NULL, toks)))) AS p
+    FROM dt) z
+  WHERE p[1] IS NOT NULL
+), bic AS (
+  SELECT lang, ctx1 AS ctx, word, count(*) AS cnt FROM grams
+  WHERE ctx1 IS NOT NULL GROUP BY lang, ctx1, word
+), btot AS (
+  SELECT lang, ctx, sum(cnt) AS tot FROM bic GROUP BY lang, ctx
+), bim AS (
+  SELECT lang, ctx, word,
+         round(ln(CAST(cnt AS DOUBLE) / tot) * 1000000)::BIGINT AS blp
+  FROM (
+    SELECT b.lang, b.ctx, b.word, b.cnt, t.tot,
+           row_number() OVER (PARTITION BY b.lang
+                              ORDER BY b.cnt DESC, b.ctx, b.word) AS rk
+    FROM bic b JOIN btot t ON t.lang = b.lang AND t.ctx = b.ctx)
+  WHERE rk <= {LM_BIGRAM_TOPK}
+), tric AS (
+  SELECT lang, ctx2 AS ctx, word, count(*) AS cnt FROM grams
+  WHERE ctx2 IS NOT NULL GROUP BY lang, ctx2, word
+), ttot AS (
+  SELECT lang, ctx, sum(cnt) AS tot FROM tric GROUP BY lang, ctx
+), trim AS (
+  SELECT lang, ctx, word,
+         round(ln(CAST(cnt AS DOUBLE) / tot) * 1000000)::BIGINT AS tlp
+  FROM (
+    SELECT b.lang, b.ctx, b.word, b.cnt, t.tot,
+           row_number() OVER (PARTITION BY b.lang
+                              ORDER BY b.cnt DESC, b.ctx, b.word) AS rk
+    FROM tric b JOIN ttot t ON t.lang = b.lang AND t.ctx = b.ctx)
+  WHERE rk <= {LM_BIGRAM_TOPK}
+), scored AS (
+  SELECT d.doc_id, d.lang, count(*)::BIGINT AS n_tokens,
+         (-sum(CASE WHEN tm.tlp IS NOT NULL THEN tm.tlp
+               ELSE (CASE WHEN d.ctx2 IS NULL THEN 0 ELSE -916291 END)
+                    + CASE WHEN bm.blp IS NOT NULL THEN bm.blp
+                      ELSE (CASE WHEN d.ctx1 IS NULL THEN 0 ELSE -916291 END)
+                           + coalesce(u.lp, o.oov_lp) END
+               END)::DOUBLE
+          / count(*)) / 1000000.0 AS logprob_per_token
+  FROM grams d
+  LEFT JOIN trim tm ON tm.lang = d.lang AND tm.ctx = d.ctx2 AND tm.word = d.word
+  LEFT JOIN bim bm ON bm.lang = d.lang AND bm.ctx = d.ctx1 AND bm.word = d.word
+  LEFT JOIN ulp u ON u.lang = d.lang AND u.word = d.word
+  JOIN oov o ON o.lang = d.lang
+  GROUP BY d.doc_id, d.lang
+)
+SELECT doc.doc_id, doc.lang,
+       coalesce(s.n_tokens, 0)::BIGINT AS n_tokens, s.logprob_per_token
+FROM documents doc
+LEFT JOIN scored s ON s.doc_id = doc.doc_id AND s.lang = doc.lang
+"""
+
+
+def q_td_compress_trim_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Folds td_compressed_by_lang + td_trimmed_mean_by_lang (both green in
+    every driver run since r01; freed a gate slot for lm_trigram_score):
+    the production-mode rank-interval accuracy law per (lang, p) joined
+    with the discrete-digest trimmed-mean exactness law — two 5-row
+    verdict-boolean tables joined on lang."""
+    c = q_td_compressed_by_lang(spark, sf_dir)
+    t = q_td_trimmed_mean_by_lang(spark, sf_dir).select("lang", "tm_ok")
+    return c.join(F.broadcast(t), "lang")
+
+
 def q_td_quantiles_cdf_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Folds td_quantiles_by_lang + td_cdf_by_lang (both green in every
     driver run since r01; freed a gate slot for the round-4 timeline/bigram
@@ -3081,6 +3202,8 @@ def q_sketch_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the long-green remainder follows.
 QUERIES = {
     # --- new in round 4 (never driver-gated) ---
+    "lm_trigram_score": q_lm_trigram_score,
+    "td_compress_trim_by_lang": q_td_compress_trim_by_lang,
     "td_timeline_by_type": q_td_timeline_by_type,
     "lm_bigram_score": q_lm_bigram_score,
     # --- never driver-gated as of r03 ---
@@ -3109,7 +3232,6 @@ QUERIES = {
     "td_quantiles_cdf_by_lang": q_td_quantiles_cdf_by_lang,
     "sketch_source_counts": q_sketch_source_counts,
     # --- long-green ---
-    "td_compressed_by_lang": q_td_compressed_by_lang,
     "text_quality_by_lang": q_text_quality_by_lang,
     "lang_id_confusion": q_lang_id_confusion,
     "dedup_exact_keepers": q_dedup_exact_keepers,
@@ -3127,7 +3249,6 @@ QUERIES = {
     "event_sessions": q_event_sessions,
     "td_cube_lang_source": q_td_cube_lang_source,
     "td_weighted_lineitem": q_td_weighted_lineitem,
-    "td_trimmed_mean_by_lang": q_td_trimmed_mean_by_lang,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "dedup_group_keepers": q_dedup_group_keepers,
     "events_asof_purchase": q_events_asof_purchase,
@@ -3139,6 +3260,12 @@ QUERIES = {
 
 ORACLES = {
     "td_timeline_by_type": _TIMELINE_SQL,
+    "lm_trigram_score": _LM_TRIGRAM_SQL,
+    "td_compress_trim_by_lang": """
+SELECT lang, count(*) AS n_docs,
+       TRUE AS q50_ok, TRUE AS q95_ok, TRUE AS q99_ok, TRUE AS tm_ok
+FROM documents GROUP BY lang
+""",
     "lm_bigram_score": _LM_BIGRAM_SQL,
     "lm_quality_buckets": _LM_QUALITY_SQL,
     "sample_corpus_methods": _sample_fold_sql(),
@@ -3175,11 +3302,6 @@ SELECT source, count(*) AS n_members, count(*) AS n_docs, count(*) AS est_count
 FROM documents GROUP BY source
 """,
     # --- originals ---
-    "td_compressed_by_lang": """
-SELECT lang, count(*) AS n_docs,
-       TRUE AS q50_ok, TRUE AS q95_ok, TRUE AS q99_ok
-FROM documents GROUP BY lang
-""",
     "text_quality_by_lang": _quality_sql(),
     "lang_id_confusion": _lang_id_sql(),
     "dedup_exact_keepers": """
@@ -3208,7 +3330,6 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
     "event_sessions": _SESSIONS_SQL,
     "td_cube_lang_source": _cube_sql(),
     "td_weighted_lineitem": _WEIGHTED_SQL,
-    "td_trimmed_mean_by_lang": _TRIMMED_MEAN_SQL,
     "cms_heavy_hitters": _CMS_HH_SQL,
     "dedup_group_keepers": _group_keepers_sql(0.8),
     "events_asof_purchase": _ASOF_SQL,

@@ -1157,3 +1157,201 @@ def _apply_bigram_kernel(df, get_model, id_col, text_col, lang_col, scale, bq):
 
     cols = [id_col] + ([lang_col] if lang_col else []) + [text_col]
     return df.select(*cols).mapInPandas(score_batches, schema)
+
+
+def _token_ngrams(order: int) -> "F.Column":
+    """Per-token struct (word, ctx1, .., ctx{order-1}) computed INSIDE the
+    tokens array: ``ctx_j`` is the space-join of the ``j`` preceding tokens
+    (NULL when fewer than ``j`` precede).  Tokens are whitespace-split, so
+    the space-join is collision-free; like ``_token_pairs`` this is a pure
+    JVM projection at scan grain — no window, no shuffle, any order."""
+    def fields(w, i):
+        fs = [w.alias("word")]
+        for j in range(1, order):
+            parts = [F.get(F.col("tokens"), i - k) for k in range(j, 0, -1)]
+            ctx = parts[0] if j == 1 else F.concat_ws(" ", *parts)
+            fs.append(F.when(i >= j, ctx).alias(f"ctx{j}"))
+        return F.struct(*fs)
+
+    return F.transform(F.col("tokens"), fields)
+
+
+def train_ngram_model(
+    ref: DataFrame,
+    order: int = 3,
+    lang_col: str | None = "lang",
+    text_col: str = "text",
+    vocab_top_k: int = 65536,
+    ngram_top_k: int = 262144,
+    alpha: float = 0.5,
+    quantize: int | None = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """Order-agnostic stupid-backoff LM trainer — ``train_bigram_model``
+    generalized to any ``order`` (the trigram/TOP-K-context extension).
+    Returns ONE storable table ([lang], ctx, word, lp): ``ctx IS NULL`` is
+    the unigram sub-model (capped vocab, add-alpha, NULL-word OOV bucket);
+    a ``ctx`` of ``j`` space-joined words carries the (j+1)-gram rows with
+    lp = ln(cnt(ctx,word)/cnt(ctx)), the stupid-backoff relative frequency
+    (Brants et al. 2007) — each level capped independently at
+    ``ngram_top_k`` rows per lang (total-ordered tie-break cnt DESC, ctx,
+    word), totals computed BEFORE capping so stored probabilities stay true
+    relative frequencies.  ``order=2`` reproduces ``train_bigram_model``
+    row-for-row (asserted in pytest).  Training is one explode of the
+    per-token context struct feeding ``order-1`` independent pair-count
+    aggregates — embarrassingly parallel at any order, which is exactly why
+    stupid backoff is the published web-scale choice."""
+    if order < 2:
+        raise ValueError(f"train_ngram_model: order must be >= 2, got {order}")
+    keys = [lang_col] if lang_col else []
+    uni = train_unigram_model(
+        ref, lang_col, text_col, vocab_top_k, alpha, quantize
+    ).withColumn("ctx", F.lit(None).cast("string"))
+    base = (
+        with_tokens(ref.select(*keys, text_col), text_col)
+        .select(*keys, F.explode(_token_ngrams(order)).alias("_p"))
+    )
+    levels = [uni.select(*keys, "ctx", "word", "lp")]
+    for j in range(2, order + 1):
+        grams = base.select(
+            *keys,
+            F.col(f"_p.ctx{j - 1}").alias("ctx"),
+            F.col("_p.word").alias("word"),
+        ).filter(F.col("ctx").isNotNull())
+        cnt = grams.groupBy(*keys, "ctx", "word").agg(F.count("*").alias("cnt"))
+        tot = cnt.groupBy(*keys, "ctx").agg(F.sum("cnt").alias("_tot"))
+        if min_count > 1:
+            cnt = cnt.filter(F.col("cnt") >= min_count)
+        lp_expr = F.log(F.col("cnt") / F.col("_tot"))
+        if quantize is not None:
+            lp_expr = F.round(lp_expr * float(10**quantize)).cast("long")
+        scored = cnt.join(tot, keys + ["ctx"])
+        if keys:
+            wk = Window.partitionBy(*keys).orderBy(
+                F.desc("cnt"), F.asc("ctx"), F.asc("word")
+            )
+            capped = (
+                scored.withColumn("_rk", F.row_number().over(wk))
+                .filter(F.col("_rk") <= ngram_top_k)
+            )
+        else:
+            capped = scored.orderBy(
+                F.desc("cnt"), F.asc("ctx"), F.asc("word")
+            ).limit(ngram_top_k)
+        levels.append(capped.select(*keys, "ctx", "word", lp_expr.alias("lp")))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
+def ngram_logprob_score(
+    df: DataFrame,
+    ref: DataFrame | None = None,
+    order: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+    vocab_top_k: int = 65536,
+    ngram_top_k: int = 262144,
+    alpha: float = 0.5,
+    quantize: int | None = None,
+    backoff: float = 0.4,
+    model: DataFrame | None = None,
+    hash_ngrams: bool = False,
+) -> DataFrame:
+    """Stupid-backoff n-gram LM quality score at any ``order`` — the
+    trigram/TOP-K-context extension of ``bigram_logprob_score`` with the
+    SAME output contract (id, [lang], n_tokens, logprob_per_token; lower =
+    more fluent; empty docs NULL) and the same plan shape: per-token
+    contexts are an in-array JVM projection (``_token_ngrams`` — no window,
+    no extra shuffle), every model level joins as a broadcast, and the only
+    wide shuffle is the per-doc aggregate.
+
+    Per-token score walks the backoff chain top-down: the stored (j+1)-gram
+    lp when (ctx_j, word) is in the model, else ln(``backoff``) + the
+    j-gram score — penalties accumulate per missed level, and a position
+    with fewer than ``j`` preceding tokens skips level j+1 WITHOUT penalty
+    (a doc's first token is pure unigram, its second starts at the bigram
+    level).  ``order=2`` is bit-identical to ``bigram_logprob_score``
+    (asserted in pytest).  With ``quantize`` every per-doc sum is exact
+    integer arithmetic (one final IEEE division) — bit-identical across
+    partition layouts and engines, driver-gated as ``lm_trigram_score``.
+    ``hash_ngrams=True`` replaces each level's (ctx, word) string join key
+    with one JVM-side ``xxhash64`` long on both sides, shrinking every
+    shipped broadcast to 8 B/key exactly as ``hash_bigrams`` does."""
+    if order < 2:
+        raise ValueError(f"ngram_logprob_score: order must be >= 2, got {order}")
+    keys = [lang_col] if lang_col else []
+    if model is None:
+        model = train_ngram_model(
+            df if ref is None else ref, order, lang_col, text_col,
+            vocab_top_k, ngram_top_k, alpha, quantize,
+        )
+    else:
+        _check_model_quantize(model, quantize)
+    import math
+
+    if quantize is not None:
+        bq = F.lit(int(round(math.log(backoff) * 10**quantize)))
+        zero = F.lit(0).cast("long")
+    else:
+        bq = F.lit(float(math.log(backoff)))
+        zero = F.lit(0.0)
+    uni = model.filter(F.col("ctx").isNull() & F.col("word").isNotNull()).select(
+        *keys, "word", F.col("lp").alias("_uni")
+    )
+    oov = model.filter(F.col("ctx").isNull() & F.col("word").isNull()).select(
+        *keys, F.col("lp").alias("_oov")
+    )
+    toks = (
+        with_tokens(df.select(id_col, *keys, text_col), text_col)
+        .select(id_col, *keys, F.explode_outer(_token_ngrams(order)).alias("_p"))
+        .select(id_col, *keys, F.col("_p.word").alias("word"),
+                *[F.col(f"_p.ctx{j}").alias(f"ctx{j}") for j in range(1, order)])
+    )
+    joined = toks
+    for j in range(2, order + 1):
+        # level-j rows: ctx has exactly j-1 space-separated words
+        lv = model.filter(
+            F.col("ctx").isNotNull()
+            & (F.size(F.split(F.col("ctx"), " ")) == j - 1)
+        )
+        if hash_ngrams:
+            lv = lv.select(
+                *keys, F.xxhash64("ctx", "word").alias(f"_h{j}"),
+                F.col("lp").alias(f"_g{j}"),
+            )
+            joined = joined.withColumn(
+                f"_h{j}",
+                F.when(F.col(f"ctx{j - 1}").isNotNull(),
+                       F.xxhash64(f"ctx{j - 1}", "word")),
+            )
+            jk = keys + [f"_h{j}"]
+        else:
+            lv = lv.select(
+                *keys, F.col("ctx").alias(f"ctx{j - 1}"), "word",
+                F.col("lp").alias(f"_g{j}"),
+            )
+            jk = keys + [f"ctx{j - 1}", "word"]
+        joined = joined.join(F.broadcast(lv), jk, "left")
+    joined = joined.join(F.broadcast(uni), keys + ["word"], "left")
+    joined = (joined.join(F.broadcast(oov), keys, "left") if keys
+              else joined.crossJoin(F.broadcast(oov)))
+    valid = F.col("word").isNotNull() & F.col("_oov").isNotNull()
+    # backoff chain bottom-up: unigram base, then each level wraps it
+    lp = F.coalesce("_uni", "_oov")
+    for j in range(2, order + 1):
+        pen = F.when(F.col(f"ctx{j - 1}").isNull(), zero).otherwise(bq)
+        lp = F.when(F.col(f"_g{j}").isNotNull(), F.col(f"_g{j}")).otherwise(
+            pen + lp
+        )
+    joined = joined.withColumn("_lp", F.when(valid, lp))
+    n_expr = F.sum(valid.cast("long"))
+    score_expr = -F.sum("_lp") / n_expr
+    if quantize is not None:
+        score_expr = score_expr / F.lit(float(10**quantize))
+    return joined.groupBy(id_col, *keys).agg(
+        n_expr.cast("long").alias("n_tokens"),
+        F.when(n_expr > 0, score_expr).alias("logprob_per_token"),
+    )

@@ -1,0 +1,190 @@
+"""Order-agnostic stupid-backoff n-gram LM (the trigram/TOP-K-context
+extension): order=2 must be bit-identical to the bigram path, order=3 is
+checked against a pure-python stupid-backoff oracle and for handcrafted
+backoff-chain semantics (per-level penalties, no penalty for positions
+that lack the context)."""
+
+import math
+from collections import Counter, defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+pytestmark = pytest.mark.spark
+
+ALPHA = 0.5
+UTOPK = 50
+NTOPK = 200
+Q = 6
+BACKOFF = 0.4
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "lang", "text")
+
+
+def _nullsafe(rows):
+    return sorted(
+        (tuple(r) for r in rows),
+        key=lambda t: tuple((x is None, x) for x in t),
+    )
+
+
+def test_order2_bit_identical_to_bigram(spark):
+    """train_ngram_model(order=2) == train_bigram_model row-for-row and
+    ngram_logprob_score(order=2) == bigram_logprob_score doc-for-doc,
+    including the hashed-key variant — the order-agnostic plumbing is a
+    strict generalization, not a fork."""
+    from sketchlib.spark.textops import (
+        bigram_logprob_score,
+        ngram_logprob_score,
+        train_bigram_model,
+        train_ngram_model,
+    )
+
+    docs = _docs(spark)
+    m2 = train_ngram_model(
+        docs, order=2, vocab_top_k=UTOPK, ngram_top_k=NTOPK, quantize=Q
+    ).cache()
+    mb = train_bigram_model(
+        docs, vocab_top_k=UTOPK, bigram_top_k=NTOPK, quantize=Q)
+    assert _nullsafe(m2.collect()) == _nullsafe(mb.collect())
+    a = _nullsafe(ngram_logprob_score(docs, order=2, model=m2, quantize=Q).collect())
+    b = _nullsafe(bigram_logprob_score(docs, model=mb, quantize=Q).collect())
+    h = _nullsafe(ngram_logprob_score(
+        docs, order=2, model=m2, quantize=Q, hash_ngrams=True).collect())
+    assert a == b == h
+
+
+def _py_tri_model(rows, utopk=UTOPK, ntopk=NTOPK, alpha=ALPHA):
+    """per-lang capped unigram + bigram + trigram stupid-backoff model with
+    quantized integer log-probs — mirrors train_ngram_model(order=3)"""
+    uc = defaultdict(Counter)
+    bc = defaultdict(Counter)
+    tc = defaultdict(Counter)
+    for lang, text in rows:
+        toks = [w for w in (text or "").split(" ") if w]
+        uc[lang].update(toks)
+        bc[lang].update(zip(toks, toks[1:]))
+        tc[lang].update(
+            (f"{a} {b}", c) for a, b, c in zip(toks, toks[1:], toks[2:]))
+    out = {}
+    for lang in uc:
+        top = sorted(uc[lang].items(), key=lambda kv: (-kv[1], kv[0]))[:utopk]
+        total = sum(n for _, n in top)
+        denom = total + alpha * (len(top) + 1)
+        uni = {w: round(math.log((n + alpha) / denom) * 10**Q) for w, n in top}
+        oov = round(math.log(alpha / denom) * 10**Q)
+        levels = []
+        for counts in (bc[lang], tc[lang]):
+            tot = Counter()
+            for (c, _w), n in counts.items():
+                tot[c] += n
+            kept = sorted(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )[:ntopk]
+            levels.append(
+                {cw: round(math.log(n / tot[cw[0]]) * 10**Q) for cw, n in kept})
+        out[lang] = (uni, oov, levels[0], levels[1])
+    return out
+
+
+def _py_tri_scores(rows, models):
+    bq = round(math.log(BACKOFF) * 10**Q)
+    out = {}
+    for did, lang, text in rows:
+        toks = [w for w in (text or "").split(" ") if w]
+        if not toks or lang not in models:
+            out[did] = (0, None)
+            continue
+        uni, oov, big, tri = models[lang]
+        s = 0
+        for i, w in enumerate(toks):
+            # backoff chain: trigram -> bigram -> unigram/OOV; a missing
+            # level (position too early) is skipped WITHOUT penalty
+            u = uni.get(w, oov)
+            lp = big.get((toks[i - 1], w)) if i >= 1 else None
+            blev = lp if lp is not None else (bq if i >= 1 else 0) + u
+            tkey = (f"{toks[i - 2]} {toks[i - 1]}", w) if i >= 2 else None
+            tlp = tri.get(tkey) if tkey is not None else None
+            s += tlp if tlp is not None else (bq if i >= 2 else 0) + blev
+        out[did] = (len(toks), (-s / len(toks)) / 10**Q)
+    return out
+
+
+def test_trigram_scores_match_python_oracle(spark):
+    from sketchlib.spark.textops import ngram_logprob_score
+
+    docs = _docs(spark)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["logprob_per_token"])
+        for r in ngram_logprob_score(
+            docs, order=3, vocab_top_k=UTOPK, ngram_top_k=NTOPK,
+            alpha=ALPHA, quantize=Q, backoff=BACKOFF,
+        ).collect()
+    }
+    rows = [(r["lang"], r["text"]) for r in docs.collect()]
+    srows = [(r["doc_id"], r["lang"], r["text"]) for r in docs.collect()]
+    want = _py_tri_scores(srows, _py_tri_model(rows))
+    assert got == want
+
+
+def test_trigram_backoff_semantics_handcrafted(spark):
+    """a seen trigram scores its stored relative frequency; a doc whose
+    trigram is unseen pays ln(backoff) + the bigram score; positions 0 and
+    1 pay NO trigram penalty (the context does not exist)."""
+    from sketchlib.spark.textops import ngram_logprob_score
+
+    ref = spark.createDataFrame(
+        [(i, "en", "a b c a b d") for i in range(3)],
+        "doc_id long, lang string, text string",
+    )
+    probe = spark.createDataFrame(
+        [(100, "en", "a b c"),   # uni(a) + bi(a,b) + tri(a b -> c)
+         (101, "en", "a b z"),   # uni(a) + bi(a,b) + bq + (bq + oov(z))
+         (102, "en", "a b")],    # uni(a) + bi(a,b) — no trigram penalty
+        "doc_id long, lang string, text string",
+    )
+    got = {r["doc_id"]: r for r in ngram_logprob_score(
+        probe, ref=ref, order=3, vocab_top_k=10, ngram_top_k=10,
+        alpha=ALPHA, backoff=BACKOFF).collect()}
+
+    # ref unigram counts: a=6, b=6, c=3, d=3 (total 18, v=4)
+    denom = 18 + ALPHA * (4 + 1)
+    ua = math.log((6 + ALPHA) / denom)
+    oov = math.log(ALPHA / denom)
+    bi_ab = math.log(1.0)        # every 'a' is followed by 'b'
+    tri_abc = math.log(1 / 2)    # 'a b' -> c once, -> d once
+    bq = math.log(BACKOFF)
+    assert got[100]["logprob_per_token"] == pytest.approx(
+        -(ua + bi_ab + tri_abc) / 3)
+    assert got[101]["logprob_per_token"] == pytest.approx(
+        -(ua + bi_ab + bq + bq + oov) / 3)
+    assert got[102]["logprob_per_token"] == pytest.approx(-(ua + bi_ab) / 2)
+
+
+def test_trigram_hashed_and_stored_roundtrip(spark, tmp_path):
+    """hash_ngrams=True and a parquet model round-trip are bit-identical to
+    the plain broadcast-join path, incl. empty docs and an uncovered lang."""
+    from sketchlib.spark.textops import ngram_logprob_score, train_ngram_model
+
+    docs = _docs(spark).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 29 == 0, F.lit("")).otherwise(F.col("text")),
+    )
+    ref = docs.filter(F.col("lang") != "zh")
+    mpath = str(tmp_path / "tri_model")
+    train_ngram_model(
+        ref, order=3, vocab_top_k=UTOPK, ngram_top_k=NTOPK, quantize=Q
+    ).write.parquet(mpath)
+    model = spark.read.parquet(mpath)
+    a = _nullsafe(ngram_logprob_score(
+        docs, order=3, model=model, quantize=Q).collect())
+    b = _nullsafe(ngram_logprob_score(
+        docs, order=3, model=model, quantize=Q, hash_ngrams=True).collect())
+    assert a == b
+    zh = [r for r in a if r[1] == "zh"]
+    assert zh and all(r[2] == 0 and r[3] is None for r in zh)
