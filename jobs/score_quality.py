@@ -1,6 +1,6 @@
 """Production job: CCNet-style LM-quality scoring — train a per-language
-unigram (or ``--ngram 2`` stupid-backoff bigram) fluency model once, or
-score a corpus against a stored model.
+unigram (or ``--ngram N`` stupid-backoff n-gram, any order) fluency model
+once, or score a corpus against a stored model.
 
 Train (on the reference corpus, e.g. a vetted wiki-like slice):
 
@@ -68,15 +68,19 @@ def main() -> int:
                          "executor worker reads the model parquet itself — "
                          "for huge multi-language models; 'join': fully-JVM "
                          "broadcast-join plan (no driver collect)")
-    ap.add_argument("--ngram", type=int, choices=[1, 2], default=1,
-                    help="1 = unigram model; 2 = stupid-backoff bigram")
+    ap.add_argument("--ngram", type=int, default=1,
+                    help="1 = unigram model; 2 = stupid-backoff bigram; "
+                         "N>=3 = order-N stupid backoff (per-level capped "
+                         "models, per-missed-level penalties)")
     ap.add_argument("--bigram-top-k", type=int, default=262144,
-                    help="per-lang stored-bigram cap (ngram=2)")
+                    help="per-lang per-level stored n-gram cap (ngram>=2)")
     ap.add_argument("--min-count", type=int, default=1,
-                    help="prune bigrams rarer than this before the cap")
+                    help="prune n-grams rarer than this before the cap")
     ap.add_argument("--backoff", type=float, default=0.4,
-                    help="stupid-backoff multiplier (ngram=2)")
+                    help="stupid-backoff multiplier (ngram>=2)")
     args = ap.parse_args()
+    if args.ngram < 1:
+        ap.error("--ngram must be >= 1")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -96,7 +100,17 @@ def main() -> int:
 
     t0 = time.time()
     if args.mode == "train":
-        if args.ngram == 2:
+        if args.ngram >= 3:
+            from sketchlib.spark.textops import train_ngram_model
+
+            model = train_ngram_model(
+                spark.read.parquet(args.input), order=args.ngram,
+                lang_col=args.lang_col, text_col=args.text_col,
+                vocab_top_k=args.vocab_top_k,
+                ngram_top_k=args.bigram_top_k, alpha=args.alpha,
+                quantize=args.quantize, min_count=args.min_count,
+            )
+        elif args.ngram == 2:
             model = train_bigram_model(
                 spark.read.parquet(args.input),
                 lang_col=args.lang_col, text_col=args.text_col,
@@ -124,7 +138,35 @@ def main() -> int:
     if not args.output:
         ap.error("score mode requires --output")
     docs = spark.read.parquet(args.input)
-    if args.ngram == 2:
+    if args.ngram >= 3:
+        # any-order paths: the stored model itself implies the order for
+        # the kernel variants; the join plan is told explicitly
+        if args.model_distribution == "join":
+            from sketchlib.spark.textops import ngram_logprob_score
+
+            scored = ngram_logprob_score(
+                docs, order=args.ngram, model=spark.read.parquet(args.model),
+                id_col=args.id_col, text_col=args.text_col,
+                lang_col=args.lang_col,
+                quantize=args.quantize, backoff=args.backoff,
+            )
+        elif args.model_distribution == "path":
+            from sketchlib.spark.textops import score_with_ngram_path
+
+            scored = score_with_ngram_path(
+                docs, args.model, id_col=args.id_col,
+                text_col=args.text_col, lang_col=args.lang_col,
+                quantize=args.quantize, backoff=args.backoff,
+            )
+        else:
+            from sketchlib.spark.textops import score_with_stored_ngram
+
+            scored = score_with_stored_ngram(
+                docs, spark.read.parquet(args.model), id_col=args.id_col,
+                text_col=args.text_col, lang_col=args.lang_col,
+                quantize=args.quantize, backoff=args.backoff,
+            )
+    elif args.ngram == 2:
         if args.model_distribution == "join":
             scored = bigram_logprob_score(
                 docs, model=spark.read.parquet(args.model),

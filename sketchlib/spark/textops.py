@@ -1355,3 +1355,180 @@ def ngram_logprob_score(
         n_expr.cast("long").alias("n_tokens"),
         F.when(n_expr > 0, score_expr).alias("logprob_per_token"),
     )
+
+
+def _ngram_level_dicts(rows_iter, lang_col):
+    """(lang, ctx, word, lp) rows -> (uni, oov, levels) where ``levels[j]``
+    maps lang -> {(ctx_word_1, .., ctx_word_j, word): lp} for context
+    length j.  Tuple keys avoid re-joining strings in the scoring loop;
+    the stored model's space-joined ctx splits back losslessly because
+    tokens are whitespace-split."""
+    uni: dict = {}
+    oov: dict = {}
+    levels: dict = {}
+    for lang, c, w, lp in rows_iter:
+        if c is not None:
+            cw = tuple(c.split(" "))
+            levels.setdefault(len(cw), {}).setdefault(lang, {})[cw + (w,)] = lp
+        elif w is None:
+            oov[lang] = lp
+        else:
+            uni.setdefault(lang, {})[w] = lp
+    return uni, oov, levels
+
+
+def score_with_stored_ngram(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+    quantize: int | None = 6,
+    backoff: float = 0.4,
+    max_broadcast_rows: int | None = 2_000_000,
+) -> DataFrame:
+    """Zero-shuffle stateless scorer for a STORED n-gram model of ANY order
+    (the order is implied by the model's deepest context — no parameter to
+    get wrong): collect the capped model once, broadcast per-level dicts,
+    score with one Arrow-batched ``mapInPandas`` over the scan (runs
+    unchanged on a readStream).  With ``quantize`` (must match the model's)
+    results are BIT-IDENTICAL to ``ngram_logprob_score(df, model=...)`` at
+    the model's order — asserted in pytest.  Same broadcast-size guard and
+    contract as the unigram/bigram kernels."""
+    import math
+
+    _check_model_quantize(model, quantize)
+    if max_broadcast_rows is not None:
+        n_model = model.count()
+        if n_model > max_broadcast_rows:
+            raise ValueError(
+                f"model has {n_model} rows > max_broadcast_rows="
+                f"{max_broadcast_rows}: use ngram_logprob_score(df, "
+                "model=model) (broadcast-join path, fully JVM) or raise "
+                "the guard explicitly"
+            )
+    packed = _ngram_level_dicts(
+        ((r[lang_col] if lang_col else None, r["ctx"], r["word"], r["lp"])
+         for r in model.collect()),
+        lang_col,
+    )
+    bq = (int(round(math.log(backoff) * 10**quantize))
+          if quantize is not None else math.log(backoff))
+    scale = float(10**quantize) if quantize is not None else None
+    bc = df.sparkSession.sparkContext.broadcast(packed)
+    return _apply_ngram_kernel(df, lambda: bc.value, id_col, text_col,
+                               lang_col, scale, bq)
+
+
+def _load_ngram_dicts(path: str, lang_col: str | None):
+    """worker-side pruned columnar read of a stored n-gram model table ->
+    (uni, oov, levels), cached per worker like ``_load_model_dicts``."""
+    key = (path, lang_col, "ngram")
+    hit = _WORKER_MODEL_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import pyarrow.dataset as ds
+
+    cols = ([lang_col] if lang_col else []) + ["ctx", "word", "lp"]
+    tbl = ds.dataset(path, format="parquet").to_table(columns=cols)
+    langs = (tbl[lang_col].to_pylist() if lang_col
+             else [None] * tbl.num_rows)
+    packed = _ngram_level_dicts(
+        zip(langs, tbl["ctx"].to_pylist(), tbl["word"].to_pylist(),
+            tbl["lp"].to_pylist()),
+        lang_col,
+    )
+    if len(_WORKER_MODEL_CACHE) >= 3:  # bound worker memory across jobs
+        _WORKER_MODEL_CACHE.clear()
+    _WORKER_MODEL_CACHE[key] = packed
+    return packed
+
+
+def score_with_ngram_path(
+    df: DataFrame,
+    model_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+    quantize: int | None = 6,
+    backoff: float = 0.4,
+) -> DataFrame:
+    """The big-model variant of :func:`score_with_stored_ngram`: each
+    executor-side Python worker reads the stored model parquet itself
+    (pyarrow, pruned columns, cached for the worker's lifetime) — no driver
+    collect, no broadcast.  Same stateless zero-shuffle plan, same
+    streaming capability, BIT-IDENTICAL to the broadcast-join path under
+    ``quantize`` (pytest-gated).  ``model_path`` must be readable from the
+    executors."""
+    import math
+
+    model_schema = df.sparkSession.read.parquet(model_path)
+    _check_model_quantize(model_schema, quantize)
+    bq = (int(round(math.log(backoff) * 10**quantize))
+          if quantize is not None else math.log(backoff))
+    scale = float(10**quantize) if quantize is not None else None
+    return _apply_ngram_kernel(
+        df, lambda: _load_ngram_dicts(model_path, lang_col),
+        id_col, text_col, lang_col, scale, bq)
+
+
+def _apply_ngram_kernel(df, get_model, id_col, text_col, lang_col, scale, bq):
+    """Arrow-batched any-order stupid-backoff scoring kernel: per token,
+    walk the backoff chain from the deepest context the model stores (and
+    the position allows) down to the unigram/OOV base, adding one backoff
+    penalty per missed level — the exact semantics of the
+    ``ngram_logprob_score`` join chain, in one pass over the tokens."""
+    id_type = dict(df.dtypes)[id_col]
+    lang_field = f"{lang_col} string, " if lang_col else ""
+    schema = (f"{id_col} {id_type}, {lang_field}"
+              "n_tokens long, logprob_per_token double")
+
+    def score_batches(batches):
+        from itertools import repeat
+
+        import pandas as pd
+
+        uni_, oov_, levels_ = get_model()
+        max_ctx = max(levels_, default=0)
+        for pdf in batches:
+            out_n, out_s = [], []
+            langs = pdf[lang_col] if lang_col else [None] * len(pdf)
+            for text, lang in zip(pdf[text_col], langs):
+                toks = (text or "").split(" ")
+                if "" in toks:
+                    toks = [w for w in toks if w]
+                m = uni_.get(lang)
+                o = oov_.get(lang)
+                if not toks or o is None:
+                    out_n.append(0)
+                    out_s.append(None)
+                    continue
+                lv = [None] + [levels_.get(j, {}).get(lang, {})
+                               for j in range(1, max_ctx + 1)]
+                u = list(map(m.get, toks, repeat(o)))
+                s = 0
+                for i, w in enumerate(toks):
+                    acc = 0
+                    lp = None
+                    for j in range(min(max_ctx, i), 0, -1):
+                        g = lv[j].get((*toks[i - j:i], w))
+                        if g is not None:
+                            lp = acc + g
+                            break
+                        acc += bq
+                    s += lp if lp is not None else acc + u[i]
+                n = len(toks)
+                v = (-s) / n
+                if scale is not None:
+                    v = v / scale
+                out_n.append(n)
+                out_s.append(v)
+            res = pd.DataFrame({id_col: pdf[id_col]})
+            if lang_col:
+                res[lang_col] = pdf[lang_col]
+            res["n_tokens"] = pd.array(out_n, dtype="int64")
+            res["logprob_per_token"] = pd.array(out_s, dtype="float64")
+            yield res
+
+    cols = [id_col] + ([lang_col] if lang_col else []) + [text_col]
+    return df.select(*cols).mapInPandas(score_batches, schema)

@@ -188,3 +188,66 @@ def test_trigram_hashed_and_stored_roundtrip(spark, tmp_path):
     assert a == b
     zh = [r for r in a if r[1] == "zh"]
     assert zh and all(r[2] == 0 and r[3] is None for r in zh)
+
+
+def test_stored_ngram_kernel_bit_identical(spark, tmp_path):
+    """broadcast-join path == collected-broadcast kernel == executor-read
+    kernel for a stored TRIGRAM model (order implied by the model), through
+    a parquet round-trip, incl. empty docs and an uncovered lang; and the
+    same kernel reproduces the BIGRAM paths when handed a bigram model."""
+    from sketchlib.spark.textops import (
+        bigram_logprob_score,
+        ngram_logprob_score,
+        score_with_ngram_path,
+        score_with_stored_ngram,
+        train_bigram_model,
+        train_ngram_model,
+    )
+
+    docs = _docs(spark).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 29 == 0, F.lit("")).otherwise(F.col("text")),
+    )
+    ref = docs.filter(F.col("lang") != "zh")
+    mpath = str(tmp_path / "tri_model")
+    train_ngram_model(
+        ref, order=3, vocab_top_k=UTOPK, ngram_top_k=NTOPK, quantize=Q
+    ).write.parquet(mpath)
+    model = spark.read.parquet(mpath)
+    a = _nullsafe(ngram_logprob_score(
+        docs, order=3, model=model, quantize=Q).collect())
+    b = _nullsafe(score_with_stored_ngram(docs, model, quantize=Q).collect())
+    c = _nullsafe(score_with_ngram_path(docs, mpath, quantize=Q).collect())
+    assert a == b == c
+
+    bi = train_bigram_model(
+        ref, vocab_top_k=UTOPK, bigram_top_k=NTOPK, quantize=Q).cache()
+    d = _nullsafe(bigram_logprob_score(docs, model=bi, quantize=Q).collect())
+    e = _nullsafe(score_with_stored_ngram(docs, bi, quantize=Q).collect())
+    assert d == e
+
+
+def test_stored_ngram_scorer_streams(spark, tmp_path):
+    """the any-order kernel is stateless: the SAME function over a
+    readStream (1 file per trigger) yields exactly the batch scores."""
+    from sketchlib.spark.textops import score_with_stored_ngram, train_ngram_model
+
+    src = str(tmp_path / "src")
+    _docs(spark).repartition(4).write.parquet(src)
+    static = spark.read.parquet(src)
+    model = train_ngram_model(
+        static, order=3, vocab_top_k=UTOPK, ngram_top_k=NTOPK, quantize=Q
+    ).cache()
+    batch = {r["doc_id"]: (r["n_tokens"], r["logprob_per_token"])
+             for r in score_with_stored_ngram(static, model).collect()}
+
+    stream = spark.readStream.schema(static.schema).option(
+        "maxFilesPerTrigger", "1").parquet(src)
+    got = []
+    q = (score_with_stored_ngram(stream, model)
+         .writeStream.outputMode("append")
+         .foreachBatch(lambda bdf, _id: got.extend(bdf.collect())).start())
+    q.processAllAvailable()
+    q.stop()
+    assert {r["doc_id"]: (r["n_tokens"], r["logprob_per_token"])
+            for r in got} == batch

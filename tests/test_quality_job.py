@@ -206,3 +206,46 @@ def test_score_quality_job_bigram_mode(spark, tmp_path, monkeypatch):
         }
     assert outs["broadcast"] == outs["join"]
     assert any(v[1] is not None for v in outs["join"].values())
+
+
+def test_score_quality_job_trigram_mode(spark, tmp_path, monkeypatch):
+    """--ngram 3 lifecycle: train an order-3 stupid-backoff model (both
+    context depths actually stored), score with all three model
+    distributions — identical outputs (exact integer arithmetic)."""
+    sys.path.insert(0, "jobs")
+    import score_quality as job
+
+    capture = []
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    monkeypatch.setattr("builtins.print", lambda s: capture.append(s))
+
+    src = str(tmp_path / "ref")
+    docs = spark.read.parquet(f"{SF_MED}/documents.parquet").select(
+        "doc_id", "lang", "text")
+    docs.write.parquet(src)
+    mpath = str(tmp_path / "trimodel")
+
+    rc = _run(monkeypatch, job, [
+        "train", "--input", src, "--model", mpath, "--ngram", "3",
+        "--vocab-top-k", "64", "--bigram-top-k", "128"], capture)
+    assert rc == 0
+    stored = spark.read.parquet(mpath)
+    from pyspark.sql import functions as F
+
+    depth = stored.filter("ctx IS NOT NULL").select(
+        F.size(F.split("ctx", " ")).alias("d")).distinct()
+    assert {r["d"] for r in depth.collect()} == {1, 2}
+
+    outs = {}
+    for dist in ("broadcast", "path", "join"):
+        out = str(tmp_path / f"scored_{dist}")
+        rc = _run(monkeypatch, job, [
+            "score", "--input", src, "--model", mpath, "--ngram", "3",
+            "--model-distribution", dist, "--output", out], capture)
+        assert rc == 0
+        outs[dist] = {
+            r["doc_id"]: (r["n_tokens"], r["logprob_per_token"])
+            for r in spark.read.parquet(out).collect()
+        }
+    assert outs["broadcast"] == outs["path"] == outs["join"]
+    assert any(v[1] is not None for v in outs["join"].values())
