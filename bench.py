@@ -1033,13 +1033,14 @@ def rangepart_bench() -> None:
 
 
 def lmquality_bench() -> None:
-    """LM-quality (CCNet-style unigram fluency) throughput over a ~1M-page
-    slice of the bench pages table (1/8 hash sample, per-lang models with
-    realistic 55%-en skew): model training time, then corpus scoring via
-    (a) the broadcast-join path and (b) the stored-model stateless
-    mapInPandas scorer — each best of 2 warm reps at local[CPUS], with the
-    scorer also measured at local[8] for N-vs-4N scaling evidence when
-    CPUS=32.  One JSON line."""
+    """LM-quality (CCNet-style fluency) throughput over a ~1M-page slice
+    of the bench pages table (1/8 hash sample, per-lang models with
+    realistic 55%-en skew), for the unigram, bigram AND trigram models:
+    model training time, then corpus scoring via (a) the broadcast-join
+    path and (b) the stored-model stateless mapInPandas scorer — each best
+    of 2 warm reps at local[CPUS], with each scorer also measured at
+    local[8]/local[2] for N-vs-4N scaling evidence when CPUS=32.  One JSON
+    line."""
     import shutil
     import tempfile
 
@@ -1144,9 +1145,47 @@ def lmquality_bench() -> None:
         "join_docs_per_sec": round(n_docs / t_bjoin, 1),
     }
 
+    # trigram (order-3 stupid backoff): same corpus, same protocol — the
+    # any-order kernel against the fully-JVM three-level join plan
+    from sketchlib.spark.textops import (
+        ngram_logprob_score,
+        score_with_stored_ngram,
+        train_ngram_model,
+    )
+
+    spark = get_spark("lmquality-bench-trigram", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = corpus(spark)
+    t0 = time.time()
+    train_ngram_model(
+        docs, order=3, vocab_top_k=65536, ngram_top_k=262144, quantize=6,
+        min_count=2,
+    ).write.mode("overwrite").parquet(f"{mdir}/trimodel")
+    t_ttrain = time.time() - t0
+    trimodel = spark.read.parquet(f"{mdir}/trimodel")
+    n_trimodel = trimodel.count()
+    t0 = time.time()
+    tscored_stored = score_with_stored_ngram(docs, trimodel, id_col="url")
+    t_tsetup = time.time() - t0
+    t_tstored = best_of(lambda: force(tscored_stored))
+    tscored_join = ngram_logprob_score(
+        docs, order=3, id_col="url", model=trimodel, quantize=6)
+    t_tjoin = best_of(lambda: force(tscored_join))
+    spark.stop()
+    out["trigram"] = {
+        "model_rows": n_trimodel,
+        "train_sec": round(t_ttrain, 2),
+        "scorer_setup_sec": round(t_tsetup, 2),
+        "score_stored_sec": round(t_tstored, 2),
+        "score_join_sec": round(t_tjoin, 2),
+        "stored_docs_per_sec": round(n_docs / t_tstored, 1),
+        "join_docs_per_sec": round(n_docs / t_tjoin, 1),
+    }
+
     if str(CPUS) == "32":
         t_at = {}
         bt_at = {}
+        tt_at = {}
         for n in (8, 2):
             sp = get_spark(f"lmquality-bench-{n}", cpus=n)
             sp.sparkContext.setLogLevel("ERROR")
@@ -1157,6 +1196,10 @@ def lmquality_bench() -> None:
                 corpus(sp), sp.read.parquet(f"{mdir}/bimodel"),
                 id_col="url")
             bt_at[n] = best_of(lambda: force(bsc))
+            tsc = score_with_stored_ngram(
+                corpus(sp), sp.read.parquet(f"{mdir}/trimodel"),
+                id_col="url")
+            tt_at[n] = best_of(lambda: force(tsc))
             sp.stop()
         out["score_stored_sec_local8"] = round(t_at[8], 2)
         out["score_stored_sec_local2"] = round(t_at[2], 2)
@@ -1170,6 +1213,12 @@ def lmquality_bench() -> None:
             bt_at[2] / (4.0 * bt_at[8]), 3)
         out["bigram"]["scaling_eff_8_to_32"] = round(
             bt_at[8] / (4.0 * t_bstored), 3)
+        out["trigram"]["score_stored_sec_local8"] = round(tt_at[8], 2)
+        out["trigram"]["score_stored_sec_local2"] = round(tt_at[2], 2)
+        out["trigram"]["scaling_eff_2_to_8"] = round(
+            tt_at[2] / (4.0 * tt_at[8]), 3)
+        out["trigram"]["scaling_eff_8_to_32"] = round(
+            tt_at[8] / (4.0 * t_tstored), 3)
     shutil.rmtree(mdir, ignore_errors=True)
     print(json.dumps(out))
 

@@ -78,6 +78,10 @@ def main() -> int:
                     help="prune n-grams rarer than this before the cap")
     ap.add_argument("--backoff", type=float, default=0.4,
                     help="stupid-backoff multiplier (ngram>=2)")
+    ap.add_argument("--context-top-k", type=int,
+                    help="keep only the K hottest contexts per lang per "
+                         "level before the row cap (ngram>=2; a pruned "
+                         "context simply backs off one level)")
     args = ap.parse_args()
     if args.ngram < 1:
         ap.error("--ngram must be >= 1")
@@ -100,7 +104,7 @@ def main() -> int:
 
     t0 = time.time()
     if args.mode == "train":
-        if args.ngram >= 3:
+        if args.ngram >= 3 or (args.ngram == 2 and args.context_top_k):
             from sketchlib.spark.textops import train_ngram_model
 
             model = train_ngram_model(
@@ -109,6 +113,7 @@ def main() -> int:
                 vocab_top_k=args.vocab_top_k,
                 ngram_top_k=args.bigram_top_k, alpha=args.alpha,
                 quantize=args.quantize, min_count=args.min_count,
+                context_top_k=args.context_top_k,
             )
         elif args.ngram == 2:
             model = train_bigram_model(

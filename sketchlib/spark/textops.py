@@ -1186,6 +1186,7 @@ def train_ngram_model(
     alpha: float = 0.5,
     quantize: int | None = None,
     min_count: int = 1,
+    context_top_k: int | None = None,
 ) -> DataFrame:
     """Order-agnostic stupid-backoff LM trainer — ``train_bigram_model``
     generalized to any ``order`` (the trigram/TOP-K-context extension).
@@ -1200,7 +1201,16 @@ def train_ngram_model(
     row-for-row (asserted in pytest).  Training is one explode of the
     per-token context struct feeding ``order-1`` independent pair-count
     aggregates — embarrassingly parallel at any order, which is exactly why
-    stupid backoff is the published web-scale choice."""
+    stupid backoff is the published web-scale choice.
+
+    ``context_top_k=K`` additionally keeps only the K most frequent
+    CONTEXTS per lang per level (by total context count, tie-break ctx
+    ASC) before the per-level row cap: at web scale the context set is
+    hapax-dominated, and a rare context's continuations are noise the
+    backoff chain handles better than a stored 1-count estimate — a
+    dropped context simply backs off one level (one ln(backoff) penalty),
+    exactly as if it had never been seen.  Stored probabilities are
+    unaffected (totals are per-context)."""
     if order < 2:
         raise ValueError(f"train_ngram_model: order must be >= 2, got {order}")
     keys = [lang_col] if lang_col else []
@@ -1220,6 +1230,22 @@ def train_ngram_model(
         ).filter(F.col("ctx").isNotNull())
         cnt = grams.groupBy(*keys, "ctx", "word").agg(F.count("*").alias("cnt"))
         tot = cnt.groupBy(*keys, "ctx").agg(F.sum("cnt").alias("_tot"))
+        if context_top_k is not None:
+            # prune to the K hottest contexts BEFORE the row cap; `tot` is
+            # one row per context, so this window ranks contexts, not rows
+            if keys:
+                wc = Window.partitionBy(*keys).orderBy(
+                    F.desc("_tot"), F.asc("ctx")
+                )
+                tot = (
+                    tot.withColumn("_crk", F.row_number().over(wc))
+                    .filter(F.col("_crk") <= context_top_k)
+                    .drop("_crk")
+                )
+            else:
+                tot = tot.orderBy(
+                    F.desc("_tot"), F.asc("ctx")
+                ).limit(context_top_k)
         if min_count > 1:
             cnt = cnt.filter(F.col("cnt") >= min_count)
         lp_expr = F.log(F.col("cnt") / F.col("_tot"))
@@ -1490,6 +1516,10 @@ def _apply_ngram_kernel(df, get_model, id_col, text_col, lang_col, scale, bq):
 
         uni_, oov_, levels_ = get_model()
         max_ctx = max(levels_, default=0)
+        bq2 = bq + bq
+        lv1_all = levels_.get(1, {})
+        lv2_all = levels_.get(2, {})
+        _EMPTY: dict = {}
         for pdf in batches:
             out_n, out_s = [], []
             langs = pdf[lang_col] if lang_col else [None] * len(pdf)
@@ -1503,20 +1533,53 @@ def _apply_ngram_kernel(df, get_model, id_col, text_col, lang_col, scale, bq):
                     out_n.append(0)
                     out_s.append(None)
                     continue
-                lv = [None] + [levels_.get(j, {}).get(lang, {})
-                               for j in range(1, max_ctx + 1)]
                 u = list(map(m.get, toks, repeat(o)))
-                s = 0
-                for i, w in enumerate(toks):
-                    acc = 0
-                    lp = None
-                    for j in range(min(max_ctx, i), 0, -1):
-                        g = lv[j].get((*toks[i - j:i], w))
-                        if g is not None:
-                            lp = acc + g
-                            break
-                        acc += bq
-                    s += lp if lp is not None else acc + u[i]
+                if max_ctx == 2:
+                    # trigram fast path: rolling (p2, p1) context vars, no
+                    # per-token slicing — same chain as the generic loop
+                    get2 = lv2_all.get(lang, _EMPTY).get
+                    get1 = lv1_all.get(lang, _EMPTY).get
+                    s = u[0]
+                    p2 = None
+                    p1 = toks[0]
+                    for i in range(1, len(toks)):
+                        w = toks[i]
+                        if p2 is None:
+                            g = get1((p1, w))
+                            s += g if g is not None else bq + u[i]
+                        else:
+                            g = get2((p2, p1, w))
+                            if g is not None:
+                                s += g
+                            else:
+                                g = get1((p1, w))
+                                s += (bq + g) if g is not None else bq2 + u[i]
+                        p2 = p1
+                        p1 = w
+                elif max_ctx == 1:
+                    # bigram model through the any-order kernel
+                    get1 = lv1_all.get(lang, _EMPTY).get
+                    s = u[0]
+                    p1 = toks[0]
+                    for i in range(1, len(toks)):
+                        w = toks[i]
+                        g = get1((p1, w))
+                        s += g if g is not None else bq + u[i]
+                        p1 = w
+                else:
+                    lv = [None] + [levels_.get(j, {}).get(lang, _EMPTY)
+                                   for j in range(1, max_ctx + 1)]
+                    s = 0
+                    for i, w in enumerate(toks):
+                        acc = 0
+                        lp = None
+                        for j in range(min(max_ctx, i), 0, -1):
+                            g = lv[j].get((*toks[i - j:i], w))
+                            if g is not None:
+                                lp = acc + g
+                                break
+                            acc += bq
+                        s += lp if lp is not None else acc + u[i]
                 n = len(toks)
                 v = (-s) / n
                 if scale is not None:

@@ -251,3 +251,51 @@ def test_stored_ngram_scorer_streams(spark, tmp_path):
     q.stop()
     assert {r["doc_id"]: (r["n_tokens"], r["logprob_per_token"])
             for r in got} == batch
+
+
+def test_context_top_k_pruning(spark):
+    """context_top_k keeps only the K hottest contexts per lang per level;
+    surviving rows are byte-identical to the unpruned model's rows (per-
+    context probabilities are unaffected), and scoring a pruned-away
+    context backs off exactly as if it had never been seen."""
+    from sketchlib.spark.textops import ngram_logprob_score, train_ngram_model
+
+    docs = _docs(spark)
+    full = train_ngram_model(
+        docs, order=3, vocab_top_k=UTOPK, ngram_top_k=10**6, quantize=Q)
+    pruned = train_ngram_model(
+        docs, order=3, vocab_top_k=UTOPK, ngram_top_k=10**6, quantize=Q,
+        context_top_k=5)
+    nctx = (pruned.filter("ctx IS NOT NULL")
+            .select("lang", F.size(F.split("ctx", " ")).alias("d"), "ctx")
+            .distinct().groupBy("lang", "d").count())
+    rows = nctx.collect()
+    assert rows and all(r["count"] <= 5 for r in rows)
+    # surviving rows are a strict subset with unchanged lp values
+    fset = {tuple(r) for r in full.collect()}
+    pset = {tuple(r) for r in pruned.collect()}
+    assert pset < fset
+
+    # a doc whose context was pruned scores exactly as with a hand-built
+    # model that never contained that context
+    ref = spark.createDataFrame(
+        # ctx 'a' dominates; ctx 'z' is rare -> pruned at context_top_k=1
+        [(0, "en", "a b a b a b z q")],
+        "doc_id long, lang string, text string",
+    )
+    probe = spark.createDataFrame(
+        [(1, "en", "z q")], "doc_id long, lang string, text string")
+    m1 = train_ngram_model(ref, order=2, vocab_top_k=10, ngram_top_k=100,
+                           quantize=Q, context_top_k=1)
+    got = ngram_logprob_score(
+        probe, order=2, model=m1, quantize=Q).collect()[0]
+    # expected: uni(z) + bq + uni(q) — the (z, q) bigram is gone
+    import math
+    mrows = {r["word"]: r["lp"] for r in m1.filter(
+        "ctx IS NULL AND word IS NOT NULL").collect()}
+    oov = m1.filter("ctx IS NULL AND word IS NULL").collect()[0]["lp"]
+    bq = round(math.log(BACKOFF) * 10**Q)
+    uz = mrows.get("z", oov)
+    uq = mrows.get("q", oov)
+    want = (-(uz + bq + uq) / 2) / 10**Q
+    assert got["logprob_per_token"] == want
