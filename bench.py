@@ -118,13 +118,15 @@ def main() -> None:
     #                                 + cms_source_counts
     #   td_compress_trim_by_lang   <- td_compressed_by_lang
     #                                 + td_trimmed_mean_by_lang
+    #   text_quality_langid_by_lang <- text_quality_by_lang
+    #                                 + lang_id_confusion
     r01 = {
         "td_quantiles_cdf_by_lang", "td_kll_quantiles_by_lang",
         "td_info_stats_by_lang",
         "td_quantiles_multi_table", "td_compress_trim_by_lang",
         "sketch_source_counts",
         "hll_users_union", "text_doc_features",
-        "text_quality_by_lang", "lang_id_confusion",
+        "text_quality_langid_by_lang",
         "dedup_exact_keepers", "dedup_jaccard_pairs",
         "dedup_minhash_lsh_pairs", "dedup_simhash_hamming",
         "ann_topk_cosine", "emb_cosine_pairs", "media_meta_frames",

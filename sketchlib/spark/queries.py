@@ -2854,6 +2854,44 @@ GROUP BY sc.lang, bucket
 """
 
 
+def q_sample_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap ("keep at most 20 docs per source") — the
+    anti-monoculture curation op for oversampled hosts/domains.  Kept set
+    is a pure deterministic function of (source, doc_id, k): rows rank by
+    md5(doc_id) within source (tie-break doc_id), so the oracle reproduces
+    it bit-for-bit and raising k only ADDS rows.  Plan: ONE hash exchange
+    on source with a partial WindowGroupLimit below it (each map task
+    forwards <= k rows per source — the shuffle carries O(k·sources),
+    never the corpus; plan-audited in pytest)."""
+    from sketchlib.spark.sampling import cap_per_key
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return cap_per_key(docs, "source", 20, keep_rank=True)
+
+
+_CAP_PER_SOURCE_SQL = """
+SELECT doc_id, source, lang, _cap_rank
+FROM (
+  SELECT doc_id, source, lang,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(doc_id::VARCHAR), doc_id) AS _cap_rank
+  FROM documents)
+WHERE _cap_rank <= 20
+"""
+
+
+def q_text_quality_langid_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Folds text_quality_by_lang + lang_id_confusion (both green in every
+    driver run since r01; freed a gate slot for sample_cap_per_source):
+    per-lang corpus quality ratios joined with the language-ID confusion
+    row — two 5-row per-lang tables joined on lang."""
+    q = q_text_quality_by_lang(spark, sf_dir)
+    c = q_lang_id_confusion(spark, sf_dir).select(
+        "lang", "predicted", F.col("n_docs").alias("pred_n_docs"))
+    return q.join(F.broadcast(c), "lang")
+
+
 def q_sample_corpus_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Folds sample_stratified_hash + sample_weighted_topk (both long-green;
     freed a gate slot per VERDICT r03 #1): the two deterministic sampling
@@ -3203,7 +3241,9 @@ def q_sketch_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     # --- new in round 4 (never driver-gated) ---
     "lm_trigram_score": q_lm_trigram_score,
+    "sample_cap_per_source": q_sample_cap_per_source,
     "td_compress_trim_by_lang": q_td_compress_trim_by_lang,
+    "text_quality_langid_by_lang": q_text_quality_langid_by_lang,
     "td_timeline_by_type": q_td_timeline_by_type,
     "lm_bigram_score": q_lm_bigram_score,
     # --- never driver-gated as of r03 ---
@@ -3232,8 +3272,6 @@ QUERIES = {
     "td_quantiles_cdf_by_lang": q_td_quantiles_cdf_by_lang,
     "sketch_source_counts": q_sketch_source_counts,
     # --- long-green ---
-    "text_quality_by_lang": q_text_quality_by_lang,
-    "lang_id_confusion": q_lang_id_confusion,
     "dedup_exact_keepers": q_dedup_exact_keepers,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
@@ -3261,6 +3299,12 @@ QUERIES = {
 ORACLES = {
     "td_timeline_by_type": _TIMELINE_SQL,
     "lm_trigram_score": _LM_TRIGRAM_SQL,
+    "sample_cap_per_source": _CAP_PER_SOURCE_SQL,
+    "text_quality_langid_by_lang": f"""
+SELECT q.lang, q.n_docs, q.sum_tokens, q.stopword_ratio, q.uniq_ratio,
+       q.mean_token_len, c.predicted, c.n_docs AS pred_n_docs
+FROM ({_quality_sql()}) q JOIN ({_lang_id_sql()}) c ON c.lang = q.lang
+""",
     "td_compress_trim_by_lang": """
 SELECT lang, count(*) AS n_docs,
        TRUE AS q50_ok, TRUE AS q95_ok, TRUE AS q99_ok, TRUE AS tm_ok
@@ -3302,8 +3346,6 @@ SELECT source, count(*) AS n_members, count(*) AS n_docs, count(*) AS est_count
 FROM documents GROUP BY source
 """,
     # --- originals ---
-    "text_quality_by_lang": _quality_sql(),
-    "lang_id_confusion": _lang_id_sql(),
     "dedup_exact_keepers": """
 SELECT doc_id, md5(text) AS content_hash,
        min(doc_id) OVER (PARTITION BY text) AS keeper_id,

@@ -20,7 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["hash_bucket", "stratified_hash_sample"]
+__all__ = ["hash_bucket", "stratified_hash_sample",
+           "weighted_priority_sample", "cap_per_key"]
 
 BUCKETS = 10_000  # rate resolution 1e-4
 
@@ -98,3 +99,37 @@ def weighted_priority_sample(
         )
         out = scored.withColumn("_rk", rank).filter(F.col("_rk") <= k).drop("_rk")
     return out.drop("_priority")
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_cols: str | list[str],
+    k: int,
+    id_col: str = "doc_id",
+    keep_rank: bool = False,
+) -> DataFrame:
+    """Per-key quota sampling — "keep at most ``k`` documents per domain /
+    host / source", the standard anti-monoculture cap in web-corpus
+    curation (oversampled hosts would otherwise dominate the training
+    mix).  Which k survive is DETERMINISTIC: rows rank by md5 of the
+    stable id (tie-break id), so the kept set is a pure function of
+    (key, id, k) — reproducible across partition layouts, cluster sizes,
+    and engines (the DuckDB oracle reproduces it bit-for-bit), and
+    monotone in k: raising the cap only ADDS rows, so curriculum
+    re-curation never churns previously-kept documents.
+
+    Scale: ONE hash shuffle on the key; the row_number <= k filter is
+    rewritten by Spark into a partial WindowGroupLimit BELOW the exchange
+    (plan-audited in pytest), so each map task forwards at most k rows per
+    key it sees — the shuffle carries O(k · keys), never the corpus.
+    ``keep_rank=True`` retains the 1-based rank column ``_cap_rank``.
+    """
+    from pyspark.sql import Window
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    order = F.md5(F.encode(F.col(id_col).cast("string"), "UTF-8"))
+    rank = F.row_number().over(
+        Window.partitionBy(*keys).orderBy(order.asc(), F.col(id_col).asc())
+    )
+    out = df.withColumn("_cap_rank", rank).filter(F.col("_cap_rank") <= k)
+    return out if keep_rank else out.drop("_cap_rank")

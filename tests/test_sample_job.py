@@ -53,3 +53,41 @@ def test_sample_job_end_to_end(spark, tmp_path):
     s3 = stratified_hash_sample(docs.repartition(17), rates, "lang", "doc_id",
                                 default_rate=0.0)
     assert {r["doc_id"] for r in s3.select("doc_id").collect()} == ids1
+
+
+def test_cap_per_key_semantics(spark):
+    """per-source quota cap: <= k rows per key; deterministic under
+    repartitioning; monotone in k (raising the cap only ADDS rows); rank
+    column is 1..n_kept per key."""
+    from sketchlib.spark.sampling import cap_per_key
+
+    docs = spark.read.parquet(f"{SF_MED}/documents.parquet").select(
+        "doc_id", "source")
+    c10 = cap_per_key(docs, "source", 10, keep_rank=True)
+    per = c10.groupBy("source").count().collect()
+    assert per and all(r["count"] <= 10 for r in per)
+    ranks = c10.groupBy("source").agg(
+        F.max("_cap_rank").alias("mx"), F.count("*").alias("n")).collect()
+    assert all(r["mx"] == r["n"] for r in ranks)
+
+    a = {tuple(r) for r in c10.collect()}
+    b = {tuple(r) for r in cap_per_key(
+        docs.repartition(17), "source", 10, keep_rank=True).collect()}
+    assert a == b
+
+    ids10 = {r["doc_id"] for r in c10.collect()}
+    ids25 = {r["doc_id"] for r in cap_per_key(docs, "source", 25).collect()}
+    assert ids10 < ids25
+
+
+def test_cap_per_key_plan_window_group_limit(spark):
+    """the rank<=k filter must compile to a partial WindowGroupLimit below
+    the exchange — the map side forwards at most k rows per key, so the
+    shuffle carries O(k·keys), never the corpus."""
+    from sketchlib.spark.sampling import cap_per_key
+
+    docs = spark.read.parquet(f"{SF_MED}/documents.parquet").select(
+        "doc_id", "source")
+    plan = cap_per_key(docs, "source", 10)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange") <= 2  # hash exchange (+AQE read), no extra
