@@ -63,7 +63,14 @@ def main() -> None:
                     help="JSON {stratum: mixture proportion}; with "
                          "--target-rows, solves the rates")
     ap.add_argument("--target-rows", type=int, default=None)
+    ap.add_argument("--cap-key", default=None,
+                    help="apply a per-key quota cap BEFORE sampling (e.g. "
+                         "source/host: anti-monoculture rule)")
+    ap.add_argument("--cap-k", type=int, default=None,
+                    help="max rows kept per --cap-key value")
     args = ap.parse_args()
+    if (args.cap_key is None) != (args.cap_k is None):
+        ap.error("--cap-key and --cap-k go together")
     if (args.rates is None) == (args.target_props is None):
         ap.error("exactly one of --rates / --target-props is required")
     if args.target_props is not None and args.target_rows is None:
@@ -71,12 +78,16 @@ def main() -> None:
 
     from pyspark.sql import SparkSession, functions as F
 
-    from sketchlib.spark.sampling import stratified_hash_sample
+    from sketchlib.spark.sampling import cap_per_key, stratified_hash_sample
 
     spark = SparkSession.builder.appName("sketchlib-sample-corpus").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     df = spark.read.parquet(args.input)
     t0 = time.time()
+    if args.cap_key is not None:
+        # quota first, then mixture: the rate solver must see the capped
+        # per-stratum counts or the achieved mixture would overshoot
+        df = cap_per_key(df, args.cap_key, args.cap_k, id_col=args.id_col)
 
     default_rate = args.default_rate
     if args.rates is not None:

@@ -91,3 +91,26 @@ def test_cap_per_key_plan_window_group_limit(spark):
     plan = cap_per_key(docs, "source", 10)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert plan.count("Exchange") <= 2  # hash exchange (+AQE read), no extra
+
+
+def test_sample_job_cap_then_mixture(spark, tmp_path, monkeypatch):
+    """--cap-key/--cap-k: the quota applies BEFORE the mixture solve, so
+    the output honors both the per-source cap and the target mixture."""
+    sys.path.insert(0, "jobs")
+    import sample_corpus as job
+
+    capture = []
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    monkeypatch.setattr("builtins.print", lambda s: capture.append(s))
+    monkeypatch.setattr(
+        sys, "argv",
+        ["job", "--input", f"{SF_MED}/documents.parquet",
+         "--output", str(tmp_path / "out"),
+         "--target-props", '{"en": 0.6, "de": 0.4}',
+         "--target-rows", "60",
+         "--cap-key", "source", "--cap-k", "15"])
+    assert job.main() is None
+    out = spark.read.parquet(str(tmp_path / "out"))
+    per_src = out.groupBy("source").count().collect()
+    assert per_src and all(r["count"] <= 15 for r in per_src)
+    assert {r["lang"] for r in out.select("lang").distinct().collect()} <= {"en", "de"}
