@@ -299,3 +299,48 @@ def test_context_top_k_pruning(spark):
     uq = mrows.get("q", oov)
     want = (-(uz + bq + uq) / 2) / 10**Q
     assert got["logprob_per_token"] == want
+
+
+def test_order4_generic_kernel_parity(spark, tmp_path):
+    """order=4 exercises the kernel's GENERIC backoff loop (the 2/3 fast
+    paths don't apply): join path == stored kernel == path kernel, and a
+    position missing all stored levels pays one penalty per level."""
+    from sketchlib.spark.textops import (
+        ngram_logprob_score,
+        score_with_ngram_path,
+        score_with_stored_ngram,
+        train_ngram_model,
+    )
+
+    docs = _docs(spark)
+    mpath = str(tmp_path / "m4")
+    train_ngram_model(
+        docs, order=4, vocab_top_k=UTOPK, ngram_top_k=NTOPK, quantize=Q
+    ).write.parquet(mpath)
+    model = spark.read.parquet(mpath)
+    depths = {r["d"] for r in model.filter("ctx IS NOT NULL").select(
+        F.size(F.split("ctx", " ")).alias("d")).distinct().collect()}
+    assert depths == {1, 2, 3}
+    a = _nullsafe(ngram_logprob_score(
+        docs, order=4, model=model, quantize=Q).collect())
+    b = _nullsafe(score_with_stored_ngram(docs, model, quantize=Q).collect())
+    c = _nullsafe(score_with_ngram_path(docs, mpath, quantize=Q).collect())
+    assert a == b == c
+
+    # handcrafted: probe token whose 4/3/2-gram all miss -> 3 penalties
+    import math
+    ref = spark.createDataFrame(
+        [(0, "en", "a b c d a b c d")], "doc_id long, lang string, text string")
+    probe = spark.createDataFrame(
+        [(1, "en", "a b c z")], "doc_id long, lang string, text string")
+    got = ngram_logprob_score(
+        probe, ref=ref, order=4, vocab_top_k=10, ngram_top_k=10,
+        alpha=ALPHA, backoff=BACKOFF).collect()[0]
+    # ref: uni a=2,b=2,c=2,d=2 (tot 8, v=4); bigrams ab,bc,cd(+da) all p=1
+    denom = 8 + ALPHA * (4 + 1)
+    ua = math.log((2 + ALPHA) / denom)
+    oov = math.log(ALPHA / denom)
+    bq = math.log(BACKOFF)
+    # tokens: a(uni) b(bi hit ln1=0) c(tri hit ln1=0) z(3 misses + oov)
+    want = -(ua + 0.0 + 0.0 + (3 * bq + oov)) / 4
+    assert got["logprob_per_token"] == pytest.approx(want)
