@@ -113,6 +113,7 @@ def main() -> None:
     #   media_meta_frames          <- media_sniff_meta + media_frame_sample
     #   ann_ivf_topk_recall        <- ann_ivf_topk (+ recall gate)
     #   hll_users_union            <- hll_users_by_type (+ union laws)
+    #   sketch_laws_summary        <- hll_users_union + cms_heavy_hitters
     #   td_quantiles_cdf_by_lang   <- td_quantiles_by_lang + td_cdf_by_lang
     #   sketch_source_counts       <- bloom_membership_by_source
     #                                 + cms_source_counts
@@ -125,7 +126,7 @@ def main() -> None:
         "td_info_stats_by_lang",
         "td_quantiles_multi_table", "td_compress_trim_by_lang",
         "sketch_source_counts",
-        "hll_users_union", "text_doc_features",
+        "sketch_laws_summary", "text_doc_features",
         "text_quality_langid_by_lang",
         "dedup_exact_keepers", "dedup_jaccard_pairs",
         "dedup_minhash_lsh_pairs", "dedup_simhash_hamming",

@@ -3212,6 +3212,75 @@ def q_td_compress_trim_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(F.broadcast(t), "lang")
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing gate: deterministic synthetic PII (emails on doc_id%7,
+    IPv4 on %11, +phone on %13) is appended to each doc, then
+    ``redact_pii`` counts and replaces every kind in ONE codegen'd
+    projection (no Python, no shuffle — scan-speed, stream-safe).  The
+    oracle re-injects and re-redacts with RE2 equivalents of the same
+    patterns and must match counts AND the md5 of the redacted bytes —
+    byte-exact cross-engine redaction, per document."""
+    from sketchlib.spark.textops import redact_pii
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    did = F.col("doc_id")
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(did % 7 == 0, F.lit(" contact me@example.com")
+                   ).otherwise(F.lit("")),
+            F.when(did % 11 == 0, F.concat(
+                F.lit(" host 10.0."), (did % 250).cast("string"), F.lit(".17"))
+                   ).otherwise(F.lit("")),
+            F.when(did % 13 == 0, F.lit(" call +1 415 555 0100")
+                   ).otherwise(F.lit("")),
+        ),
+    )
+    red = redact_pii(aug)
+    return red.select(
+        "doc_id", "lang", "n_email", "n_ipv4", "n_phone",
+        F.md5(F.encode(F.col("text_redacted"), "UTF-8")).alias("redacted_md5"),
+    )
+
+
+_PII_SQL = r"""
+WITH aug AS (
+  SELECT doc_id, lang,
+         text
+         || CASE WHEN doc_id % 7 = 0 THEN ' contact me@example.com' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' host 10.0.' || (doc_id % 250)::VARCHAR || '.17'
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN ' call +1 415 555 0100' ELSE '' END
+           AS t
+  FROM documents)
+SELECT doc_id, lang,
+       len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+       len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ipv4,
+       len(regexp_extract_all(t, '\+\d[\d -]{7,}\d')) AS n_phone,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IPV4>', 'g'),
+             '\+\d[\d -]{7,}\d', '<PHONE>', 'g')) AS redacted_md5
+FROM aug
+"""
+
+
+def q_sketch_laws_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Folds hll_users_union + cms_heavy_hitters (both green in every
+    driver run since r01; freed a gate slot for pii_redact): the per-type
+    HLL union laws beside the CMS heavy-hitter verdict row (1 row
+    broadcast onto 5 — a cross join of two law summaries)."""
+    h = q_hll_users_union(spark, sf_dir)
+    c = q_cms_heavy_hitters(spark, sf_dir).select(
+        F.col("lang").alias("hh_lang"),
+        F.col("est_count").alias("hh_est_count"),
+        F.col("n_docs").alias("hh_n_docs"),
+    )
+    return h.crossJoin(F.broadcast(c))
+
+
 def q_td_quantiles_cdf_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Folds td_quantiles_by_lang + td_cdf_by_lang (both green in every
     driver run since r01; freed a gate slot for the round-4 timeline/bigram
@@ -3242,6 +3311,8 @@ QUERIES = {
     # --- new in round 4 (never driver-gated) ---
     "lm_trigram_score": q_lm_trigram_score,
     "sample_cap_per_source": q_sample_cap_per_source,
+    "pii_redact": q_pii_redact,
+    "sketch_laws_summary": q_sketch_laws_summary,
     "td_compress_trim_by_lang": q_td_compress_trim_by_lang,
     "text_quality_langid_by_lang": q_text_quality_langid_by_lang,
     "td_timeline_by_type": q_td_timeline_by_type,
@@ -3267,7 +3338,6 @@ QUERIES = {
     "rollup_hourly_daily": q_rollup_hourly_daily,
     "media_meta_frames": q_media_meta_frames,
     "ann_ivf_topk_recall": q_ann_ivf_topk_recall,
-    "hll_users_union": q_hll_users_union,
     # --- round-4 second-wave folds (each subsumes two long-green queries) ---
     "td_quantiles_cdf_by_lang": q_td_quantiles_cdf_by_lang,
     "sketch_source_counts": q_sketch_source_counts,
@@ -3287,7 +3357,6 @@ QUERIES = {
     "event_sessions": q_event_sessions,
     "td_cube_lang_source": q_td_cube_lang_source,
     "td_weighted_lineitem": q_td_weighted_lineitem,
-    "cms_heavy_hitters": q_cms_heavy_hitters,
     "dedup_group_keepers": q_dedup_group_keepers,
     "events_asof_purchase": q_events_asof_purchase,
     "td_prank_by_lang": q_td_prank_by_lang,
@@ -3299,6 +3368,12 @@ QUERIES = {
 ORACLES = {
     "td_timeline_by_type": _TIMELINE_SQL,
     "lm_trigram_score": _LM_TRIGRAM_SQL,
+    "pii_redact": _PII_SQL,
+    "sketch_laws_summary": f"""
+SELECT h.*, c.lang AS hh_lang, c.est_count AS hh_est_count,
+       c.n_docs AS hh_n_docs
+FROM ({_HLL_FOLD_SQL}) h CROSS JOIN ({_CMS_HH_SQL}) c
+""",
     "sample_cap_per_source": _CAP_PER_SOURCE_SQL,
     "text_quality_langid_by_lang": f"""
 SELECT q.lang, q.n_docs, q.sum_tokens, q.stopword_ratio, q.uniq_ratio,
@@ -3328,7 +3403,6 @@ FROM documents GROUP BY lang
     "rollup_hourly_daily": _ROLLUP_FOLD_SQL,
     "media_meta_frames": _MEDIA_FOLD_SQL,
     "ann_ivf_topk_recall": f"SELECT t.*, TRUE AS recall_ge_half FROM ({_ANN_TOPK_SQL}) t",
-    "hll_users_union": _HLL_FOLD_SQL,
     # --- round-4 second-wave folds ---
     "td_quantiles_cdf_by_lang": f"""
 SELECT q.*, c.cdf_200, c.cdf_500, c.cdf_1000
@@ -3372,7 +3446,6 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
     "event_sessions": _SESSIONS_SQL,
     "td_cube_lang_source": _cube_sql(),
     "td_weighted_lineitem": _WEIGHTED_SQL,
-    "cms_heavy_hitters": _CMS_HH_SQL,
     "dedup_group_keepers": _group_keepers_sql(0.8),
     "events_asof_purchase": _ASOF_SQL,
     "td_prank_by_lang": _PRANK_SQL,

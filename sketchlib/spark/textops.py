@@ -1595,3 +1595,44 @@ def _apply_ngram_kernel(df, get_model, id_col, text_col, lang_col, scale, bq):
 
     cols = [id_col] + ([lang_col] if lang_col else []) + [text_col]
     return df.select(*cols).mapInPandas(score_batches, schema)
+
+
+# Engine-portable PII patterns: Java regex (Spark) and RE2 (DuckDB, the
+# oracle) agree on every construct used here — ASCII \d and \b, bounded
+# repetition, non-capturing groups; NO lookaround, NO backrefs (RE2 has
+# neither), so redaction is reproducible across engines byte-for-byte.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+\d[\d -]{7,}\d",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    kinds: tuple[str, ...] = ("email", "ipv4", "phone"),
+    out_col: str = "text_redacted",
+) -> DataFrame:
+    """PII scrubbing — the standard pre-training redaction pass (emails,
+    IPv4 addresses, +international phone numbers) as ONE codegen'd
+    projection: per kind, ``n_<kind>`` counts the matches in the ORIGINAL
+    text and the match is replaced with the placeholder ``<KIND>``;
+    replacements apply in ``kinds`` order.  Pure ``regexp_count`` /
+    ``regexp_replace`` — no Python, no shuffle, runs at scan speed on a
+    readStream, and the patterns (module constant ``PII_PATTERNS``) are
+    deliberately restricted to the regex subset where Java and RE2 agree,
+    so the DuckDB oracle reproduces counts AND redacted bytes exactly.
+    NULL text propagates as NULL counts/redaction (SQL semantics)."""
+    unknown = set(kinds) - set(PII_PATTERNS)
+    if unknown:
+        raise ValueError(f"redact_pii: unknown kinds {sorted(unknown)}")
+    out = df
+    red = F.col(text_col)
+    for kind in kinds:
+        pat = PII_PATTERNS[kind]
+        out = out.withColumn(
+            f"n_{kind}", F.regexp_count(F.col(text_col), F.lit(pat))
+        )
+        red = F.regexp_replace(red, pat, f"<{kind.upper()}>")
+    return out.withColumn(out_col, red)

@@ -195,3 +195,30 @@ def test_pack_sequences_empty_and_null_docs(spark):
     assert got[1]["chunk_id"] == 0 and got[1]["offset_in_chunk"] == 0
     assert got[4]["chunk_id"] == 0 and got[4]["offset_in_chunk"] == 3
     assert got[4]["n_chunks_spanned"] == 2  # spans tokens 3..4 across chunks
+
+
+def test_redact_pii_semantics(spark):
+    """counts hit the ORIGINAL text per kind, replacement applies in kinds
+    order, NULL propagates, unknown kind raises, plan stays shuffle-free."""
+    import pytest
+
+    from sketchlib.spark.textops import redact_pii
+
+    df = spark.createDataFrame(
+        [(0, "mail a@b.co and b@c.org ip 10.1.2.3 call +1 415 555 0100"),
+         (1, "no pii here"),
+         (2, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert (out[0]["n_email"], out[0]["n_ipv4"], out[0]["n_phone"]) == (2, 1, 1)
+    assert out[0]["text_redacted"] == (
+        "mail <EMAIL> and <EMAIL> ip <IPV4> call <PHONE>")
+    assert (out[1]["n_email"], out[1]["text_redacted"]) == (0, "no pii here")
+    assert out[2]["n_email"] is None and out[2]["text_redacted"] is None
+
+    with pytest.raises(ValueError, match="unknown kinds"):
+        redact_pii(df, kinds=("email", "ssn"))
+
+    plan = redact_pii(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "mapInPandas" not in plan.lower()
