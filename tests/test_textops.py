@@ -222,3 +222,28 @@ def test_redact_pii_semantics(spark):
 
     plan = redact_pii(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "mapInPandas" not in plan.lower()
+
+
+def test_redact_pii_streams(spark, tmp_path):
+    """stateless projection: the SAME call over a readStream yields exactly
+    the batch redactions."""
+    from sketchlib.spark.textops import redact_pii
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, f"doc {i} mail u{i}@ex.com" if i % 2 else f"doc {i}")
+         for i in range(40)],
+        "doc_id long, text string",
+    ).repartition(4).write.parquet(src)
+    static = spark.read.parquet(src)
+    batch = {r["doc_id"]: (r["n_email"], r["text_redacted"])
+             for r in redact_pii(static).collect()}
+    stream = spark.readStream.schema(static.schema).option(
+        "maxFilesPerTrigger", "1").parquet(src)
+    got = []
+    q = (redact_pii(stream).writeStream.outputMode("append")
+         .foreachBatch(lambda bdf, _id: got.extend(bdf.collect())).start())
+    q.processAllAvailable()
+    q.stop()
+    assert {r["doc_id"]: (r["n_email"], r["text_redacted"])
+            for r in got} == batch
