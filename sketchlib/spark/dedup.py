@@ -642,6 +642,47 @@ def dedup_group_keepers(
     )
 
 
+def dedup_group_best_keepers(
+    df: DataFrame,
+    score_col: str,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ascending: bool = False,
+    **lsh_kwargs,
+) -> DataFrame:
+    """``dedup_group_keepers`` with a QUALITY policy: within each duplicate
+    component the keeper is the member with the best ``score_col``
+    (highest by default; ``ascending=True`` for lower-is-better scores like
+    LM logprob-per-token), tie-break minimum id — real pipelines keep the
+    cleanest copy of a duplicated page, not the one with the smallest
+    crawl id.  NULL scores lose to any non-NULL score (ranked last).
+
+    Scale: the grouping is the same edge-list collapse; the best-of pass
+    is one row_number window over (id, group, score) — Spark rewrites the
+    rank-1 filter into a partial WindowGroupLimit below the exchange — and
+    one group-keyed join back.  Returns (id, keeper_id) for EVERY input
+    doc, keeper_id = id for singletons.
+    """
+    groups = dedup_group_keepers(
+        df, threshold, id_col, text_col, **lsh_kwargs
+    )  # (id, keeper_id) — keeper_id is the component label
+    scores = df.select(F.col(id_col).alias("id"), F.col(score_col).alias("_s"))
+    j = groups.join(scores, "id")
+    order = F.col("_s").asc_nulls_last() if ascending \
+        else F.col("_s").desc_nulls_last()
+    w = Window.partitionBy("keeper_id").orderBy(order, F.col("id").asc())
+    best = (
+        j.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(F.col("keeper_id").alias("_grp"), F.col("id").alias("_best"))
+    )
+    return (
+        j.join(best, j["keeper_id"] == best["_grp"])
+        .select("id", F.col("_best").alias("keeper_id"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Cross-corpus contamination (train/eval decontamination)
 # ---------------------------------------------------------------------------

@@ -318,3 +318,31 @@ def test_bloom_decontam_null_text_never_flagged(spark):
     # doc 3 shares eval 3-grams (true positive); docs 1 and 2 must be clean
     # (doc 2 is the null-text doc that previously probed with 42)
     assert flags == {1: False, 2: False, 3: True}
+
+
+def test_dedup_group_best_keepers(spark):
+    """quality policy: within each duplicate component the keeper is the
+    best-score member (tie-break min id); singletons keep themselves;
+    ascending=True flips for lower-is-better scores; NULL scores lose."""
+    from sketchlib.spark.dedup import dedup_group_best_keepers
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [
+        (1, base, 0.2),             # group A (exact dup of 2, near-dup 3)
+        (2, base, 0.9),             # best score in A -> keeper of A
+        (3, base + "extra tail words here", 0.5),
+        (10, "something entirely different and unique", 0.7),  # singleton
+        (11, "x " * 100, None),     # group B with 12; NULL score loses
+        (12, "x " * 100, 0.1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, score double")
+    got = {r["id"]: r["keeper_id"] for r in dedup_group_best_keepers(
+        df, "score", threshold=0.5).collect()}
+    assert got[1] == got[2] == got[3] == 2
+    assert got[10] == 10
+    assert got[11] == got[12] == 12
+    # lower-is-better: group A keeper flips to doc 1 (score 0.2)
+    asc = {r["id"]: r["keeper_id"] for r in dedup_group_best_keepers(
+        df, "score", threshold=0.5, ascending=True).collect()}
+    assert asc[1] == asc[2] == asc[3] == 1
+    assert asc[11] == asc[12] == 12  # NULL still loses under ascending
