@@ -23,20 +23,21 @@ from pyspark.sql.types import BinaryType, StringType, StructField, StructType
 
 from sketchlib.bloom import Bloom
 from sketchlib.cms import CMS
+from sketchlib.ddsketch import DDSketch
 from sketchlib.hll import HLL
 from sketchlib.kll import KLL
 from sketchlib.kmv import KMV
 from sketchlib.mg import MisraGries
 
 SKETCHES = {"hll": HLL, "cms": CMS, "bloom": Bloom, "kll": KLL, "kmv": KMV,
-            "mg": MisraGries}
-_HASHED = {"hll", "cms", "bloom", "kmv"}  # ingest xxhash64 int64; kll ingests doubles
+            "mg": MisraGries, "dd": DDSketch}
+_HASHED = {"hll", "cms", "bloom", "kmv"}  # ingest xxhash64 int64; kll/dd ingest doubles
 _RAW = {"mg"}  # ingest the raw (string) item: the sketch must REPORT items back
 #: sketches whose serialized state stays ≤ tens of KB at any cardinality —
 #: their merge takes the repartition+mapInPandas accumulator path (one Python
 #: call per Arrow batch).  Bloom/CMS can be MB-scale per sketch, so they keep
 #: the groupBy().applyInPandas() path that materializes ONE group at a time.
-_SMALL_STATE = {"hll", "kmv", "mg", "kll"}
+_SMALL_STATE = {"hll", "kmv", "mg", "kll", "dd"}
 
 
 def _norm_key(key) -> tuple:

@@ -1,4 +1,4 @@
-"""Wire/serde fuzz across all 7 sketch families (VERDICT r03 #6).
+"""Wire/serde fuzz across all 8 sketch families (VERDICT r03 #6).
 
 Contract under test: ``deserialize`` must either return a sketch that
 round-trips (``serialize(deserialize(b)) == b`` for valid wire bytes) or
@@ -19,6 +19,7 @@ import pytest
 
 from sketchlib.bloom import Bloom
 from sketchlib.cms import CMS
+from sketchlib.ddsketch import DDSketch
 from sketchlib.hll import HLL
 from sketchlib.kll import KLL
 from sketchlib.kmv import KMV
@@ -50,6 +51,9 @@ def _families():
         ("kll", KLL, lambda: _filled(KLL, vals)),
         ("kmv", KMV, lambda: _filled(KMV, key_hashes)),
         ("mg", MisraGries, lambda: _filled(MisraGries, key_hashes)),
+        ("dd", DDSketch, lambda: _filled(
+            lambda: DDSketch(alpha=0.01, max_bins=512),
+            np.concatenate([vals, -vals[:500], np.zeros(7)]))),
     ]:
         out.append(pytest.param(name, cls, mk, id=name))
     return out

@@ -38,6 +38,7 @@ def test_hll_estimate_vs_exact(spark, events):
     ("hll", {"p": 12}),
     ("bloom", {"expected_n": 20000, "fpr": 0.01}),
     ("cms", {"width": 4096, "depth": 5}),
+    ("dd", {"alpha": 0.01, "max_bins": 2048}),
 ])
 def test_partition_invariance_bytes(spark, events, sketch, params):
     from sketchlib.spark.sketch_ops import sketch_aggregate
@@ -128,6 +129,31 @@ def test_kll_spark_rank_error(spark, events):
         est = float(k.quantile([p])[0])
         rank = np.searchsorted(vals, est) / len(vals)
         assert abs(rank - p) < 0.02, (p, rank)
+
+
+def test_dd_spark_relative_error(spark, events):
+    """Distributed DDSketch build == single-shot build (bytes), and the
+    relative-error guarantee holds against the exact DuckDB multiset."""
+    from sketchlib.ddsketch import DDSketch
+    from sketchlib.spark.sketch_ops import sketch_aggregate
+
+    alpha = 0.01
+    sk = sketch_aggregate(
+        events.repartition(16), [], "value", "dd",
+        {"alpha": alpha, "max_bins": 4096})
+    dd = DDSketch.deserialize(bytes(sk.collect()[0]["sketch"]))
+    vals = np.sort(
+        duckdb.sql(
+            f"SELECT value FROM read_parquet('{SF_MED}/events.parquet') "
+            f"WHERE value IS NOT NULL"
+        ).fetchnumpy()["value"]
+    )
+    assert dd.n == len(vals)
+    ps = [0.01, 0.5, 0.95, 0.99]
+    exact = vals[np.floor(np.asarray(ps) * (len(vals) - 1)).astype(int)]
+    est = dd.quantile(ps)
+    nz = exact != 0.0
+    assert (np.abs(est[nz] - exact[nz]) / np.abs(exact[nz])).max() <= alpha
 
 
 def test_cms_inner_product_laws():
