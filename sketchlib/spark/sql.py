@@ -345,8 +345,40 @@ def register_sql_functions(spark: SparkSession, delta: float = 0.01) -> None:
             out.append(MisraGries.deserialize(bytes(b)).estimate(str(x)))
         return pd.Series(out, dtype="object")
 
+    from sketchlib.ddsketch import DDSketch
+
+    @pandas_udf(BinaryType())
+    def dd_agg(v: pd.Series) -> bytes:
+        s = DDSketch(alpha=0.01, max_bins=2048)
+        s.update_batch(v.to_numpy(dtype="float64", na_value=np.nan))
+        return s.serialize()
+
+    @pandas_udf(BinaryType())
+    def dd_merge_agg(blobs: pd.Series) -> bytes:
+        out = None
+        for b in blobs:
+            if b is None:
+                continue
+            s = DDSketch.deserialize(bytes(b))
+            out = s if out is None else out.merge(s)
+        return (out or DDSketch(alpha=0.01, max_bins=2048)).serialize()
+
+    @pandas_udf(DoubleType())
+    def dd_quantile(blob: pd.Series, p: pd.Series) -> pd.Series:
+        out = []
+        for b, pp in zip(blob, p):
+            if b is None or pp is None:
+                out.append(float("nan"))
+                continue
+            s = DDSketch.deserialize(bytes(b))
+            out.append(float(np.atleast_1d(s.quantile([float(pp)]))[0]))
+        return pd.Series(out)
+
     spark.udf.register("kll_agg", kll_agg)
     spark.udf.register("kll_quantile", kll_quantile)
+    spark.udf.register("dd_agg", dd_agg)
+    spark.udf.register("dd_merge_agg", dd_merge_agg)
+    spark.udf.register("dd_quantile", dd_quantile)
     spark.udf.register("kmv_agg", kmv_agg)
     spark.udf.register("kmv_merge_agg", kmv_merge_agg)
     spark.udf.register("kmv_estimate", kmv_estimate)

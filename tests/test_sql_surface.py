@@ -46,6 +46,7 @@ def test_sql_sibling_sketches(spark):
         WITH sk AS (
           SELECT event_type,
                  hll_agg(user_id) AS h, kll_agg(value) AS kq,
+                 dd_agg(value) AS dq,
                  bloom_agg(user_id) AS bf, cms_agg(user_id) AS cm
           FROM ev_sql GROUP BY event_type
         ), sample AS (
@@ -54,6 +55,7 @@ def test_sql_sibling_sketches(spark):
         SELECT sk.event_type,
                hll_estimate(h) AS approx_users,
                kll_quantile(kq, 0.5) AS kll_p50,
+               dd_quantile(dq, 0.5) AS dd_p50,
                bloom_contains(bf, probe) AS has_first,
                cms_query(cm, probe) AS first_cnt
         FROM sk JOIN sample USING (event_type)
@@ -66,10 +68,48 @@ def test_sql_sibling_sketches(spark):
             .countDistinct("user_id").alias("u")
         ).collect()
     }
+    exact_vals = {
+        r["event_type"]: np.sort(np.asarray(r["v"], dtype=float))
+        for r in ev.groupBy("event_type").agg(
+            __import__("pyspark.sql.functions", fromlist=["collect_list"])
+            .collect_list("value").alias("v")
+        ).collect()
+    }
     for r in rows:
         assert abs(r["approx_users"] - exact[r["event_type"]]) / exact[r["event_type"]] < 0.05
         assert r["has_first"] is True
         assert r["first_cnt"] >= 1
+        # dd p50: the returned value's rank in the exact multiset is ~0.5
+        vals = exact_vals[r["event_type"]]
+        rank = np.searchsorted(vals, r["dd_p50"], side="right") / len(vals)
+        assert abs(rank - 0.5) < 0.02, (r["event_type"], rank)
+
+
+def test_sql_dd_merge_agg_bitwise(spark):
+    """dd_merge_agg over per-source sketches is byte-identical to the
+    direct per-lang build — the family's bitwise merge law, on the SQL
+    surface."""
+    from sketchlib.spark.sql import register_sql_functions
+
+    register_sql_functions(spark)
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    docs.createOrReplaceTempView("docs_dd_sql")
+    rows = spark.sql("""
+        WITH per_src AS (
+          SELECT lang, source, dd_agg(CAST(n_chars AS DOUBLE)) AS d
+          FROM docs_dd_sql GROUP BY lang, source
+        ), merged AS (
+          SELECT lang, dd_merge_agg(d) AS d FROM per_src GROUP BY lang
+        ), direct AS (
+          SELECT lang, dd_agg(CAST(n_chars AS DOUBLE)) AS d
+          FROM docs_dd_sql GROUP BY lang
+        )
+        SELECT m.lang, m.d AS merged, x.d AS direct
+        FROM merged m JOIN direct x USING (lang)
+    """).collect()
+    assert rows
+    for r in rows:
+        assert bytes(r["merged"]) == bytes(r["direct"]), r["lang"]
 
 
 def test_sql_merge_agg_interchangeable_with_two_phase(spark):
