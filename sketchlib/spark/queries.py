@@ -3267,18 +3267,96 @@ FROM aug
 """
 
 
+def _dd_laws_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One verdict row for the DDSketch family (sketchlib/ddsketch.py):
+
+    * ``dd_rel_err_ok`` — the paper's relative-error guarantee: the
+      DISTRIBUTED dd build's quantile estimates at 6 probe points are
+      within α of the exact value at rank ⌊q·(n−1)⌋ (exact side computed
+      in-plan via row_number — a law gate, not a production path);
+    * ``dd_merge_bitwise`` — folding one set of partial sketches
+      left/reversed/balanced-tree yields byte-identical blobs, and the
+      engine's shuffle-merge equals the driver fold byte-for-byte;
+    * ``dd_collapse_bitwise`` — same byte law with max_bins=64, i.e. with
+      the collapsing-lowest path ACTIVE (the boundary is a function of
+      the bucket-key set alone, so collapse∘merge still commutes).
+
+    Partials are ≤8 KB-scale blobs — driver-side folding has the same
+    license as q_td_merge_laws."""
+    from pyspark.sql import Window
+
+    from sketchlib.ddsketch import DDSketch
+    from sketchlib.spark.sketch_ops import sketch_merge, sketch_partials
+
+    alpha = 0.01
+    ps = [0.01, 0.25, 0.5, 0.75, 0.95, 0.99]
+    vals = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("n_chars").isNotNull())
+        .select(F.col("n_chars").cast("double").alias("v"))
+    )
+    n = vals.count()
+    targets = sorted({int(p * (n - 1)) + 1 for p in ps})
+    exact_rows = (
+        vals.withColumn("rn", F.row_number().over(Window.orderBy("v")))
+        .where(F.col("rn").isin(targets))
+        .collect()
+    )
+    exact = {r["rn"]: r["v"] for r in exact_rows}
+
+    def fold_ok(params: dict) -> bool:
+        parts = sketch_partials(vals.repartition(8), [], "v", "dd", params)
+        blobs = [bytes(r["sketch"]) for r in parts.collect()]
+        engine = bytes(sketch_merge(parts, [], "dd", params).collect()[0]["sketch"])
+
+        def fold(bs):
+            acc = DDSketch.deserialize(bs[0])
+            for b in bs[1:]:
+                acc.merge(DDSketch.deserialize(b))
+            return acc.serialize()
+
+        def tree(bs):
+            if len(bs) == 1:
+                return DDSketch.deserialize(bs[0])
+            mid = len(bs) // 2
+            return tree(bs[:mid]).merge(tree(bs[mid:]))
+
+        base = fold(blobs)
+        return (
+            base == fold(blobs[::-1]) == tree(blobs).serialize() == engine
+        ), base
+
+    merge_ok, merged = fold_ok({"alpha": alpha, "max_bins": 2048})
+    collapse_ok, _ = fold_ok({"alpha": alpha, "max_bins": 64})
+    dd = DDSketch.deserialize(merged)
+    est = dd.quantile(ps)
+    rel_ok = bool(dd.n == n) and all(
+        abs(float(e) - exact[int(p * (n - 1)) + 1])
+        <= alpha * abs(exact[int(p * (n - 1)) + 1])
+        for e, p in zip(est, ps)
+    )
+    return spark.createDataFrame(
+        [(alpha, n, bool(rel_ok), bool(merge_ok), bool(collapse_ok))],
+        "dd_alpha double, dd_n long, dd_rel_err_ok boolean, "
+        "dd_merge_bitwise boolean, dd_collapse_bitwise boolean",
+    )
+
+
 def q_sketch_laws_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Folds hll_users_union + cms_heavy_hitters (both green in every
-    driver run since r01; freed a gate slot for pii_redact): the per-type
-    HLL union laws beside the CMS heavy-hitter verdict row (1 row
-    broadcast onto 5 — a cross join of two law summaries)."""
+    driver run since r01; freed a gate slot for pii_redact) and — round-4
+    continuation — the DDSketch law row: the per-type HLL union laws
+    beside the CMS heavy-hitter verdict row and the dd relative-error /
+    bitwise-merge verdicts (1-row broadcasts onto 5 — cross joins of law
+    summaries)."""
     h = q_hll_users_union(spark, sf_dir)
     c = q_cms_heavy_hitters(spark, sf_dir).select(
         F.col("lang").alias("hh_lang"),
         F.col("est_count").alias("hh_est_count"),
         F.col("n_docs").alias("hh_n_docs"),
     )
-    return h.crossJoin(F.broadcast(c))
+    d = _dd_laws_row(spark, sf_dir)
+    return h.crossJoin(F.broadcast(c)).crossJoin(F.broadcast(d))
 
 
 def q_td_quantiles_cdf_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3371,8 +3449,16 @@ ORACLES = {
     "pii_redact": _PII_SQL,
     "sketch_laws_summary": f"""
 SELECT h.*, c.lang AS hh_lang, c.est_count AS hh_est_count,
-       c.n_docs AS hh_n_docs
+       c.n_docs AS hh_n_docs,
+       d.dd_alpha, d.dd_n, d.dd_rel_err_ok, d.dd_merge_bitwise,
+       d.dd_collapse_bitwise
 FROM ({_HLL_FOLD_SQL}) h CROSS JOIN ({_CMS_HH_SQL}) c
+CROSS JOIN (
+  SELECT CAST(0.01 AS DOUBLE) AS dd_alpha, COUNT(n_chars) AS dd_n,
+         TRUE AS dd_rel_err_ok, TRUE AS dd_merge_bitwise,
+         TRUE AS dd_collapse_bitwise
+  FROM documents
+) d
 """,
     "sample_cap_per_source": _CAP_PER_SOURCE_SQL,
     "text_quality_langid_by_lang": f"""
