@@ -143,6 +143,42 @@ def test_resume_sibling_sketch_byte_identical(spark, docs, tmp_path):
         assert abs(est - exact[key]) / exact[key] < 0.05, (key, est)
 
 
+def test_resume_dd_byte_identical(spark, docs, tmp_path):
+    """DDSketch through the generalized checkpointer: interrupted build
+    resumes byte-identically (dd's merge is bitwise order-insensitive, so
+    this is an == on blobs), and the resumed sketch's p50 sits at rank
+    ~0.5 of the exact per-lang multiset."""
+    import numpy as np
+
+    from sketchlib.ddsketch import DDSketch
+    from sketchlib.spark.checkpoint import TDigestCheckpointer
+
+    kw = dict(
+        spark=spark, keys=["lang"], value_col="n_chars", id_col="doc_id",
+        n_parts=8, sketch="dd", params={"alpha": 0.01, "max_bins": 2048},
+    )
+    clean = TDigestCheckpointer(ckpt_path=str(tmp_path / "dclean"), **kw)
+    assert clean.run(docs) == 8
+    want = _final_digests(clean)
+
+    ck = TDigestCheckpointer(ckpt_path=str(tmp_path / "dcrash"), **kw)
+    assert ck.run(docs, fail_after_parts=3) == 3
+    resumed = TDigestCheckpointer(ckpt_path=str(tmp_path / "dcrash"), **kw)
+    assert resumed.run(docs) == 5
+    assert _final_digests(resumed) == want
+
+    exact = {r["lang"]: np.sort(np.asarray(r["v"], dtype=float)) for r in
+             docs.where(F.col("n_chars").isNotNull()).groupBy("lang")
+             .agg(F.collect_list("n_chars").alias("v")).collect()}
+    for key, blob in want.items():
+        d = DDSketch.deserialize(blob)
+        vs = exact[key]
+        assert d.n == len(vs)
+        p50 = float(d.quantile(0.5)[0])
+        rank = np.searchsorted(vs, p50, side="right") / len(vs)
+        assert abs(rank - 0.5) < 0.03, (key, p50, rank)
+
+
 def test_resume_rejects_mismatched_lineage(spark, docs, tmp_path):
     """Resuming a checkpoint with different sketch params must fail fast
     instead of mixing incompatible partials."""

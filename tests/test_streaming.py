@@ -286,7 +286,8 @@ def test_streaming_sibling_sketches_match_batch(spark, tmp_path):
 
     for kind, params in (("hll", {"p": 12}), ("cms", {"width": 2048, "depth": 5}),
                          ("bloom", {"expected_n": 4000, "fpr": 0.01}),
-                         ("kmv", {"k": 128})):
+                         ("kmv", {"k": 128}),
+                         ("dd", {"alpha": 0.02, "max_bins": 512})):
         stream = spark.readStream.schema(static.schema).option(
             "maxFilesPerTrigger", "1"
         ).parquet(src)
