@@ -457,6 +457,101 @@ def compare_builtin() -> None:
     print(json.dumps(result))
 
 
+def quantile_cmp_bench() -> None:
+    """The three quantile-error models head-to-head over the 8M-row pages
+    table (per-lang text length): t-digest δ=0.01 (RANK error, tightest at
+    the tails), KLL k=200 (uniform normalized-rank error), DDSketch α=0.01
+    (relative VALUE error at any magnitude).  Same two-phase distributed
+    build for each; reports build sec + docs/s, serialized bytes per lang
+    sketch, max rank error and max relative value error vs the exact
+    multiset (floor-rank definition).  One JSON line + BENCH/
+    quantile_cmp.json — the "which sketch when" table in BENCH/BASELINE.md
+    is generated from this."""
+    import duckdb
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sketchlib.ddsketch import DDSketch
+    from sketchlib.kll import KLL
+    from sketchlib.spark.session import get_spark
+    from sketchlib.spark.sketch_ops import sketch_aggregate
+    from sketchlib.spark.tdigest_ops import tdigest_aggregate
+    from sketchlib.tdigest.core import bytes_to_centroids, quantiles_of_centroids
+
+    path = os.path.join(BENCH_DIR, f"pages_{BENCH_ROWS}.parquet")
+    ensure_pages(path, BENCH_ROWS)
+    spark = get_spark("quantile-cmp", cpus=CPUS,
+                      extra={"spark.sql.files.maxPartitionBytes": str(32 << 20),
+                             "spark.sql.files.openCostInBytes": str(32 << 20)})
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = spark.read.parquet(path).select(
+        "lang", F.length("text").cast("double").alias("v"))
+    n = pages.count()
+
+    # exact per-lang multisets straight off the parquet (duckdb scan beats
+    # a Spark collect for a one-shot 8M-double oracle)
+    raw = duckdb.sql(
+        f"SELECT lang, length(text) AS v FROM read_parquet('{path}/*.parquet')"
+    ).fetchnumpy()
+    exact = {}
+    langs = raw["lang"]
+    vs = raw["v"].astype(np.float64)
+    for lang in np.unique(langs):
+        exact[str(lang)] = np.sort(vs[langs == lang])
+
+    ps = np.array([0.01, 0.05, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99, 0.999])
+
+    def td_build():
+        rows = tdigest_aggregate(pages, ["lang"], "v", delta=0.01).collect()
+        return {r["lang"]: bytes(r["digest"]) for r in rows}
+
+    def td_quant(blob):
+        m, w = bytes_to_centroids(blob)
+        return quantiles_of_centroids(m, w, ps)
+
+    def sk_build(kind, params):
+        rows = sketch_aggregate(pages, ["lang"], "v", kind, params).collect()
+        return {r["lang"]: bytes(r["sketch"]) for r in rows}
+
+    contenders = {
+        "tdigest_d001": (td_build, td_quant),
+        "kll_k200": (lambda: sk_build("kll", {"k": 200}),
+                     lambda b: KLL.deserialize(b).quantile(ps)),
+        "dd_a01": (lambda: sk_build("dd", {"alpha": 0.01, "max_bins": 2048}),
+                   lambda b: DDSketch.deserialize(b).quantile(ps)),
+    }
+    result = {"rows": n, "cpus": CPUS, "probe_ps": ps.tolist()}
+    for name, (build, quant) in contenders.items():
+        build()  # warm
+        best, blobs = float("inf"), None
+        for _ in range(2):
+            t0 = time.time()
+            blobs = build()
+            best = min(best, time.time() - t0)
+        max_rank_err = 0.0
+        max_rel_err = 0.0
+        for lang, blob in blobs.items():
+            v = exact[lang]
+            est = np.asarray(quant(blob), dtype=float)
+            ranks = np.searchsorted(v, est, side="right") / len(v)
+            max_rank_err = max(max_rank_err, float(np.abs(ranks - ps).max()))
+            true_q = v[np.floor(ps * (len(v) - 1)).astype(int)]
+            nz = true_q != 0
+            max_rel_err = max(max_rel_err, float(
+                (np.abs(est[nz] - true_q[nz]) / np.abs(true_q[nz])).max()))
+        result[name] = {
+            "sec": round(best, 2),
+            "docs_per_sec": round(n / best, 1),
+            "bytes_per_lang_sketch": max(len(b) for b in blobs.values()),
+            "max_rank_error": round(max_rank_err, 6),
+            "max_rel_value_error": round(max_rel_err, 6),
+        }
+    spark.stop()
+    with open(os.path.join(REPO, "BENCH", "quantile_cmp.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+
+
 def sketches_bench() -> None:
     """Throughput of each sibling sketch's two-phase build over the 8M-row
     pages table at local[CPUS] (value: url for the hashed sketches, text
@@ -481,6 +576,7 @@ def sketches_bench() -> None:
         "cms_16kx5": ("url", "cms", {"width": 16384, "depth": 5}),
         "bloom_1pct": ("url", "bloom", {"expected_n": BENCH_ROWS, "fpr": 0.01}),
         "kll_k200": ("n_chars", "kll", {"k": 200}),
+        "dd_a01": ("n_chars", "dd", {"alpha": 0.01, "max_bins": 2048}),
         "kmv_k1024": ("url", "kmv", {"k": 1024}),
     }
     result = {"rows": n, "cpus": CPUS}
@@ -1227,7 +1323,8 @@ def lmquality_bench() -> None:
 
 
 _MODES = (
-    "--scaling", "--compare-builtin", "--sketches", "--frequent",
+    "--scaling", "--compare-builtin", "--sketches", "--quantilecmp",
+    "--frequent",
     "--joins", "--profile", "--decontam", "--rangepart", "--lmquality",
     "--measure-build",
 )
@@ -1245,6 +1342,8 @@ if __name__ == "__main__":
         compare_builtin()
     elif len(sys.argv) > 1 and sys.argv[1] == "--sketches":
         sketches_bench()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--quantilecmp":
+        quantile_cmp_bench()
     elif len(sys.argv) > 1 and sys.argv[1] == "--frequent":
         frequent_items_bench()
     elif len(sys.argv) > 1 and sys.argv[1] == "--profile":
