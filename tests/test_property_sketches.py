@@ -102,6 +102,37 @@ def test_kll_split_merge_rank_bound(xs, k):
         assert lo <= est <= hi, (p, est, lo, hi)
 
 
+@given(st.lists(st.floats(min_value=-1e9, max_value=1e9,
+                          allow_nan=False, allow_subnormal=False),
+                min_size=1, max_size=2000),
+       st.integers(2, 6), st.integers(0, 1))
+@settings(deadline=None)
+def test_dd_split_merge_bitwise_and_rel_bound(xs, k, collapse):
+    """DDSketch under hypothesis: ANY split of ANY input merges to the
+    byte-identical sketch (with and without collapsing active), and every
+    probed quantile is within alpha relative of the exact floor-rank value."""
+    from sketchlib.ddsketch import DDSketch
+
+    alpha, max_bins = 0.01, (8 if collapse else 2048)
+    xs_arr = np.asarray(xs, dtype=np.float64)
+    single = DDSketch(alpha=alpha, max_bins=max_bins)
+    single.update_batch(xs_arr)
+    merged = DDSketch(alpha=alpha, max_bins=max_bins)
+    chunks = [c for c in np.array_split(xs_arr, k) if len(c)]
+    for chunk in reversed(chunks):
+        s = DDSketch(alpha=alpha, max_bins=max_bins)
+        s.update_batch(chunk)
+        merged.merge(s)
+    assert merged.serialize() == single.serialize()
+    if not collapse:
+        sx = np.sort(xs_arr)
+        n = len(sx)
+        for p in (0.1, 0.5, 0.9):
+            est = float(np.atleast_1d(single.quantile([p]))[0])
+            true = sx[int(np.floor(p * (n - 1)))]
+            assert abs(est - true) <= alpha * abs(true) + 1e-300, (p, est, true)
+
+
 def test_hll_truncated_blob_raises():
     """A truncated sparse or dense blob must raise, never silently decode
     fewer registers (parity with the t-digest %16 length check)."""
