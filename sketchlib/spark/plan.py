@@ -34,11 +34,12 @@ from pyspark.sql import DataFrame, functions as F
 from sketchlib.spark.tdigest_ops import tdigest_merge, tdigest_partials
 
 
-def add_salt(partials: DataFrame, n_salts: int, salt_col: str = "_salt") -> DataFrame:
+def add_salt(partials: DataFrame, n_salts: int, salt_col: str = "_salt",
+             blob_col: str = "digest") -> DataFrame:
     """Deterministic salt from the partial row content (hash of the digest
     bytes) — uniform, reproducible, no RNG."""
     return partials.withColumn(
-        salt_col, F.pmod(F.xxhash64(F.col("digest")), F.lit(n_salts)).cast("int")
+        salt_col, F.pmod(F.xxhash64(F.col(blob_col)), F.lit(n_salts)).cast("int")
     )
 
 
@@ -70,6 +71,57 @@ def tree_merge_tdigest(
         ).drop("_salt")
         n_salts //= fanin
     return tdigest_merge(df, keys, delta, discrete, compress=True)
+
+
+def tree_merge_sketch(
+    partials: DataFrame,
+    keys: list[str],
+    sketch: str,
+    params: dict | None = None,
+    fanin: int = 64,
+    est_partials_per_key: int | None = None,
+) -> DataFrame:
+    """``tree_merge_tdigest`` for every sibling family in the
+    ``sketch_ops.SKETCHES`` registry: bounded reducer fan-in via salted
+    intermediate merge levels, same hot-key arithmetic as the module
+    docstring (P partial rows per key → levels of fan-in ``fanin``).
+
+    Every registry sketch's merge is a commutative semilattice/monoid on
+    the SAME serialized state the direct merge uses, so tree shape does
+    not change the result: for the byte-canonical families
+    (HLL register-max, Bloom bit-OR, CMS counter-sum, KMV bottom-k, dd
+    bucket-sum) the output blob is byte-identical to the flat
+    ``sketch_merge`` — pytest-proved — and for KLL/MG it is within the
+    family's documented merge bound."""
+    from sketchlib.spark.sketch_ops import sketch_merge
+
+    if est_partials_per_key is None:
+        cnt = partials.groupBy(*keys).count().agg(F.max("count")).collect()[0][0]
+        est_partials_per_key = int(cnt or 1)
+
+    levels = max(0, math.ceil(math.log(max(est_partials_per_key, 1), fanin)) - 1)
+    df = partials
+    n_salts = fanin ** levels
+    while n_salts > 1:
+        salted = add_salt(df, n_salts, blob_col="sketch")
+        df = sketch_merge(salted, keys + ["_salt"], sketch, params).drop("_salt")
+        n_salts //= fanin
+    return sketch_merge(df, keys, sketch, params)
+
+
+def sketch_aggregate_skewed(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    sketch: str,
+    params: dict | None = None,
+    fanin: int = 64,
+) -> DataFrame:
+    """Full skew-safe sibling-sketch plan: partials → salted tree merge."""
+    from sketchlib.spark.sketch_ops import sketch_partials
+
+    partials = sketch_partials(df, keys, value_col, sketch, params)
+    return tree_merge_sketch(partials, keys, sketch, params, fanin)
 
 
 def tdigest_aggregate_skewed(

@@ -90,6 +90,44 @@ def test_tree_merge_equals_flat_merge_exact_mode(spark, docs):
     assert skewed == flat
 
 
+def test_tree_merge_sketch_byte_equal_families(spark, docs):
+    """Generic salted tree merge == flat sketch_merge, byte-for-byte, for
+    every byte-canonical sibling family (HLL register-max, Bloom bit-OR,
+    CMS counter-sum, KMV bottom-k, dd bucket-sum) at fan-in 2 over 32
+    input partitions (forces multiple salted levels)."""
+    from sketchlib.spark.plan import sketch_aggregate_skewed, tree_merge_sketch
+    from sketchlib.spark.sketch_ops import sketch_aggregate, sketch_partials
+
+    for kind, col, params in (
+        ("hll", "doc_id", {"p": 12}),
+        ("bloom", "doc_id", {"expected_n": 20_000, "fpr": 0.01}),
+        ("cms", "doc_id", {"width": 2048, "depth": 5}),
+        ("kmv", "doc_id", {"k": 256}),
+        ("dd", "n_chars", {"alpha": 0.01, "max_bins": 2048}),
+    ):
+        flat = {
+            r["lang"]: bytes(r["sketch"])
+            for r in sketch_aggregate(docs, ["lang"], col, kind, params).collect()
+        }
+        partials = sketch_partials(
+            docs.repartition(32), ["lang"], col, kind, params
+        )
+        tree = {
+            r["lang"]: bytes(r["sketch"])
+            for r in tree_merge_sketch(
+                partials, ["lang"], kind, params, fanin=2
+            ).collect()
+        }
+        assert tree == flat, kind
+        skewed = {
+            r["lang"]: bytes(r["sketch"])
+            for r in sketch_aggregate_skewed(
+                docs.repartition(32), ["lang"], col, kind, params, fanin=2
+            ).collect()
+        }
+        assert skewed == flat, kind
+
+
 def test_tree_merge_compressed_within_bound(spark, docs):
     import numpy as np
 
