@@ -12,7 +12,7 @@ length (exact quantiles/CDF), HLL p14 of url (distinct pages), count-min
 16384x5 of url (per-url frequency probes), Misra-Gries m=64 of url
 (frequent items).  Override with ``--specs`` using
 ``sketchlib.spark.sketch_ops.profile_aggregate``'s spec format:
-``[{"name": ..., "col": ..., "kind": tdigest|hll|cms|bloom|kll|kmv|mg,
+``[{"name": ..., "col": ..., "kind": tdigest|hll|cms|bloom|kll|kmv|mg|dd,
 "params": {...}}, ...]``.
 
 At 100 TB the scan IS the job, so the one-pass profile costs ~1/N of the
