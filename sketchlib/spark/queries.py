@@ -3381,12 +3381,147 @@ def q_sketch_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.join(c, "source")
 
 
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain corpus rollup — the webtext curation primitive
+    behind domain quotas/blocklists (C4/RefinedWeb-style).  The driver
+    tables carry no url column, so an absolute URL is synthesized
+    deterministically per document (same injection pattern as pii_redact;
+    the oracle re-synthesizes identical bytes in SQL) covering the gnarly
+    authority forms: ``www.`` + co.uk, mixed case + trailing dot + port,
+    userinfo, IPv4 literals, deep subdomains + com.au.  Host and eTLD+1
+    come from the pure-codegen ``textops.url_host`` /
+    ``registrable_domain`` (Java∩RE2 regex subset — byte-reproducible in
+    DuckDB), then ONE hash-aggregate per domain: docs, distinct hosts,
+    distinct sources, total chars.  Plan: scan → codegen projection → one
+    Exchange; at 100 TB the domain is the canonical per-site key —
+    compose with ``sampling.cap_per_key`` for quotas."""
+    from sketchlib.spark.textops import registrable_domain, url_host
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    d = F.col("doc_id")
+    s = d.cast("string")
+    url = (
+        F.when(d % 6 == 0, F.concat(
+            F.lit("https://www.news-"), (d % 50).cast("string"),
+            F.lit(".co.uk/a/"), s))
+        .when(d % 6 == 1, F.concat(
+            F.lit("http://Blog-"), (d % 30).cast("string"),
+            F.lit(".Example.COM.:8080/p?q=1")))
+        .when(d % 6 == 2, F.concat(
+            F.lit("https://cdn."), F.col("source"), F.lit(".net/asset/"), s))
+        .when(d % 6 == 3, F.concat(
+            F.lit("https://192.168."), (d % 200).cast("string"),
+            F.lit(".1:80/raw")))
+        .when(d % 6 == 4, F.concat(
+            F.lit("https://u:p@deep.sub.shop"), (d % 20).cast("string"),
+            F.lit(".com.au/x")))
+        .otherwise(F.concat(F.lit("http://"), F.col("source"), F.lit(".org/"), s))
+    )
+    hosts = (
+        docs.withColumn("host", url_host(url))
+        .withColumn("domain", registrable_domain("host"))
+    )
+    return hosts.groupBy("domain").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("host").alias("n_hosts"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+def _domain_sql_suffixes() -> str:
+    from sketchlib.spark.textops import TWO_LEVEL_SUFFIXES
+
+    return ", ".join(f"'{x}'" for x in TWO_LEVEL_SUFFIXES)
+
+
+_DOMAIN_STATS_SQL = f"""
+WITH d0 AS (
+  SELECT doc_id, source, n_chars,
+    CASE doc_id % 6
+      WHEN 0 THEN 'https://www.news-' || CAST(doc_id % 50 AS VARCHAR)
+                  || '.co.uk/a/' || CAST(doc_id AS VARCHAR)
+      WHEN 1 THEN 'http://Blog-' || CAST(doc_id % 30 AS VARCHAR)
+                  || '.Example.COM.:8080/p?q=1'
+      WHEN 2 THEN 'https://cdn.' || source || '.net/asset/'
+                  || CAST(doc_id AS VARCHAR)
+      WHEN 3 THEN 'https://192.168.' || CAST(doc_id % 200 AS VARCHAR)
+                  || '.1:80/raw'
+      WHEN 4 THEN 'https://u:p@deep.sub.shop' || CAST(doc_id % 20 AS VARCHAR)
+                  || '.com.au/x'
+      ELSE 'http://' || source || '.org/' || CAST(doc_id AS VARCHAR)
+    END AS url
+  FROM documents
+), a AS (
+  SELECT *, regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)
+            AS auth
+  FROM d0
+), h AS (
+  SELECT *, nullif(regexp_replace(lower(regexp_replace(regexp_replace(
+              auth, '^.*@', ''), ':[0-9]*$', '')), '\\.$', ''), '') AS host
+  FROM a
+), p AS (
+  SELECT *, string_split(host, '.') AS parts,
+            len(string_split(host, '.')) AS n
+  FROM h
+), dom AS (
+  SELECT *, CASE
+      WHEN host IS NULL THEN NULL
+      WHEN regexp_matches(host,
+        '^[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}$')
+        THEN host
+      WHEN n <= 2 THEN host
+      WHEN (parts[n-1] || '.' || parts[n]) IN ({_domain_sql_suffixes()})
+        THEN parts[n-2] || '.' || parts[n-1] || '.' || parts[n]
+      ELSE parts[n-1] || '.' || parts[n]
+    END AS domain
+  FROM p
+)
+SELECT domain, COUNT(*) AS n_docs, COUNT(DISTINCT host) AS n_hosts,
+       COUNT(DISTINCT source) AS n_sources,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM dom GROUP BY domain
+"""
+
+
+def q_kmv_sample_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Folds kmv_sample_by_lang + kmv_user_overlap (both green in every
+    driver run since their debut; freed a gate slot for domain_stats): the
+    per-lang bottom-k coordinated sample rows (hash-exact vs the identical
+    md5-derived hash in DuckDB) with the cross-set overlap verdicts
+    reduced to one broadcast row — pair count, exact common-user total,
+    and the Jaccard/difference estimate-vs-exact booleans ANDed across all
+    event-type pairs."""
+    sample = q_kmv_sample_by_lang(spark, sf_dir)
+    overlap = q_kmv_user_overlap(spark, sf_dir).agg(
+        F.count("*").alias("n_type_pairs"),
+        F.sum("n_common").alias("sum_common_users"),
+        F.bool_and("jaccard_ok").alias("all_jaccard_ok"),
+        F.bool_and("difference_ok").alias("all_difference_ok"),
+    )
+    return sample.crossJoin(F.broadcast(overlap))
+
+
+_KMV_SAMPLE_OVERLAP_SQL = f"""
+SELECT s.*, o.n_type_pairs, o.sum_common_users,
+       o.all_jaccard_ok, o.all_difference_ok
+FROM ({_KMV_SQL}) s CROSS JOIN (
+  SELECT COUNT(*) AS n_type_pairs,
+         CAST(SUM(n_common) AS BIGINT) AS sum_common_users,
+         TRUE AS all_jaccard_ok, TRUE AS all_difference_ok
+  FROM ({_KMV_OVERLAP_SQL}) x
+) o
+"""
+
+
 # 50 entries — at most the driver's correctness gate records (~50 rows/run).
 # Ordering rule (VERDICT r03 #1): queries that have never had a driver
 # CORRECTNESS row come FIRST (the round-3 wave, then the round-4 folds);
 # the long-green remainder follows.
 QUERIES = {
     # --- new in round 4 (never driver-gated) ---
+    "domain_stats": q_domain_stats,
+    "kmv_sample_overlap": q_kmv_sample_overlap,
     "lm_trigram_score": q_lm_trigram_score,
     "sample_cap_per_source": q_sample_cap_per_source,
     "pii_redact": q_pii_redact,
@@ -3429,8 +3564,6 @@ QUERIES = {
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "emb_signlsh_precision": q_emb_signlsh_precision,
     "top_sources_by_lang": q_top_sources_by_lang,
-    "kmv_sample_by_lang": q_kmv_sample_by_lang,
-    "kmv_user_overlap": q_kmv_user_overlap,
     "td_order_value_by_nation": q_td_order_value_by_nation,
     "event_sessions": q_event_sessions,
     "td_cube_lang_source": q_td_cube_lang_source,
@@ -3526,8 +3659,8 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
 """,
     "top_sources_by_lang": _TOP_SOURCES_SQL,
-    "kmv_sample_by_lang": _KMV_SQL,
-    "kmv_user_overlap": _KMV_OVERLAP_SQL,
+    "domain_stats": _DOMAIN_STATS_SQL,
+    "kmv_sample_overlap": _KMV_SAMPLE_OVERLAP_SQL,
     "td_order_value_by_nation": _ORDER_NATION_SQL,
     "event_sessions": _SESSIONS_SQL,
     "td_cube_lang_source": _cube_sql(),

@@ -1636,3 +1636,66 @@ def redact_pii(
         )
         red = F.regexp_replace(red, pat, f"<{kind.upper()}>")
     return out.withColumn(out_col, red)
+
+
+# ---------------------------------------------------------------------------
+# URL / host / registrable-domain extraction (webtext curation primitive)
+# ---------------------------------------------------------------------------
+
+# Two-level public suffixes recognized by ``registrable_domain`` — a frozen,
+# documented SUBSET of the public-suffix list (the full PSL is external data;
+# this heuristic covers the common ccTLD second levels and is deterministic).
+TWO_LEVEL_SUFFIXES: tuple[str, ...] = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "sch.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "co.kr", "or.kr", "go.kr", "co.in", "net.in", "org.in",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.mx", "com.ar", "com.tr", "com.tw", "com.sg", "com.hk",
+    "com.my", "co.za", "co.nz", "org.nz", "net.nz", "co.id", "co.th",
+)
+
+# Java∩RE2-safe (no lookaround/backrefs) so the DuckDB oracle reproduces the
+# extraction byte-for-byte — same discipline as PII_PATTERNS above.
+_URL_AUTHORITY_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
+
+
+def url_host(url) -> F.Column:  # type: ignore[name-defined]
+    """Lower-cased host of an absolute URL as ONE codegen'd expression:
+    authority = text between ``scheme://`` and the first ``/?#``, then strip
+    userinfo (``user:pw@``), strip ``:port``, lower-case, strip a trailing
+    dot; '' (relative / unparseable URL) becomes NULL.  No Python, no UDF —
+    runs at scan speed, and the regexes are in the Java∩RE2 subset so the
+    same steps in DuckDB yield identical bytes (the oracle contract)."""
+    c = F.col(url) if isinstance(url, str) else url
+    auth = F.regexp_extract(c, _URL_AUTHORITY_RE, 1)
+    # greedy .* strips userinfo up to the LAST '@' (RFC 3986 authority)
+    host = F.regexp_replace(auth, r"^.*@", "")
+    host = F.regexp_replace(host, r":[0-9]*$", "")
+    host = F.regexp_replace(F.lower(host), r"\.$", "")
+    return F.when(host == "", F.lit(None).cast("string")).otherwise(host)
+
+
+def registrable_domain(host) -> F.Column:  # type: ignore[name-defined]
+    """Registrable ("eTLD+1") domain of a host, pure codegen: IPv4 literals
+    and single/two-label hosts map to themselves; otherwise the last two
+    labels — or the last three when the last two form a known two-level
+    public suffix (``TWO_LEVEL_SUFFIXES``, a documented PSL subset).  This
+    is the grouping key for per-domain corpus curation (domain quotas,
+    blocklists, per-domain quality rollups) where a host-level key would
+    shatter ``www.`` / CDN subdomains into distinct groups."""
+    c = F.col(host) if isinstance(host, str) else host
+    parts = F.split(c, r"\.")
+    n = F.size(parts)
+    last1 = F.element_at(parts, -1)
+    last2 = F.concat_ws(".", F.element_at(parts, -2), last1)
+    last3 = F.concat_ws(".", F.element_at(parts, -3), F.element_at(parts, -2), last1)
+    is_ipv4 = c.rlike(r"^[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}$")
+    return (
+        F.when(c.isNull(), F.lit(None).cast("string"))
+        .when(is_ipv4, c)
+        .when(n <= 2, c)
+        .when(last2.isin(*TWO_LEVEL_SUFFIXES), last3)
+        .otherwise(last2)
+    )
