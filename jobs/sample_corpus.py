@@ -10,6 +10,10 @@ training-data pipeline's spark-submit sampling entry point.
     # or solve the rates from a target MIXTURE:
     ... --target-props '{"en": 0.5, "de": 0.3, "fr": 0.2}' --target-rows 1000000
 
+    # per-SITE quota on a web corpus: derive the registrable domain from a
+    # url column (pure codegen) and cap on it before the mixture solve
+    ... --domain-from url --cap-key domain --cap-k 100000
+
 Two modes, both hash-deterministic (membership is a pure function of the
 row id — reproducible on any cluster layout, any engine; see
 ``sketchlib.spark.sampling``):
@@ -68,6 +72,11 @@ def main() -> None:
                          "source/host: anti-monoculture rule)")
     ap.add_argument("--cap-k", type=int, default=None,
                     help="max rows kept per --cap-key value")
+    ap.add_argument("--domain-from", default=None, metavar="URL_COL",
+                    help="derive a 'domain' column (registrable eTLD+1 of "
+                         "the URL column, pure codegen) usable as "
+                         "--cap-key domain / --strata-col domain — the "
+                         "per-site quota key of a web corpus")
     args = ap.parse_args()
     if (args.cap_key is None) != (args.cap_k is None):
         ap.error("--cap-key and --cap-k go together")
@@ -84,6 +93,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
     df = spark.read.parquet(args.input)
     t0 = time.time()
+    if args.domain_from is not None:
+        from sketchlib.spark.textops import registrable_domain, url_host
+
+        df = df.withColumn(
+            "domain", registrable_domain(url_host(args.domain_from)))
     if args.cap_key is not None:
         # quota first, then mixture: the rate solver must see the capped
         # per-stratum counts or the achieved mixture would overshoot

@@ -107,3 +107,34 @@ def test_domain_property_vs_python_oracle(spark, urls):
     for u in urls:
         host = _py_host(u)
         assert got[u] == (host, _py_domain(host)), repr(u)
+
+
+def test_domain_extraction_streams(spark, tmp_path):
+    """stateless projection: the SAME url_host/registrable_domain columns
+    over a readStream yield exactly the batch values — domain keys can be
+    derived on the live crawl before any stateful stage."""
+    import os
+
+    src = str(tmp_path / "src")
+    urls = [u for u, _, _ in CASES if u is not None]
+    spark.createDataFrame(
+        [(i, urls[i % len(urls)]) for i in range(40)],
+        "doc_id long, url string",
+    ).repartition(4).write.parquet(src)
+    static = spark.read.parquet(src)
+
+    def project(df):
+        return df.select(
+            "doc_id", url_host("url").alias("host")
+        ).withColumn("domain", registrable_domain("host"))
+
+    batch = {r["doc_id"]: (r["host"], r["domain"])
+             for r in project(static).collect()}
+    stream = spark.readStream.schema(static.schema).option(
+        "maxFilesPerTrigger", "1").parquet(src)
+    got = []
+    q = (project(stream).writeStream.outputMode("append")
+         .foreachBatch(lambda bdf, _id: got.extend(bdf.collect())).start())
+    q.processAllAvailable()
+    q.stop()
+    assert {r["doc_id"]: (r["host"], r["domain"]) for r in got} == batch

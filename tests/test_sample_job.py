@@ -114,3 +114,33 @@ def test_sample_job_cap_then_mixture(spark, tmp_path, monkeypatch):
     per_src = out.groupBy("source").count().collect()
     assert per_src and all(r["count"] <= 15 for r in per_src)
     assert {r["lang"] for r in out.select("lang").distinct().collect()} <= {"en", "de"}
+
+
+def test_sample_job_domain_cap(spark, tmp_path, monkeypatch):
+    """--domain-from url: the job derives the registrable-domain column in
+    pure codegen and caps per DOMAIN — www./cdn. subdomains of one site
+    share one quota (the reason a host-level key is wrong)."""
+    sys.path.insert(0, "jobs")
+    import sample_corpus as job
+
+    src = str(tmp_path / "pages")
+    rows = [
+        (i, f"https://{sub}.site{i % 3}.co.uk/p/{i}", "en")
+        for i, sub in ((j, ["www", "cdn", "a.b"][j % 3]) for j in range(90))
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, url string, lang string").write.parquet(src)
+
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    monkeypatch.setattr("builtins.print", lambda s: None)
+    monkeypatch.setattr(
+        sys, "argv",
+        ["job", "--input", src, "--output", str(tmp_path / "out"),
+         "--rates", "{}", "--default-rate", "1.0",
+         "--domain-from", "url", "--cap-key", "domain", "--cap-k", "10"])
+    assert job.main() is None
+    out = spark.read.parquet(str(tmp_path / "out"))
+    per_dom = {r["domain"]: r["count"]
+               for r in out.groupBy("domain").count().collect()}
+    assert set(per_dom) == {f"site{i}.co.uk" for i in range(3)}
+    assert all(c == 10 for c in per_dom.values()), per_dom
