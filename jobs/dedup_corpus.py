@@ -22,6 +22,15 @@ Min-id propagation over the combined edges (see
 id — transitively correct across exact AND near evidence (a near-dup of
 an exact-dup lands in one group).  Output: (id, keeper_id) for every
 input row; ``id != keeper_id`` is the drop set.  One JSON summary line.
+
+**Incremental mode** (daily-crawl pipelines): ``--sig-index-out`` persists
+the banded-LSH index of this run's keepers (``banded/`` + ``meta/`` with
+the banding params — indices only compose when banding matches, so it is
+stored, not re-derived).  A later run with ``--sig-index-in`` drops new
+docs that collide with the stored index (keeper = smallest colliding index
+doc; candidate-level — the index holds no text, so banding precision is
+the gate) BEFORE within-batch dedup, and never re-signs the historical
+corpus; with both flags the written index is the cumulative union.
 """
 
 from __future__ import annotations
@@ -48,6 +57,15 @@ def main() -> None:
     ap.add_argument("--threshold", type=float, default=0.8)
     ap.add_argument("--ngram", type=int, default=3)
     ap.add_argument("--num-perm", type=int, default=64)
+    ap.add_argument("--sig-index-in", default=None, metavar="PATH",
+                    help="stored banded-LSH index (from a previous run's "
+                         "--sig-index-out): new docs colliding with the "
+                         "index are dropped with the index doc as keeper — "
+                         "the historical corpus is never re-signed")
+    ap.add_argument("--sig-index-out", default=None, metavar="PATH",
+                    help="write the banded-LSH index of this run's keepers "
+                         "(unioned with --sig-index-in when given) for the "
+                         "next incremental run")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession, functions as F
@@ -55,11 +73,51 @@ def main() -> None:
     spark = SparkSession.builder.appName("sketchlib-dedup-corpus").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    from sketchlib.spark.dedup import exact_dedup_keepers, minhash_lsh_dedup_pairs
+    from sketchlib.spark.dedup import (
+        banded_signatures,
+        exact_dedup_keepers,
+        lsh_candidates_vs_index,
+        minhash_auto_bands,
+        minhash_lsh_dedup_pairs,
+        minhash_signatures,
+    )
 
     df = spark.read.parquet(args.input)
     t0 = time.time()
     idc = args.id_col
+
+    def _banded(frame):
+        sigs = minhash_signatures(
+            frame.filter(F.col(args.text_col).isNotNull()),
+            idc, args.text_col, args.ngram, args.num_perm)
+        return banded_signatures(sigs, idc, bands, args.num_perm // bands)
+
+    index_dropped = None
+    if args.sig_index_in is not None or args.sig_index_out is not None:
+        # banding must be identical across runs for indices to compose: it
+        # is stored WITH the index (meta/), not re-derived from this run's
+        # flags.  A fresh chain derives it from (threshold, num_perm).
+        if args.sig_index_in is not None:
+            meta = spark.read.parquet(f"{args.sig_index_in}/meta").collect()[0]
+            bands, args.ngram, args.num_perm = (
+                meta["bands"], meta["ngram"], meta["num_perm"])
+        else:
+            bands = minhash_auto_bands(args.threshold, args.num_perm)[0]
+
+    if args.sig_index_in is not None:
+        index = spark.read.parquet(f"{args.sig_index_in}/banded")
+        # candidate-level drops at threshold-tuned banding (the index holds
+        # no text, so there is no exact-verify pass here; banding precision
+        # is the measured LSH curve).  Keeper = smallest colliding index doc.
+        index_dropped = (
+            lsh_candidates_vs_index(_banded(df), index, idc)
+            .groupBy("new_id").agg(F.min("index_id").alias("keeper_id"))
+            .withColumnRenamed("new_id", "id")
+        )
+        # within-batch dedup runs on the survivors only, so a within-batch
+        # keeper can never itself be an index-dropped doc
+        df = df.join(
+            index_dropped.select(F.col("id").alias(idc)), idc, "left_anti")
 
     edge_frames = []
     if args.mode in ("exact", "both"):
@@ -92,11 +150,34 @@ def main() -> None:
         .join(grouped, "id", "left")
         .select("id", F.coalesce("keeper_id", F.col("id")).alias("keeper_id"))
     )
+    if index_dropped is not None:
+        keeper = keeper.unionByName(index_dropped)
     keeper.write.mode("overwrite").parquet(args.output)
+
+    if args.sig_index_out is not None:
+        keepers = df.join(
+            spark.read.parquet(args.output)
+            .filter(F.col("id") == F.col("keeper_id"))
+            .select(F.col("id").alias(idc)),
+            idc,
+        )
+        new_index = _banded(keepers)
+        if args.sig_index_in is not None:
+            new_index = spark.read.parquet(
+                f"{args.sig_index_in}/banded").unionByName(new_index)
+        new_index.write.mode("overwrite").parquet(f"{args.sig_index_out}/banded")
+        spark.createDataFrame(
+            [(bands, args.ngram, args.num_perm)],
+            "bands int, ngram int, num_perm int",
+        ).write.mode("overwrite").parquet(f"{args.sig_index_out}/meta")
+
     out = spark.read.parquet(args.output)
     print(json.dumps({
         "rows": out.count(),
         "dropped": out.filter(F.col("id") != F.col("keeper_id")).count(),
+        "dropped_vs_index": (
+            index_dropped.count() if index_dropped is not None else 0
+        ),
         "wall_sec": round(time.time() - t0, 2),
         "mode": args.mode,
         "output": args.output,

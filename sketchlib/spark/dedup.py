@@ -369,14 +369,18 @@ def minhash_auto_bands(
     return best, cap
 
 
-def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
-                        bands: int = 16, rows_per_band: int = 4,
-                        max_bucket_size: int | None = None) -> DataFrame:
-    """Band the signatures and emit distinct (a_id, b_id) candidate pairs
-    (a < b) that collide in at least one band.  The band join shuffles only
-    (band, hash, id) rows.  ``max_bucket_size`` enables the hot-bucket skew
-    guard (see ``_cap_buckets``)."""
-    banded = sigs.select(
+def banded_signatures(sigs: DataFrame, id_col: str = "doc_id",
+                      bands: int = 16, rows_per_band: int = 4) -> DataFrame:
+    """Band MinHash signatures into the STORABLE LSH index: (id, band, bh)
+    — band hash = xxhash64 over that band's signature slice.  This is the
+    artifact an incremental pipeline persists (parquet, partitioned or
+    bucketed by (band, bh)): dedup'ing tomorrow's crawl against a 10^12-doc
+    corpus then touches only the new docs' shingles — the historical corpus
+    is never re-signed, and the new-vs-index join
+    (``lsh_candidates_vs_index``) shuffles only the NEW side when the index
+    is stored bucketed on the join key.  Banding is deterministic, so
+    indices built on different days/clusters compose."""
+    return sigs.select(
         F.col(id_col),
         F.explode(
             F.transform(
@@ -390,6 +394,38 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
             )
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.bh")
+
+
+def lsh_candidates_vs_index(
+    new_banded: DataFrame,
+    index_banded: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Incremental near-dup discovery: distinct (new_id, index_id) pairs
+    colliding in at least one band, between a NEW crawl's banded
+    signatures and a STORED index (both from ``banded_signatures`` with
+    identical banding).  Law (pytest-gated): with the cap off this equals
+    the cross (new x index) restriction of ``lsh_candidate_pairs`` over
+    the union corpus.  ``max_bucket_size`` caps each side's hot buckets
+    independently (same skew rationale as ``_cap_buckets``)."""
+    l = _cap_buckets(new_banded, ["band", "bh"], max_bucket_size).select(
+        F.col(id_col).alias("new_id"), "band", "bh"
+    )
+    r = _cap_buckets(index_banded, ["band", "bh"], max_bucket_size).select(
+        F.col(id_col).alias("index_id"), "band", "bh"
+    )
+    return l.join(r, ["band", "bh"]).select("new_id", "index_id").distinct()
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                        bands: int = 16, rows_per_band: int = 4,
+                        max_bucket_size: int | None = None) -> DataFrame:
+    """Band the signatures and emit distinct (a_id, b_id) candidate pairs
+    (a < b) that collide in at least one band.  The band join shuffles only
+    (band, hash, id) rows.  ``max_bucket_size`` enables the hot-bucket skew
+    guard (see ``_cap_buckets``)."""
+    banded = banded_signatures(sigs, id_col, bands, rows_per_band)
     banded = _cap_buckets(banded, ["band", "bh"], max_bucket_size)
     l = banded.select(F.col(id_col).alias("a_id"), "band", "bh")
     r = banded.select(F.col(id_col).alias("b_id"), "band", "bh")

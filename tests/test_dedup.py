@@ -346,3 +346,52 @@ def test_dedup_group_best_keepers(spark):
         df, "score", threshold=0.5, ascending=True).collect()}
     assert asc[1] == asc[2] == asc[3] == 1
     assert asc[11] == asc[12] == 12  # NULL still loses under ascending
+
+
+def test_lsh_index_incremental_equals_batch(spark, tmp_path):
+    """Incremental law: candidates of a NEW crawl against a STORED banded
+    index equal the cross (new x index) restriction of the union corpus's
+    candidate pairs (cap off); the index round-trips through parquet; an
+    empty new side yields zero candidates."""
+    from sketchlib.spark.dedup import (
+        banded_signatures,
+        lsh_candidate_pairs,
+        lsh_candidates_vs_index,
+        minhash_signatures,
+    )
+
+    docs = _docs(spark)
+    old = docs.filter("doc_id % 3 != 0")
+    new = docs.filter("doc_id % 3 = 0")
+    old_ids = {r["doc_id"] for r in old.select("doc_id").collect()}
+
+    # stored index: signatures -> banded -> parquet -> reload
+    idx_path = str(tmp_path / "lsh_index")
+    banded_signatures(minhash_signatures(old)).write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    got = {
+        (r["new_id"], r["index_id"])
+        for r in lsh_candidates_vs_index(
+            banded_signatures(minhash_signatures(new)), index
+        ).collect()
+    }
+
+    union_pairs = {
+        (r["a_id"], r["b_id"])
+        for r in lsh_candidate_pairs(minhash_signatures(docs)).collect()
+    }
+    want = {
+        (b, a) if a in old_ids else (a, b)
+        for a, b in union_pairs
+        if (a in old_ids) != (b in old_ids)
+    }
+    assert got == want and got, (len(got), len(want))
+
+    empty = new.filter("doc_id < 0")
+    assert (
+        lsh_candidates_vs_index(
+            banded_signatures(minhash_signatures(empty)), index
+        ).count()
+        == 0
+    )

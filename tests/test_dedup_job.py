@@ -108,3 +108,65 @@ def test_propagate_min_keeper_log_convergence_and_cap_error(spark):
 
     with pytest.raises(RuntimeError, match="no fixpoint"):
         propagate_min_keeper(df, max_rounds=1)
+
+
+def test_dedup_job_incremental_index(spark, tmp_path, monkeypatch):
+    """Two-epoch incremental run: epoch 1 persists its keepers' banded-LSH
+    index; epoch 2 drops near-copies of epoch-1 docs with the EPOCH-1 doc
+    as keeper (no re-signing of epoch 1), still dedups within-batch, and
+    writes the cumulative index."""
+    import sys
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, "jobs")
+    import dedup_corpus as job
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(200)]
+
+    def text():
+        return " ".join(rng.choice(vocab, 30))
+
+    e1_rows = [(i, text()) for i in range(20)]
+    e1 = str(tmp_path / "e1")
+    spark.createDataFrame(e1_rows, "doc_id long, text string").write.parquet(e1)
+
+    # epoch 2: 100..109 near-copies of epoch-1 docs 0..9; 110..119 fresh;
+    # 120 a within-batch copy of 110
+    e2_rows = [(100 + k, e1_rows[k][1] + " tail") for k in range(10)]
+    fresh = [(110 + k, text()) for k in range(10)]
+    e2_rows += fresh + [(120, fresh[0][1] + " tail")]
+    e2 = str(tmp_path / "e2")
+    spark.createDataFrame(e2_rows, "doc_id long, text string").write.parquet(e2)
+
+    o1, o2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+    idx1, idx2 = str(tmp_path / "idx1"), str(tmp_path / "idx2")
+
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    monkeypatch.setattr("builtins.print", lambda s: None)
+    monkeypatch.setattr(sys, "argv", [
+        "job", "--input", e1, "--output", o1, "--sig-index-out", idx1])
+    assert job.main() is None
+    monkeypatch.setattr(sys, "argv", [
+        "job", "--input", e2, "--output", o2,
+        "--sig-index-in", idx1, "--sig-index-out", idx2])
+    assert job.main() is None
+
+    out2 = {r["id"]: r["keeper_id"]
+            for r in spark.read.parquet(o2).collect()}
+    assert set(out2) == {r[0] for r in e2_rows}
+    for k in range(10):                      # vs-index drops, epoch-1 keeper
+        assert out2[100 + k] == k, (k, out2)
+    for k in range(110, 120):                # fresh docs keep themselves
+        assert out2[k] == k
+    assert out2[120] == 110                  # within-batch dedup still runs
+
+    kept1 = {r["id"] for r in spark.read.parquet(o1)
+             .filter(F.col("id") == F.col("keeper_id")).collect()}
+    idx_ids = {r["doc_id"] for r in spark.read.parquet(f"{idx2}/banded")
+               .select("doc_id").distinct().collect()}
+    assert idx_ids == kept1 | set(range(110, 120))   # cumulative union
+    meta = spark.read.parquet(f"{idx2}/meta").collect()[0]
+    assert (meta["ngram"], meta["num_perm"]) == (3, 64)
