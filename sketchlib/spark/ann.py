@@ -50,6 +50,8 @@ def _norm_rows(mat: np.ndarray) -> np.ndarray:
 def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
     rows = df.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
+    if not rows:  # keep 2-D shape: empty inputs must flow, not crash
+        return ids, np.zeros((0, 0), dtype=np.float64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     return ids, mat
 
@@ -78,6 +80,8 @@ def topk_neighbors(
 
     def local_topk(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         q_ids_, qn_ = bc.value
+        if q_ids_.size == 0:
+            return
         for pdf in batches:
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             mat = _norm_rows(np.array(list(pdf[vec_col]), dtype=np.float64))
