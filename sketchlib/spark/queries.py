@@ -3294,6 +3294,8 @@ def _dd_laws_row(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents")
         .where(F.col("n_chars").isNotNull())
         .select(F.col("n_chars").cast("double").alias("v"))
+        .repartition(8)
+        .cache()  # one double per doc — KB-scale; read by 4 law jobs below
     )
     n = vals.count()
     targets = sorted({int(p * (n - 1)) + 1 for p in ps})
@@ -3305,7 +3307,7 @@ def _dd_laws_row(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = {r["rn"]: r["v"] for r in exact_rows}
 
     def fold_ok(params: dict) -> bool:
-        parts = sketch_partials(vals.repartition(8), [], "v", "dd", params)
+        parts = sketch_partials(vals, [], "v", "dd", params)
         blobs = [bytes(r["sketch"]) for r in parts.collect()]
         engine = bytes(sketch_merge(parts, [], "dd", params).collect()[0]["sketch"])
 
@@ -3328,6 +3330,7 @@ def _dd_laws_row(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     merge_ok, merged = fold_ok({"alpha": alpha, "max_bins": 2048})
     collapse_ok, _ = fold_ok({"alpha": alpha, "max_bins": 64})
+    vals.unpersist()
     dd = DDSketch.deserialize(merged)
     est = dd.quantile(ps)
     rel_ok = bool(dd.n == n) and all(
