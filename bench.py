@@ -1060,6 +1060,99 @@ def decontam_bench() -> None:
     }))
 
 
+def incdedup_bench() -> None:
+    """Incremental near-dup throughput over a ~1M-page slice (1/8 hash
+    sample of the bench pages): build the banded-LSH index of the
+    "historical" 7/8 once, persist it, then probe the "new crawl" 1/8
+    against the STORED index at two parallelism levels — the north-rule
+    N-vs-4N scaling evidence for the incremental path (the historical
+    corpus is signed exactly once; only the new side is per-run work).
+    Best-of-2 warm reps.  One JSON line."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.dedup import (
+        banded_signatures,
+        lsh_candidates_vs_index,
+        minhash_signatures,
+    )
+    from sketchlib.spark.session import get_spark
+
+    path = os.path.join(BENCH_DIR, f"pages_{BENCH_ROWS}.parquet")
+    ensure_pages(path, BENCH_ROWS)
+    idx_dir = os.path.join(BENCH_DIR, "incdedup_index")
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
+    def slice_pages(spark):
+        pages = (
+            spark.read.parquet(path).select("url", "text")
+            .filter(F.abs(F.xxhash64("url")) % 8 == 0)
+            .withColumn("doc_id", F.xxhash64("url"))
+        )
+        # reseeded hash: doc_id IS xxhash64(url), so splitting on doc_id%8
+        # would select nothing inside this %8==0 slice
+        split = F.abs(F.xxhash64(F.lit(7), F.col("url"))) % 8
+        hist = pages.filter(split != 0)
+        new = pages.filter(split == 0)
+        return hist, new
+
+    # index build (once, at full parallelism) — the amortized side
+    spark = get_spark("incdedup-build", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    hist, new = slice_pages(spark)
+    n_hist, n_new = hist.count(), new.count()
+    t0 = time.time()
+    banded_signatures(minhash_signatures(hist)).write.parquet(idx_dir)
+    t_build = time.time() - t0
+    idx_rows = spark.read.parquet(idx_dir).count()
+    spark.stop()
+
+    # new-crawl probe at two parallelism levels (fresh JVM each)
+    probes = {}
+    for cpus in (2, 8):
+        spark = get_spark(f"incdedup-probe-{cpus}", cpus=cpus)
+        spark.sparkContext.setLogLevel("ERROR")
+        _, new = slice_pages(spark)
+        index = spark.read.parquet(idx_dir)
+
+        cap = max(256, int(n_hist ** 0.5))  # same skew rationale as auto mode
+
+        def probe():
+            cands = lsh_candidates_vs_index(
+                banded_signatures(minhash_signatures(new)), index,
+                max_bucket_size=cap)
+            return cands.agg(
+                F.count("*").alias("pairs"),
+                F.countDistinct("new_id").alias("flagged"),
+            ).collect()[0]
+
+        r = probe()  # warm-up
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            r = probe()
+            best = min(best, time.time() - t0)
+        probes[cpus] = {
+            "sec": round(best, 2),
+            "new_docs_per_sec": round(n_new / best, 1),
+            "candidate_pairs": int(r["pairs"]),
+            "flagged_new_docs": int(r["flagged"]),
+        }
+        spark.stop()
+
+    eff = probes[8]["new_docs_per_sec"] / (4.0 * probes[2]["new_docs_per_sec"])
+    print(json.dumps({
+        "hist_docs": int(n_hist), "new_docs": int(n_new),
+        "index_build_sec": round(t_build, 2),
+        "index_build_docs_per_sec": round(n_hist / t_build, 1),
+        "index_rows": int(idx_rows),
+        "probe": probes,
+        "probe_scaling_efficiency_2_to_8": round(eff, 3),
+        "probe_bucket_cap": max(256, int(n_hist ** 0.5)),
+    }))
+
+
 def rangepart_bench() -> None:
     """Digest-driven range partitioning vs native ``repartitionByRange`` on
     the 8M-row pages table (value = length(text), a skewed column).  Three
@@ -1326,6 +1419,7 @@ _MODES = (
     "--scaling", "--compare-builtin", "--sketches", "--quantilecmp",
     "--frequent",
     "--joins", "--profile", "--decontam", "--rangepart", "--lmquality",
+    "--incdedup",
     "--measure-build",
 )
 
@@ -1354,6 +1448,8 @@ if __name__ == "__main__":
         joins_bench()
     elif len(sys.argv) > 1 and sys.argv[1] == "--rangepart":
         rangepart_bench()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--incdedup":
+        incdedup_bench()
     elif len(sys.argv) > 1 and sys.argv[1] == "--lmquality":
         lmquality_bench()
     elif len(sys.argv) > 1 and sys.argv[1] == "--measure-build":
