@@ -395,3 +395,73 @@ def test_lsh_index_incremental_equals_batch(spark, tmp_path):
         ).count()
         == 0
     )
+
+
+def test_minhash_stateless_byte_identical(spark):
+    """stateless=True (per-row array_min/transform, zero Exchange) yields
+    byte-identical signatures to the explode+groupBy path, on any layout,
+    including short-text and NULL-text docs."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.dedup import minhash_signatures
+
+    docs = _docs(spark).unionByName(spark.createDataFrame(
+        [(9001, None), (9002, "one"), (9003, "two words")],
+        "doc_id long, text string").withColumn("lang", F.lit("en"))
+        .withColumn("source", F.lit("s")).withColumn("n_chars", F.lit(0)),
+        allowMissingColumns=True)
+    a = {r["doc_id"]: list(r["sig"])
+         for r in minhash_signatures(docs).collect()}
+    b = {r["doc_id"]: list(r["sig"])
+         for r in minhash_signatures(docs, stateless=True).collect()}
+    c = {r["doc_id"]: list(r["sig"])
+         for r in minhash_signatures(
+             docs.repartition(13), stateless=True).collect()}
+    assert a == b == c
+    # the stateless plan has no Exchange (the point: streaming-capable)
+    plan = minhash_signatures(docs, stateless=True)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_streaming_vs_index_probe(spark, tmp_path):
+    """Live-crawl near-dup probe: stateless signatures + banding + the
+    stream-static equi-join against a STORED index run on a readStream;
+    the per-micro-batch-deduped pair set equals the batch probe."""
+    import os
+
+    from sketchlib.spark.dedup import (
+        banded_signatures,
+        lsh_candidates_vs_index,
+        minhash_signatures,
+    )
+
+    docs = _docs(spark)
+    old = docs.filter("doc_id % 3 != 0")
+    new = docs.filter("doc_id % 3 = 0").select("doc_id", "text")
+
+    idx_path = str(tmp_path / "idx")
+    banded_signatures(minhash_signatures(old)).write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    batch = {
+        (r["new_id"], r["index_id"])
+        for r in lsh_candidates_vs_index(
+            banded_signatures(minhash_signatures(new, stateless=True)), index
+        ).collect()
+    }
+
+    src = str(tmp_path / "src")
+    new.repartition(4).write.parquet(src)
+    stream = spark.readStream.schema(new.schema).option(
+        "maxFilesPerTrigger", "1").parquet(src)
+    cands = lsh_candidates_vs_index(
+        banded_signatures(minhash_signatures(stream, stateless=True)),
+        index, distinct=False)
+    got = set()
+    q = (cands.writeStream.outputMode("append")
+         .foreachBatch(lambda bdf, _id: got.update(
+             (r["new_id"], r["index_id"]) for r in bdf.collect())).start())
+    q.processAllAvailable()
+    q.stop()
+    assert got == batch and got
