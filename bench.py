@@ -1153,6 +1153,68 @@ def incdedup_bench() -> None:
     }))
 
 
+def spandedup_bench() -> None:
+    """duplicate_span_stats throughput over a ~125k-page slice at two
+    parallelism levels (span=20 token windows, >=2 distinct docs).  The
+    per-doc work is tokens x span hash ops and the shuffle is one
+    (id, pos, h) row per token position — the heaviest per-token op in the
+    repo, so the slice is 1/64 (local[2] on larger slices exceeds 10 min).
+    The raw synthetic corpus is i.i.d. words (no real 20-token repeats), so
+    a fixed 30-token boilerplate block is appended to ~10% of docs — the
+    syndicated-fragment workload the operator exists for; those docs must
+    come back flagged with dup_tokens >= 30.  Best of 2 warm reps.  One
+    JSON line."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.dedup import duplicate_span_stats
+    from sketchlib.spark.session import get_spark
+
+    path = os.path.join(BENCH_DIR, f"pages_{BENCH_ROWS}.parquet")
+    ensure_pages(path, BENCH_ROWS)
+    boiler = " ".join(f"boiler{i:02d}" for i in range(30))
+    out = {}
+    for cpus in (2, 8):
+        spark = get_spark(f"spandedup-{cpus}", cpus=cpus)
+        spark.sparkContext.setLogLevel("ERROR")
+        pages = (
+            spark.read.parquet(path).select("url", "text")
+            .filter(F.abs(F.xxhash64("url")) % 64 == 0)
+            .withColumn("doc_id", F.xxhash64("url"))
+            .withColumn(
+                "text",
+                F.when(
+                    F.abs(F.xxhash64("url", F.lit(1))) % 10 == 3,
+                    F.concat_ws(" ", "text", F.lit(boiler)),
+                ).otherwise(F.col("text")),
+            )
+        )
+        n = pages.count()
+
+        def run():
+            return duplicate_span_stats(pages, span=20).agg(
+                F.count("*").alias("docs"),
+                F.sum((F.col("dup_frac") > 0).cast("long")).alias("flagged"),
+                F.sum("dup_tokens").alias("dup_tokens"),
+            ).collect()[0]
+
+        r = run()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            r = run()
+            best = min(best, time.time() - t0)
+        out[cpus] = {"sec": round(best, 2),
+                     "docs_per_sec": round(n / best, 1)}
+        stats = {"docs": int(r["docs"]), "flagged_docs": int(r["flagged"]),
+                 "dup_tokens": int(r["dup_tokens"])}
+        spark.stop()
+    eff = out[8]["docs_per_sec"] / (4.0 * out[2]["docs_per_sec"])
+    print(json.dumps({
+        "span": 20, **stats, "levels": out,
+        "scaling_efficiency_2_to_8": round(eff, 3),
+    }))
+
+
 def rangepart_bench() -> None:
     """Digest-driven range partitioning vs native ``repartitionByRange`` on
     the 8M-row pages table (value = length(text), a skewed column).  Three
@@ -1419,7 +1481,7 @@ _MODES = (
     "--scaling", "--compare-builtin", "--sketches", "--quantilecmp",
     "--frequent",
     "--joins", "--profile", "--decontam", "--rangepart", "--lmquality",
-    "--incdedup",
+    "--incdedup", "--spandedup",
     "--measure-build",
 )
 
@@ -1450,6 +1512,8 @@ if __name__ == "__main__":
         rangepart_bench()
     elif len(sys.argv) > 1 and sys.argv[1] == "--incdedup":
         incdedup_bench()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--spandedup":
+        spandedup_bench()
     elif len(sys.argv) > 1 and sys.argv[1] == "--lmquality":
         lmquality_bench()
     elif len(sys.argv) > 1 and sys.argv[1] == "--measure-build":

@@ -1024,3 +1024,107 @@ def paragraph_dedup(
         )
     )
     return rebuilt
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span: int = 20,
+    min_docs: int = 2,
+    broadcast_dups: bool = False,
+) -> DataFrame:
+    """Cross-document duplicate-SPAN detection — the ExactSubstr family
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): a ``span``-token window whose content appears in >=
+    ``min_docs`` DISTINCT documents is flagged at every position it
+    occupies.  Paragraph dedup misses these (quotes, licence blocks,
+    syndicated fragments rarely align to paragraph boundaries); this is
+    the token-window form.  Returns one row per input doc:
+    (id, n_tokens, n_dup_spans, dup_tokens, dup_frac) where ``dup_tokens``
+    is the size of the UNION of the flagged [pos, pos+span) intervals and
+    ``dup_frac`` = dup_tokens / n_tokens (0.0 for clean/short/NULL docs).
+
+    Scale design: span text never shuffles — each position contributes
+    ONE chained-xxhash64 int64 (the O(tokens x span) hash work stays in
+    whole-stage codegen); the duplicated-hash set comes from one
+    count-distinct-ids aggregate; flagged positions come back via a
+    left-semi join at (id, pos) grain; interval-union coverage is a lead()
+    window over flagged positions only.  At the reference 50-token grain a
+    suffix array finds arbitrary-length repeats; this fixed-window form
+    finds every repeat >= span tokens (a repeat of length L >= span flags
+    L-span+1 overlapping windows whose union is exactly L tokens) at
+    one-pass shuffle cost — Spark-first, resumable, streaming the corpus
+    once.  ``broadcast_dups``: same trade as paragraph_dedup."""
+    from sketchlib.spark.textops import with_tokens
+
+    if span < 2:
+        raise ValueError("duplicate_span_stats: span must be >= 2")
+    base = with_tokens(df.select(id_col, text_col), text_col)
+    # NULL text -> size() is NULL (or -1 under legacy conf): report 0 tokens
+    n_tok = base.select(
+        id_col,
+        F.greatest(F.coalesce(F.size("tokens"), F.lit(0)), F.lit(0))
+        .alias("n_tokens"),
+    )
+
+    # Hash each token ONCE (string xxhash64), then chain the span's int64
+    # token-hashes per position — O(span) cheap long-hash ops instead of
+    # O(span) string hashes per position (each token would otherwise be
+    # string-hashed `span` times).  Same collision guarantees (two chained
+    # 64-bit universes).
+    def _h(th, i):
+        return F.xxhash64(*[F.element_at(th, i + k) for k in range(span)])
+
+    grams = (
+        base.filter(F.size("tokens") >= span)
+        .withColumn("_th", F.transform("tokens", lambda t: F.xxhash64(t)))
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tokens") - (span - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"), _h(F.col("_th"), i).alias("h")
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select(id_col, "g.pos", "g.h")
+    )
+    dup_h = (
+        grams.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("h")
+    )
+    if broadcast_dups:
+        dup_h = F.broadcast(dup_h)
+    flagged = grams.join(dup_h, "h", "left_semi")
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    contrib = F.least(
+        F.lit(span), F.coalesce(F.lead("pos").over(w) - F.col("pos"), F.lit(span))
+    )
+    per_doc = (
+        flagged.withColumn("_c", contrib)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_dup_spans"),
+            F.sum("_c").alias("dup_tokens"),
+        )
+    )
+    return (
+        n_tok.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.col("n_tokens").cast("double"),
+            ).otherwise(F.lit(0.0)).alias("dup_frac"),
+        )
+    )

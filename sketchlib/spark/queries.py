@@ -569,6 +569,51 @@ def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-SPAN coverage (ExactSubstr family, Lee et
+    al. 2022): per doc, how many 10-token windows also appear in another
+    doc, and the token-union coverage of those windows
+    (``dedup.duplicate_span_stats``).  Span text never shuffles — one
+    chained-xxhash64 int64 per position; the oracle recomputes the same
+    definition from gram CONTENT (hash collisions are the only divergence
+    mode, ~1e-13 at this scale)."""
+    from sketchlib.spark.dedup import duplicate_span_stats
+
+    return duplicate_span_stats(load(spark, sf_dir, "documents"), span=10)
+
+
+_SPAN_STATS_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+n AS (
+  SELECT doc_id, greatest(coalesce(len(tk), 0), 0)::BIGINT AS n_tokens FROM t
+), g AS (
+  SELECT doc_id, u.pos, array_to_string(tk[u.pos:u.pos+9], ' ') AS gram
+  FROM t, UNNEST(CASE WHEN len(tk) >= 10 THEN range(1, len(tk) - 8)
+                 ELSE [] END) AS u(pos)
+), dup AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+), f AS (
+  SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)
+), c AS (
+  SELECT doc_id, pos,
+         least(10, coalesce(lead(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                            - pos, 10)) AS cov
+  FROM f
+), per AS (
+  SELECT doc_id, count(*)::BIGINT AS n_dup_spans, sum(cov)::BIGINT AS dup_tokens
+  FROM c GROUP BY doc_id
+)
+SELECT n.doc_id, n.n_tokens,
+       coalesce(per.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+       coalesce(per.dup_tokens, 0)::BIGINT AS dup_tokens,
+       CASE WHEN n.n_tokens > 0
+            THEN CAST(coalesce(per.dup_tokens, 0) AS DOUBLE)
+                 / CAST(n.n_tokens AS DOUBLE)
+            ELSE 0.0 END AS dup_frac
+FROM n LEFT JOIN per USING (doc_id)
+"""
+
+
 def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 neighbors of 8 query vectors: broadcast queries,
     per-partition partial top-k, tiny global window."""
@@ -2082,6 +2127,24 @@ GROUP BY d.k
 """
 
 
+def q_td_drift_winsor_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fold of the two digest-driven normalization monitors (both
+    previously green standalone): per-lang KS drift vs the merged global
+    digest (``q_td_ks_drift_by_lang``) joined on lang with the
+    p05/p95 winsorization pass (``q_td_winsorize_by_lang``).  One gate
+    slot, both laws."""
+    ks = q_td_ks_drift_by_lang(spark, sf_dir)
+    w = q_td_winsorize_by_lang(spark, sf_dir).drop("n_docs")
+    return ks.join(w, "lang")
+
+
+_DRIFT_WINSOR_SQL = f"""
+SELECT ks.lang, ks.n_docs, ks.ks_global,
+       w.n_clipped_lo, w.n_clipped_hi, w.sum_winsorized, w.p05, w.p95
+FROM ({_KS_DRIFT_SQL}) ks JOIN ({_WINSORIZE_SQL}) w ON ks.lang = w.lang
+"""
+
+
 def q_corpus_profile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE-PASS corpus profile: a single scan + a single KB-scale shuffle
     builds FOUR sketch families per lang (discrete t-digest of n_chars,
@@ -3523,6 +3586,7 @@ FROM ({_KMV_SQL}) s CROSS JOIN (
 # the long-green remainder follows.
 QUERIES = {
     # --- new in round 4 (never driver-gated) ---
+    "dedup_span_stats": q_dedup_span_stats,
     "domain_stats": q_domain_stats,
     "kmv_sample_overlap": q_kmv_sample_overlap,
     "lm_trigram_score": q_lm_trigram_score,
@@ -3536,8 +3600,7 @@ QUERIES = {
     # --- never driver-gated as of r03 ---
     "lm_quality_buckets": q_lm_quality_buckets,
     "sample_corpus_methods": q_sample_corpus_methods,
-    "td_ks_drift_by_lang": q_td_ks_drift_by_lang,
-    "td_winsorize_by_lang": q_td_winsorize_by_lang,
+    "td_drift_winsor_by_lang": q_td_drift_winsor_by_lang,
     "corpus_profile_by_lang": q_corpus_profile_by_lang,
     "decontam_eval_overlap": q_decontam_eval_overlap,
     "text_repetition_by_lang": q_text_repetition_by_lang,
@@ -3675,8 +3738,8 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 
     "td_merge_laws": _MERGE_LAWS_SQL,
     "bloom_join_prune": _BLOOM_JOIN_SQL,
-    "td_ks_drift_by_lang": _KS_DRIFT_SQL,
-    "td_winsorize_by_lang": _WINSORIZE_SQL,
+    "td_drift_winsor_by_lang": _DRIFT_WINSOR_SQL,
+    "dedup_span_stats": _SPAN_STATS_SQL,
     "corpus_profile_by_lang": _PROFILE_SQL,
     "decontam_eval_overlap": _DECONTAM_SQL,
     "text_repetition_by_lang": _REPETITION_SQL,

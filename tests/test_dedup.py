@@ -465,3 +465,64 @@ def test_streaming_vs_index_probe(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert got == batch and got
+
+
+def test_duplicate_span_stats_matches_python(spark):
+    """duplicate_span_stats vs a brute-force python oracle of the same
+    definition (fixed-window hashes, >= min_docs distinct docs, interval
+    union), on planted shared spans: a 25-token block shared by docs 0/1,
+    a 12-token block shared by docs 2/3 (span=10 catches it; span=20 must
+    not), overlapping repeats inside one doc NOT flagged (distinct-doc
+    rule), short and NULL docs."""
+    import numpy as np
+
+    from sketchlib.spark.dedup import duplicate_span_stats
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(500)]
+
+    def words(n):
+        return list(rng.choice(vocab, n))
+
+    block25 = words(25)
+    block12 = words(12)
+    docs = {
+        0: words(30) + block25 + words(5),
+        1: block25 + words(40),
+        2: words(8) + block12 + words(3),
+        3: words(20) + block12,
+        4: words(50),                     # clean
+        5: words(6) + words(6),           # short-ish, clean
+        6: [],                            # empty
+    }
+    rows = [(i, " ".join(t) if t else None) for i, t in docs.items()]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def oracle(span):
+        grams = {}
+        for i, toks in docs.items():
+            for p in range(len(toks) - span + 1):
+                grams.setdefault(tuple(toks[p:p + span]), set()).add(i)
+        dup = {g for g, ids in grams.items() if len(ids) >= 2}
+        out = {}
+        for i, toks in docs.items():
+            pos = [p for p in range(len(toks) - span + 1)
+                   if tuple(toks[p:p + span]) in dup]
+            covered = set()
+            for p in pos:
+                covered.update(range(p, p + span))
+            out[i] = (len(toks), len(pos), len(covered),
+                      len(covered) / len(toks) if toks else 0.0)
+        return out
+
+    for span in (10, 20):
+        got = {r["doc_id"]: (r["n_tokens"], r["n_dup_spans"],
+                             r["dup_tokens"], r["dup_frac"])
+               for r in duplicate_span_stats(df, span=span).collect()}
+        want = oracle(span)
+        assert got == want, (span, got, want)
+    # layout determinism
+    a = sorted(map(tuple, duplicate_span_stats(df, span=10).collect()))
+    b = sorted(map(tuple,
+                   duplicate_span_stats(df.repartition(5), span=10).collect()))
+    assert a == b
