@@ -1,0 +1,159 @@
+"""jobs/curate_corpus.py: end-to-end curation pipeline vs a python truth
+(quality -> exact dedup -> decontam), stage checkpoint/resume semantics
+(fingerprint-chained skip/invalidate), and the optional LM-score + packing
+stages."""
+
+import json
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.spark
+
+
+def _run(monkeypatch, job, argv):
+    monkeypatch.setattr(sys, "argv", ["job"] + argv)
+    return job.main()
+
+
+def _corpus(spark, tmp_path):
+    """Synthetic corpus with a fully determined surviving set.
+
+    doc ids:
+      0-19  clean unique 30-token docs            -> survive
+      100   3-token doc                            -> quality (min_tokens)
+      101   'spam' x 40 (dup-3-gram ratio ~1)      -> quality (repetition)
+      200/201 exact duplicates                     -> 200 survives (min id)
+      300   contains the eval 8-gram               -> decontam drops it
+    eval corpus: one doc holding the planted 8-gram.
+    """
+    def words(seed, n):
+        return " ".join(f"tok{seed}x{i}" for i in range(n))
+
+    planted = " ".join(f"evalgram{i}" for i in range(8))
+    rows = [(i, "en", words(i, 30)) for i in range(20)]
+    rows += [
+        (100, "en", "too short doc"),
+        (101, "en", " ".join(["spam"] * 40)),
+        (200, "en", words(9000, 25)),
+        (201, "en", words(9000, 25)),
+        (300, "en", words(9500, 12) + " " + planted + " " + words(9600, 12)),
+    ]
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(rows, "doc_id long, lang string, text string") \
+        .write.parquet(src)
+    ev = str(tmp_path / "eval")
+    spark.createDataFrame(
+        [(1, "en", words(7777, 5) + " " + planted + " " + words(7778, 5))],
+        "doc_id long, lang string, text string").write.parquet(ev)
+    return src, ev
+
+
+def test_curate_job_truth_and_resume(spark, tmp_path, monkeypatch):
+    sys.path.insert(0, "jobs")
+    import curate_corpus as job
+
+    capture = []
+    monkeypatch.setattr("builtins.print", lambda s: capture.append(s))
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+
+    src, ev = _corpus(spark, tmp_path)
+    wd, out = str(tmp_path / "wd"), str(tmp_path / "curated")
+    argv = ["--input", src, "--workdir", wd, "--output", out,
+            "--dedup", "exact", "--eval-input", ev, "--decontam-ngram", "8",
+            "--ctx-len", "16"]
+
+    rc = _run(monkeypatch, job, argv)
+    assert rc == 0
+    got = {r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()}
+    want = set(range(20)) | {200}          # min-id keeper of the 200/201 pair
+    assert got == want, (sorted(got), sorted(want))
+    m1 = json.loads(capture[-1])
+    assert m1["n_out"] == len(want)
+    assert [s for s in m1["stages"]] == ["quality", "dedup", "decontam"]
+    assert all(not s["skipped"] for s in m1["stages"].values())
+    # packing table landed and covers exactly the survivors
+    packed = spark.read.parquet(out + "_packed")
+    assert {r["doc_id"] for r in packed.select("doc_id").collect()} == want
+    assert packed.agg(F.min("n_chunks_spanned")).collect()[0][0] >= 1
+
+    # --- resume: identical args -> every stage skipped, identical output ---
+    rc = _run(monkeypatch, job, argv + ["--resume"])
+    assert rc == 0
+    m2 = json.loads(capture[-1])
+    assert all(s["skipped"] for s in m2["stages"].values()), m2["stages"]
+    assert {s: m["fp"] for s, m in m2["stages"].items()} \
+        == {s: m["fp"] for s, m in m1["stages"].items()}
+    got2 = {r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert got2 == want
+
+    # --- fingerprint chain: changing a DOWNSTREAM param recomputes that
+    # stage only; the upstream prefix stays skipped ---
+    argv_fpr = [a if a != "8" else a for a in argv]  # same list, new flag below
+    rc = _run(monkeypatch, job, argv_fpr + ["--resume", "--decontam-fpr", "0.01"])
+    assert rc == 0
+    m3 = json.loads(capture[-1])
+    assert m3["stages"]["quality"]["skipped"]
+    assert m3["stages"]["dedup"]["skipped"]
+    assert not m3["stages"]["decontam"]["skipped"]
+    assert m3["stages"]["decontam"]["fp"] != m1["stages"]["decontam"]["fp"]
+
+    # --- changing an UPSTREAM param invalidates the whole chain ---
+    rc = _run(monkeypatch, job, argv + ["--resume", "--min-tokens", "5"])
+    assert rc == 0
+    m4 = json.loads(capture[-1])
+    assert all(not s["skipped"] for s in m4["stages"].values())
+    # min_tokens=5 admits doc 100 (3 tokens still out? 'too short doc' = 3
+    # tokens < 5 -> still dropped); surviving set unchanged
+    got4 = {r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert got4 == want
+
+
+def test_curate_job_lmscore_stage(spark, tmp_path, monkeypatch):
+    """--model threads the stored-model scorer in as stage 2: the output
+    carries the score column and the gate drops the low-fluency doc."""
+    sys.path.insert(0, "jobs")
+    import curate_corpus as job
+
+    from sketchlib.spark.textops import score_with_ngram_path, train_ngram_model
+
+    capture = []
+    monkeypatch.setattr("builtins.print", lambda s: capture.append(s))
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+
+    # fluent text: 24 DISTINCT in-model words (no repetition-filter hit);
+    # the low-fluency doc is all out-of-vocab tokens -> OOV-bucket score
+    common = " ".join(f"word{i:02d}" for i in range(24))
+    rare = " ".join(f"zzq{i}" for i in range(24))
+    rows = [(i, "en", common) for i in range(10)] + [(50, "en", rare)]
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(rows, "doc_id long, lang string, text string") \
+        .write.parquet(src)
+    # model trained on a held-out fluent REFERENCE (CCNet shape: wiki-like
+    # ref model scores the crawl), so OOV tokens hit the NULL bucket
+    ref = str(tmp_path / "ref")
+    spark.createDataFrame([(900 + i, "en", common) for i in range(4)],
+                          "doc_id long, lang string, text string") \
+        .write.parquet(ref)
+    mpath = str(tmp_path / "model")
+    train_ngram_model(spark.read.parquet(ref), order=2, quantize=6) \
+        .write.parquet(mpath)
+
+    scores = {r["doc_id"]: r["logprob_per_token"] for r in score_with_ngram_path(
+        spark.read.parquet(src), mpath).collect()}
+    cut = (scores[0] + scores[50]) / 2    # between fluent (low) and OOV-heavy (high)
+
+    wd, out = str(tmp_path / "wd"), str(tmp_path / "curated")
+    rc = _run(monkeypatch, job, [
+        "--input", src, "--workdir", wd, "--output", out,
+        "--model", mpath, "--max-score", str(cut), "--dedup", "exact"])
+    assert rc == 0
+    m = json.loads(capture[-1])
+    assert list(m["stages"]) == ["quality", "lmscore", "dedup"]
+    res = spark.read.parquet(out)
+    assert "score" in res.columns
+    got = {r["doc_id"] for r in res.select("doc_id").collect()}
+    # the 10 fluent docs are EXACT duplicates of each other -> one keeper;
+    # the OOV-heavy doc fell to the score gate
+    assert got == {0}
