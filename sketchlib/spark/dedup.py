@@ -186,8 +186,23 @@ def ngram_jaccard_pairs(
     candidates: DataFrame | None = None,
     hashed_shingles: bool = False,
     shingle_storage: str = "memory",
+    measure: str = "jaccard",
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard >= threshold via shingle self-join.
+
+    ``measure="containment"`` switches the thresholded similarity to
+    MAX-containment ``n_common / min(n_a, n_b)`` — the asymmetric-dup
+    signal (a short doc quoted/embedded inside a long one scores ~1.0
+    here but low Jaccard, because the union is dominated by the long
+    side; Broder 1997 distinguishes resemblance from containment for
+    exactly this).  Output column is then ``containment`` instead of
+    ``jaccard`` — same exact-integer-division determinism.  NOTE for the
+    LSH-discovery composition: MinHash banding estimates JACCARD, so a
+    contained-but-small doc can sit below the banding threshold and never
+    surface as a candidate — for containment discovery feed ``candidates``
+    from a LOWER-threshold banding (``minhash_auto_bands(j_min, ...)``
+    with ``j_min = threshold * s_min/s_max`` for your size ratio) or from
+    ``duplicate_span_stats`` flags.
 
     ``candidates``: optional (a_id, b_id) frame restricting the pair space —
     the LSH verification mode.  Jaccard is emitted as one division of exact
@@ -245,17 +260,21 @@ def ngram_jaccard_pairs(
         # scale; AQE picks broadcast vs shuffle from its actual size
         pair_rows = pair_rows.join(candidates, ["a_id", "b_id"], "left_semi")
     common = pair_rows.groupBy("a_id", "b_id").agg(F.count("*").alias("n_common"))
+    if measure == "jaccard":
+        sim = F.col("n_common") / (
+            F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    elif measure == "containment":
+        sim = F.col("n_common") / F.least("n_a", "n_b")
+    else:
+        raise ValueError(f"unknown measure {measure!r}")
     out = (
         common.join(sizes.withColumnRenamed(id_col, "a_id")
                     .withColumnRenamed("n_sh", "n_a"), "a_id")
         .join(sizes.withColumnRenamed(id_col, "b_id")
               .withColumnRenamed("n_sh", "n_b"), "b_id")
-        .withColumn(
-            "jaccard",
-            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("a_id", "b_id", "n_common", "n_a", "n_b", "jaccard")
+        .withColumn(measure, sim)
+        .filter(F.col(measure) >= threshold)
+        .select("a_id", "b_id", "n_common", "n_a", "n_b", measure)
     )
     return out
 

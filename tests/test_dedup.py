@@ -526,3 +526,63 @@ def test_duplicate_span_stats_matches_python(spark):
     b = sorted(map(tuple,
                    duplicate_span_stats(df.repartition(5), span=10).collect()))
     assert a == b
+
+
+def test_ngram_containment_pairs_vs_python(spark):
+    """measure="containment" vs a brute-force python oracle (max
+    containment n_common/min(n_a,n_b) over 3-gram shingle SETS), and the
+    asymmetry law the measure exists for: a short doc embedded verbatim in
+    a long one scores containment 1.0 but Jaccard well under 0.8."""
+    import numpy as np
+
+    from sketchlib.spark.dedup import ngram_jaccard_pairs
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(300)]
+
+    def words(n):
+        return list(rng.choice(vocab, n))
+
+    quote = words(12)                      # the embedded fragment
+    docs = {
+        0: quote,                          # short doc = the quote itself
+        1: words(40) + quote + words(40),  # long doc embedding it
+        2: words(30),
+        3: words(30),
+    }
+    docs[3] = docs[2][:15] + words(15)     # partial overlap pair
+    rows = [(i, " ".join(t)) for i, t in docs.items()]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def shingles(toks, n=3):
+        return {" ".join(toks[p:p + n]) for p in range(len(toks) - n + 1)}
+
+    def oracle(measure, thr):
+        out = {}
+        ids = sorted(docs)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                sa, sb = shingles(docs[a]), shingles(docs[b])
+                c = len(sa & sb)
+                if not c:
+                    continue
+                sim = (c / len(sa | sb) if measure == "jaccard"
+                       else c / min(len(sa), len(sb)))
+                if sim >= thr:
+                    out[(a, b)] = (c, len(sa), len(sb), sim)
+        return out
+
+    for measure, thr in (("containment", 0.9), ("jaccard", 0.8),
+                         ("containment", 0.3), ("jaccard", 0.2)):
+        got = {(r["a_id"], r["b_id"]):
+               (r["n_common"], r["n_a"], r["n_b"], r[measure])
+               for r in ngram_jaccard_pairs(
+                   df, thr, measure=measure).collect()}
+        assert got == oracle(measure, thr), (measure, thr, got)
+    # the asymmetry law: containment finds the quote pair, Jaccard cannot
+    assert (0, 1) in oracle("containment", 0.9)
+    assert (0, 1) not in oracle("jaccard", 0.8)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="measure"):
+        ngram_jaccard_pairs(df, 0.5, measure="dice").collect()
