@@ -17,12 +17,14 @@ completed stage instead of rescanning the corpus.
 Stage graph (every stage is a linear scan-shaped Spark job; stage
 boundaries land on durable storage):
 
-1. **quality** — per-doc exact-integer counters (``textops.token_stats``
-   + the Gopher/C4 duplicate-3-gram ratio, same codegen idiom as
-   ``textops.repetition_stats``): keep docs with >= ``--min-tokens``
-   tokens and dup-3-gram ratio <= ``--max-rep-frac``.  NULL text is
-   dropped here (failed fetches).  ``--redact-pii`` rewrites the text
-   column via ``textops.redact_pii`` in the same projection.
+1. **quality** — ONE bound-lambda predicate (``textops.quality_keep_expr``):
+   keep docs with >= ``--min-tokens`` tokens and Gopher/C4
+   duplicate-3-gram ratio <= ``--max-rep-frac``; NULL text (failed
+   fetches) drops here.  The token array is lambda-bound so the
+   interpreted Filter evaluates ``split(text)`` once, and duplicate
+   counting runs on chained-xxhash64 longs, never n-gram strings (~20x
+   the naive form on real page text).  ``--redact-pii`` rewrites the
+   text column via ``textops.redact_pii`` in the same projection.
 2. **lmscore** (with ``--model``) — stupid-backoff n-gram fluency score
    against a stored model (``textops.score_with_ngram_path``: executors
    read the model parquet themselves — no driver collect, order implied
@@ -120,10 +122,10 @@ def main() -> int:
         propagate_min_keeper,
     )
     from sketchlib.spark.textops import (
+        pack_sequences,
+        quality_keep_expr,
         redact_pii,
         score_with_ngram_path,
-        pack_sequences,
-        with_tokens,
     )
 
     idc, txt = args.id_col, args.text_col
@@ -171,25 +173,11 @@ def main() -> int:
     def quality():
         src = spark.read.parquet(args.input)
         keep = [c for c in src.columns]
-        d = with_tokens(src.filter(F.col(txt).isNotNull()), txt)
-        ng = args.rep_ngram
-        n_total = F.when(
-            F.size("tokens") >= ng, F.size("tokens") - (ng - 1)
-        ).otherwise(F.lit(0)).cast("long")
-        n_distinct = F.when(
-            F.size("tokens") >= ng,
-            F.size(F.array_distinct(F.transform(
-                F.sequence(F.lit(1), F.size("tokens") - (ng - 1)),
-                lambda i: F.concat_ws(" ", F.slice("tokens", i, ng)),
-            ))),
-        ).otherwise(F.lit(0)).cast("long")
-        # integer cross-multiply, no float compare (same idiom as
-        # textops.repetition_stats); max_rep_frac quantized to 1/1000
-        num = int(round(args.max_rep_frac * 1000))
-        filtered = d.filter(
-            (F.size("tokens") >= args.min_tokens)
-            & ((n_total - n_distinct) * 1000 <= n_total * num)
-        ).select(*keep)
+        # one bound-lambda hashed predicate (textops.quality_keep_expr):
+        # the naive string-n-gram form re-inlines split(text) per reference
+        # inside the interpreted Filter — ~20x slower on real page text
+        filtered = src.filter(quality_keep_expr(
+            txt, args.min_tokens, args.max_rep_frac, args.rep_ngram))
         if args.redact_pii:
             filtered = redact_pii(filtered, txt).withColumn(
                 txt, F.col("text_redacted")

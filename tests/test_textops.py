@@ -247,3 +247,47 @@ def test_redact_pii_streams(spark, tmp_path):
     q.stop()
     assert {r["doc_id"]: (r["n_email"], r["text_redacted"])
             for r in got} == batch
+
+
+def test_quality_keep_expr_equals_naive_string_form(spark):
+    """The bound-lambda hashed quality predicate must keep EXACTLY the docs
+    the naive string-n-gram formulation keeps (hash collisions are the only
+    divergence mode, ~1e-13/doc), across boundary cases: exact min_tokens,
+    ratio exactly at the threshold, all-identical tokens, short docs, NULL
+    and empty text."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.textops import quality_keep_expr, with_tokens
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(50)]
+
+    rows = [(0, None), (1, ""), (2, "one two"),
+            (3, " ".join(["dup"] * 30)),                 # ratio ~ 1
+            (4, " ".join(rng.choice(vocab, 10))),        # exactly min_tokens
+            (5, " ".join(rng.choice(vocab, 9))),         # one under
+            (6, " ".join(f"u{i}" for i in range(12)))]   # ratio 0
+    # ratio exactly at 0.2: 12 total 3-grams, need dup = 2.4 -> plant doc
+    # with known repeat structure around the boundary both sides
+    base = [f"b{i}" for i in range(11)]                  # 14 tokens, 12 grams
+    rows.append((7, " ".join(base + base[:3])))
+    rows += [(100 + i, " ".join(rng.choice(vocab, 40))) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for min_tokens, frac, ng in ((10, 0.2, 3), (3, 0.5, 2), (1, 0.0, 3)):
+        got = {r["doc_id"] for r in df.filter(
+            quality_keep_expr("text", min_tokens, frac, ng)).collect()}
+
+        d = with_tokens(df.filter(F.col("text").isNotNull()), "text")
+        n_total = F.when(F.size("tokens") >= ng,
+                         F.size("tokens") - (ng - 1)).otherwise(0).cast("long")
+        n_distinct = F.when(F.size("tokens") >= ng, F.size(F.array_distinct(
+            F.transform(F.sequence(F.lit(1), F.size("tokens") - (ng - 1)),
+                        lambda i: F.concat_ws(" ", F.slice("tokens", i, ng)))
+        ))).otherwise(0).cast("long")
+        num = int(round(frac * 1000))
+        want = {r["doc_id"] for r in d.filter(
+            (F.size("tokens") >= min_tokens)
+            & ((n_total - n_distinct) * 1000 <= n_total * num)).collect()}
+        assert got == want, (min_tokens, frac, ng, got ^ want)
