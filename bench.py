@@ -130,7 +130,8 @@ def main() -> None:
         "text_quality_langid_by_lang",
         "dedup_exact_keepers", "dedup_jaccard_pairs",
         "dedup_minhash_lsh_pairs", "dedup_simhash_hamming",
-        "ann_topk_cosine", "emb_cosine_pairs", "media_meta_frames",
+        # ann_exact_cosine <- ann_topk_cosine + emb_cosine_pairs (r4 fold)
+        "ann_exact_cosine", "media_meta_frames",
         "pipeline_clean_corpus", "ann_ivf_topk_recall",
         "td_cube_lang_source", "td_weighted_lineitem",
     }

@@ -500,3 +500,53 @@ def signrandom_lsh_pairs(
         .filter(F.col("sim") >= threshold)
         .select("a_id", "b_id")
     )
+
+
+def embedding_dedup_keepers(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    discovery: str = "exact",
+    n_blocks: int = 8,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate REMOVAL (SemDeDup-style): rows whose
+    embeddings sit within ``cosine >= threshold`` of each other form
+    duplicate components (transitively, via the same pointer-jumping
+    connected-components kernel as the text dedup family); one keeper —
+    the min id — survives per component, every other member is dropped.
+    Returns the surviving rows of ``df`` with their original columns.
+
+    ``discovery`` picks the edge producer:
+
+    - ``"exact"`` — ``cosine_pairs_exact`` block-nested-loop: every pair
+      examined, use when n²/B² work is affordable (gate-scale corpora,
+      or pre-bucketed slices of a big one).
+    - ``"lsh"``   — ``signrandom_lsh_pairs``: sign-LSH banding for
+      candidates, exact verification, precision 1.0; recall (and hence
+      group completeness) follows the banding curve — pass
+      ``bands="auto"`` + ``n_rows`` at scale.  Extra kwargs are passed
+      through.
+
+    Scale: the component iteration runs on the EDGE list only (near-dup
+    evidence is a tiny fraction of a web corpus) and the final drop is a
+    broadcast-friendly ``left_anti`` join on ids — the full rows are
+    never shuffled.
+    """
+    from sketchlib.spark.dedup import propagate_min_keeper
+
+    if discovery == "exact":
+        edges = cosine_pairs_exact(df, threshold, id_col, vec_col, n_blocks)
+    elif discovery == "lsh":
+        edges = signrandom_lsh_pairs(
+            df, threshold, id_col=id_col, vec_col=vec_col, **lsh_kwargs
+        )
+    else:
+        raise ValueError(f"unknown discovery {discovery!r}: use 'exact' or 'lsh'")
+
+    keeper = propagate_min_keeper(edges)
+    dropped = keeper.filter(F.col("id") != F.col("keeper_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(dropped, id_col, "left_anti")

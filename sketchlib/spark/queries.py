@@ -632,6 +632,54 @@ def q_emb_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs_exact(emb, threshold=0.45)
 
 
+def q_ann_exact_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fold of the two long-green exact-cosine gates (r01 `ann_topk_cosine`
+    + `emb_cosine_pairs`, both green since CORRECTNESS_r01): top-10
+    neighbors of 8 query vectors UNION the >=0.45 near-dup pair set, tagged
+    by kind.  Folding frees a driver-gate slot for `emb_dedup_groups`."""
+    topk = q_ann_topk_cosine(spark, sf_dir).select(
+        F.lit("topk").alias("kind"),
+        F.col("query_id").cast("long").alias("a_id"),
+        F.col("neighbor_id").cast("long").alias("b_id"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+    pairs = q_emb_cosine_pairs(spark, sf_dir).select(
+        F.lit("pair").alias("kind"),
+        F.col("a_id").cast("long").alias("a_id"),
+        F.col("b_id").cast("long").alias("b_id"),
+        F.lit(None).cast("int").alias("rank"),
+    )
+    return topk.unionByName(pairs)
+
+
+def q_emb_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup DEDUP (SemDeDup-style,
+    `ann.embedding_dedup_keepers`): vectors within cosine >= 0.45 of each
+    other form duplicate components (transitively — same pointer-jumping
+    kernel as the text dedup family); output is the keeper mapping over ALL
+    vectors (keeper_id = component min id, = self when no near-dup
+    evidence) with the survivor flag.  The oracle recomputes the components
+    with a recursive transitive-closure CTE over the exact pair set —
+    equality holds because the edge producer is the exact
+    `cosine_pairs_exact` (no recall argument needed); the 0.45 threshold
+    carries the measured no-boundary-pair margin law (test_ann.py)."""
+    from sketchlib.spark.ann import cosine_pairs_exact
+    from sketchlib.spark.dedup import propagate_min_keeper
+
+    emb = load(spark, sf_dir, "embeddings")
+    edges = cosine_pairs_exact(emb, threshold=0.45)
+    keeper = propagate_min_keeper(edges).withColumnRenamed("id", "vec_id")
+    return (
+        emb.select("vec_id")
+        .join(keeper, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("keeper_id", F.col("vec_id")).alias("keeper_id"),
+        )
+        .withColumn("is_kept", F.col("keeper_id") == F.col("vec_id"))
+    )
+
+
 def q_td_weighted_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted ingest (reference ``add ~n``, src/tdigest.ml:313): each
     l_extendedprice carries weight l_quantity.  Discrete mode -> weighted
@@ -1415,6 +1463,29 @@ _COSINE_PAIRS_SQL = """
 SELECT a.vec_id AS a_id, b.vec_id AS b_id
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+"""
+
+_ANN_EXACT_COSINE_SQL = f"""
+SELECT 'topk' AS kind, query_id AS a_id, neighbor_id AS b_id, rank
+FROM ({_ANN_TOPK_SQL}) t
+UNION ALL
+SELECT 'pair' AS kind, a_id, b_id, NULL::INT AS rank
+FROM ({_COSINE_PAIRS_SQL}) p
+"""
+
+_EMB_GROUPS_SQL = f"""
+WITH RECURSIVE
+cp AS ({_COSINE_PAIRS_SQL}),
+edges AS (
+  SELECT a_id, b_id FROM cp UNION SELECT b_id AS a_id, a_id AS b_id FROM cp
+),
+reach AS (
+  SELECT vec_id AS id, vec_id AS k FROM embeddings
+  UNION
+  SELECT e.a_id AS id, r.k FROM edges e JOIN reach r ON r.id = e.b_id
+)
+SELECT id AS vec_id, min(k) AS keeper_id, (min(k) = id) AS is_kept
+FROM reach GROUP BY id
 """
 
 
@@ -3586,6 +3657,7 @@ FROM ({_KMV_SQL}) s CROSS JOIN (
 # the long-green remainder follows.
 QUERIES = {
     # --- new in round 4 (never driver-gated) ---
+    "emb_dedup_groups": q_emb_dedup_groups,
     "dedup_span_stats": q_dedup_span_stats,
     "domain_stats": q_domain_stats,
     "kmv_sample_overlap": q_kmv_sample_overlap,
@@ -3625,8 +3697,7 @@ QUERIES = {
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
     "dedup_simhash_hamming": q_dedup_simhash_hamming,
-    "ann_topk_cosine": q_ann_topk_cosine,
-    "emb_cosine_pairs": q_emb_cosine_pairs,
+    "ann_exact_cosine": q_ann_exact_cosine,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "emb_signlsh_precision": q_emb_signlsh_precision,
     "top_sources_by_lang": q_top_sources_by_lang,
@@ -3714,8 +3785,8 @@ FROM documents
     "dedup_jaccard_pairs": _jaccard_pairs_sql(0.8),
     "dedup_minhash_lsh_pairs": _jaccard_pairs_sql(0.8),
     "dedup_simhash_hamming": _simhash_pairs_sql(3),
-    "ann_topk_cosine": _ANN_TOPK_SQL,
-    "emb_cosine_pairs": _COSINE_PAIRS_SQL,
+    "ann_exact_cosine": _ANN_EXACT_COSINE_SQL,
+    "emb_dedup_groups": _EMB_GROUPS_SQL,
 
     "pipeline_clean_corpus": _PIPELINE_SQL,
 

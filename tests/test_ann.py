@@ -138,3 +138,83 @@ def test_signatures_deterministic(spark):
         for r in signrandom_signatures(_emb(spark).repartition(7)).collect()
     }
     assert a == b
+
+
+class TestEmbeddingDedupKeepers:
+    """SemDeDup-style embedding near-dup removal: exact + LSH discovery vs
+    a brute-force union-find oracle on planted clusters."""
+
+    def _synth(self, spark, seed=11, n_noise=60, clusters=((100, 4), (200, 3), (300, 5))):
+        """Noise vectors (i.i.d. gaussian, 16-d — pairwise cosine far below
+        the gate) + planted clusters of EXACT copies at chosen ids."""
+        rng = np.random.default_rng(seed)
+        rows = []
+        for i in range(n_noise):
+            rows.append((int(i), rng.normal(size=16).tolist()))
+        for base_id, size in clusters:
+            proto = rng.normal(size=16)
+            for m in range(size):
+                rows.append((int(base_id + m), proto.tolist()))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def _oracle_survivors(self, rows, threshold):
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        mat = np.array([r[1] for r in rows], dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        S = mat @ mat.T
+        parent = {int(i): int(i) for i in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        n = len(ids)
+        for i in range(n):
+            for j in range(i + 1, n):
+                if S[i, j] >= threshold:
+                    a, b = find(int(ids[i])), find(int(ids[j]))
+                    if a != b:
+                        parent[max(a, b)] = min(a, b)
+        # survivors: min id per component
+        comp_min = {}
+        for x in parent:
+            r = find(x)
+            comp_min[r] = min(comp_min.get(r, x), x)
+        return {comp_min[find(x)] for x in parent}
+
+    def test_exact_matches_union_find_oracle(self, spark):
+        from sketchlib.spark.ann import embedding_dedup_keepers
+
+        df = self._synth(spark)
+        rows = [(r["vec_id"], r["embedding"]) for r in df.collect()]
+        want = self._oracle_survivors(rows, threshold=0.95)
+        out = embedding_dedup_keepers(df, threshold=0.95, n_blocks=3)
+        got = {r["vec_id"] for r in out.collect()}
+        assert got == want
+        # planted clusters collapse to their min id; noise survives
+        assert {100, 200, 300} <= got
+        assert not ({101, 102, 103, 201, 202, 301} & got)
+        # original columns survive untouched
+        assert out.columns == df.columns
+
+    def test_lsh_discovery_agrees_on_exact_copies(self, spark):
+        """Exact copies have identical sign signatures, so every planted
+        pair meets in every band — LSH recall is 1.0 on this corpus and the
+        two discovery modes must return identical survivors."""
+        from sketchlib.spark.ann import embedding_dedup_keepers
+
+        df = self._synth(spark)
+        a = {r["vec_id"] for r in
+             embedding_dedup_keepers(df, threshold=0.95, n_blocks=3).collect()}
+        b = {r["vec_id"] for r in
+             embedding_dedup_keepers(df, threshold=0.95, discovery="lsh",
+                                     bands=4, dim=16).collect()}
+        assert a == b
+
+    def test_bad_discovery_raises(self, spark):
+        from sketchlib.spark.ann import embedding_dedup_keepers
+
+        with pytest.raises(ValueError):
+            embedding_dedup_keepers(self._synth(spark), discovery="bogus")
