@@ -56,3 +56,104 @@ def double_hash(h: np.ndarray, i: int, mod: int) -> np.ndarray:
     with np.errstate(over="ignore"):
         combined = h1 + np.uint64(i) * h2
     return (combined % np.uint64(mod)).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Spark-compatible XXH64 over 8-byte longs (vectorized)
+# ---------------------------------------------------------------------------
+
+_XP1 = np.uint64(0x9E3779B185EBCA87)
+_XP2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_XP3 = np.uint64(0x165667B19E3779F9)
+_XP4 = np.uint64(0x85EBCA77C2B2AE63)
+_XP5 = np.uint64(0x27D4EB2F165667C5)
+XXH64_SPARK_SEED = np.uint64(42)
+
+
+def _rotl64(x: np.ndarray, r: int) -> np.ndarray:
+    r = np.uint64(r)
+    return (x << r) | (x >> (np.uint64(64) - r))
+
+
+def xxh64_long(v, seed=XXH64_SPARK_SEED) -> np.ndarray:
+    """XXH64 of one little-endian 8-byte value per element — bit-identical
+    to Spark's ``F.xxhash64`` over a ``LongType`` column (seed 42), and to
+    each fold step of Spark's multi-arg form (``xxhash64(a, b)`` is
+    ``xxh64_long(b, seed=xxh64_long(a))``).  ``v``/``seed``: uint64 scalars
+    or arrays (int64 inputs are reinterpreted, not converted).
+
+    This is the bridge that lets an Arrow-side numpy kernel continue a
+    hash chain the JVM started (e.g. per-token ``xxhash64`` JVM-side, the
+    n-gram window fold vectorized Python-side) with values any JVM
+    expression could reproduce — property-tested bitwise against Spark in
+    ``tests/test_hashing.py``."""
+    v = np.asarray(v)
+    if v.dtype != np.uint64:
+        v = v.astype(np.int64, copy=False).view(np.uint64)
+    seed = np.asarray(seed)
+    if seed.dtype != np.uint64:
+        seed = seed.astype(np.int64, copy=False).view(np.uint64)
+    with np.errstate(over="ignore"):
+        h = seed + _XP5 + np.uint64(8)
+        k1 = _rotl64(v * _XP2, 31) * _XP1
+        h = h ^ k1
+        h = _rotl64(h, 27) * _XP1 + _XP4
+        h ^= h >> np.uint64(33)
+        h *= _XP2
+        h ^= h >> np.uint64(29)
+        h *= _XP3
+        h ^= h >> np.uint64(32)
+    return h
+
+
+def xxh64_window_fold(values: np.ndarray, offsets: np.ndarray, n: int,
+                      lens: np.ndarray | None = None):
+    """Per-document n-gram window hashes over a FLAT array of per-token
+    hashes (Arrow list-column layout: ``values`` holds every document's
+    token hashes back to back, ``offsets[i]:offsets[i+1]`` is document i's
+    slice; a null/absent document is a zero-length slice).
+
+    Window hash = Spark's ``xxhash64(h_i, ..., h_{i+n-1})`` left fold over
+    the n token hashes (seed 42).  Documents with 1 <= T < n tokens
+    contribute ONE fallback window folding their T hashes (what
+    ``xxhash64(h_1, .., h_T)`` would give); T == 0 contributes nothing.
+
+    Returns ``(win_values, win_offsets)`` in the same flat layout —
+    everything vectorized; the only Python-level loop is ``n`` fold steps
+    plus up to ``n-1`` masked steps for short documents.
+
+    ``lens`` overrides ``np.diff(offsets)`` — pass it when the Arrow list
+    column has null cells (their offset ranges are unspecified; zero their
+    lengths and each document still slices from its own ``offsets[i]``)."""
+    offsets = np.asarray(offsets, dtype=np.int64)
+    if lens is None:
+        lens = np.diff(offsets)
+    else:
+        lens = np.asarray(lens, dtype=np.int64)
+    n_win = np.where(lens >= n, lens - (n - 1), (lens > 0).astype(np.int64))
+    win_offsets = np.concatenate([[0], np.cumsum(n_win)])
+    total = int(win_offsets[-1])
+    out = np.empty(total, dtype=np.uint64)
+    if total == 0:
+        return out, win_offsets
+
+    starts = np.repeat(offsets[:-1], n_win)          # flat start of each window
+    base = np.repeat(win_offsets[:-1], n_win)
+    intra = np.arange(total, dtype=np.int64) - base  # window index within doc
+    starts = starts + intra
+    wlen = np.minimum(np.repeat(lens, n_win), n)     # < n only for fallbacks
+    vals = np.asarray(values)
+    if vals.dtype != np.uint64:
+        vals = vals.astype(np.int64, copy=False).view(np.uint64)
+
+    h = np.full(total, XXH64_SPARK_SEED, dtype=np.uint64)
+    full = wlen == n
+    if full.all():
+        for k in range(n):
+            h = xxh64_long(vals[starts + k], h)
+        return h, win_offsets
+    for k in range(n):
+        active = wlen > k
+        idx = starts[active] + k
+        h[active] = xxh64_long(vals[idx], h[active])
+    return h, win_offsets

@@ -177,6 +177,71 @@ def hashed_shingle_sets(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _token_hash_expr(text_col: str):
+    """``array<long>`` of per-token ``xxhash64`` over the ``tokens`` column —
+    each token string hashed exactly ONCE (vs once per n-gram window it
+    appears in).  NULL text yields a NULL array."""
+    return F.when(
+        F.col(text_col).isNotNull(),
+        F.transform("tokens", lambda t: F.xxhash64(t)),
+    )
+
+
+def _tokenchain_window_expr(th_col: str, ngram: int):
+    """n-gram window hashes over a MATERIALIZED per-token-hash column
+    ``th_col`` (array<long>): window hash = ``xxhash64(th_i, ..,
+    th_{i+n-1})`` — Spark's left fold over longs, which
+    ``sketchlib.hashing.xxh64_window_fold`` reproduces bitwise so an
+    Arrow-side numpy kernel can continue the SAME chain.  This is the
+    "token-chain" (v2) shingle construction: ~n× less JVM string hashing
+    than ``_hashed_shingle_expr`` because each token is hashed once and the
+    window fold runs over fixed 8-byte longs.
+
+    Documents with 1 <= T < n tokens contribute ONE window folding their T
+    token hashes; T == 0 (empty/whitespace text) contributes the bare seed
+    (42) so that byte-identical short/empty texts still collide across
+    corpora (zero-false-negative law vs the exact containment path).  NULL
+    ``th_col`` (NULL text) yields a NULL array — dropped by ``explode`` and
+    by every equi-join.
+
+    ``th_col`` MUST be a real column (``withColumn``), never an inlined
+    expression: see the CAUTION on ``shingle_arrays`` — an inlined
+    higher-order transform re-evaluates per element reference."""
+    th = F.col(th_col)
+
+    def _win(i):
+        return F.xxhash64(*[F.element_at(th, i + k) for k in range(ngram)])
+
+    fallback = F.lit(42).cast("long")  # fold over zero hashes = the seed
+    for t in range(1, ngram):
+        fallback = F.when(
+            F.size(th) == t,
+            F.xxhash64(*[F.element_at(th, k + 1) for k in range(t)]),
+        ).otherwise(fallback)
+    return F.when(
+        F.size(th) >= ngram,
+        F.transform(F.sequence(F.lit(1), F.size(th) - (ngram - 1)), _win),
+    ).otherwise(
+        F.when(th.isNotNull(), F.array(fallback))
+    )
+
+
+def tokenchain_shingle_sets(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", ngram: int = 5,
+                            keep: list[str] | None = None) -> DataFrame:
+    """(id, shingle) pairs in the token-chain (v2) hash space — the
+    decontamination build-side construction.  Bitwise-reproducible by the
+    numpy probe kernel (``xxh64_window_fold``); NOT the same hash space as
+    ``hashed_shingle_sets`` (v1 hashes the n token STRINGS per window; v2
+    folds per-token hashes), so build and probe must both be v2."""
+    cols = [id_col] + list(keep or [])
+    d = with_tokens(df.select(*cols, text_col), text_col)
+    d = d.withColumn("_th", _token_hash_expr(text_col))
+    return d.select(
+        *cols, F.explode(_tokenchain_window_expr("_th", ngram)).alias("shingle")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.8,
@@ -862,13 +927,15 @@ def eval_ngram_bloom(
 
     from sketchlib.bloom import Bloom
 
-    # drop NULL shingles (null-text docs) BEFORE the sketch build: the
-    # Bloom aggregator hashes JVM-side with xxhash64(value) and Spark's
-    # xxhash64(NULL) returns the seed (42), not NULL — an unfiltered null
-    # would ingest 42 and then flag every null-text train doc as
-    # contaminated (false-positive direction only, but needless)
+    # token-chain (v2) construction: MUST match bloom_decontam_flags' probe
+    # kernel (it folds the same per-token xxhash64 chain in numpy).  Blobs
+    # built by the pre-v2 string-chain construction are incompatible —
+    # rebuild them (the build is one tiny eval-corpus pass).
+    # NULL-text docs yield a NULL window array -> explode drops them before
+    # the sketch build (Spark's xxhash64(NULL) would otherwise ingest the
+    # seed 42 and flag every null-text train doc).
     sh = (
-        hashed_shingle_sets(eval_df, id_col, text_col, ngram)
+        tokenchain_shingle_sets(eval_df, id_col, text_col, ngram)
         .select("shingle")
         .where(F.col("shingle").isNotNull())
         .distinct()
@@ -898,61 +965,67 @@ def bloom_decontam_flags(
 
     Because this is a pure projection (no shuffle, no state), the SAME
     function runs on a Structured Streaming DataFrame unchanged — the
-    streaming ingest decontaminator.  All text work (tokenize, n-gram
-    hash, the Bloom BASE hash ``xxhash64(shingle_hash)``) happens JVM-side
-    in codegen; the Arrow-batched pandas stage only flattens the per-row
-    hash arrays and runs one vectorized ``contains_hashed`` probe per
-    batch (no per-row Python).
+    streaming ingest decontaminator.
+
+    Hot-path split (token-chain / v2 construction — must match
+    ``eval_ngram_bloom``): the JVM hashes each token string exactly ONCE
+    (``xxhash64(token)`` inside one ``transform``); the Arrow stage gets
+    the per-token hash arrays as ONE flat int64 buffer (zero-copy, no
+    per-row objects) and runs the n-gram window fold, the Bloom base hash
+    — both bit-identical to what the JVM expression ``xxhash64(th_i, ..,
+    th_{i+n-1})`` / ``xxhash64(window)`` would produce
+    (``sketchlib.hashing.xxh64_long`` property tests) — and one vectorized
+    ``contains_hashed`` probe per batch.  The pre-v2 kernel hashed every
+    token string n times inside an interpreted per-window chain; v2 cuts
+    JVM hashing n× and removes all per-window JVM allocation.
     """
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     from sketchlib.bloom import Bloom
+    from sketchlib.hashing import xxh64_long, xxh64_window_fold
 
     cols = [id_col] + list(keep or [])
     d = with_tokens(df.select(*cols, text_col), text_col)
-    # Bloom built via sketch_aggregate hashes values JVM-side with
-    # xxhash64(value); mirror that on the shingle hashes so probe == build.
-    # Filter NULL shingles BEFORE hashing: xxhash64(NULL) is the seed (42),
-    # not NULL, so filtering after the transform removes nothing and a
-    # null-text doc would probe the filter with 42 (matching the exact
-    # path's equi-join semantics requires dropping NULLs here).
-    base = F.transform(
-        F.filter(
-            _hashed_shingle_expr(text_col, ngram), lambda v: v.isNotNull()
-        ),
-        lambda v: F.xxhash64(v),
-    )
-    staged = d.select(*cols, base.alias("_bh"))
+    staged = d.select(*cols, _token_hash_expr(text_col).alias("_th"))
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(bytes(bloom_blob))
+    n = ngram
 
+    out_fields = [f.name for f in staged.schema.fields if f.name != "_th"]
     out_schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in staged.schema.fields
-         if f.name != "_bh"] + ["contaminated boolean"]
+         if f.name != "_th"] + ["contaminated boolean"]
     )
 
     def probe(batches):
         b = Bloom.deserialize(bc.value)
-        for pdf in batches:
-            # _bh is array<long> with NULL elements stripped JVM-side, so
-            # every cell is a clean int64 ndarray (possibly empty)
-            arrs = [np.asarray(a, dtype=np.int64) for a in pdf["_bh"]]
-            lens = np.fromiter((len(a) for a in arrs), dtype=np.int64,
-                               count=len(arrs))
-            seg = np.zeros(len(arrs), dtype=bool)
-            if lens.sum():
-                flat = np.concatenate(arrs) if arrs else np.empty(0, np.int64)
-                hits = b.contains_hashed(flat.view(np.uint64))
-                hit_cum = np.concatenate([[0], np.cumsum(hits)])
-                ends = np.cumsum(lens)
-                starts = ends - lens
-                seg = hit_cum[ends] > hit_cum[starts]
-            out = pdf.drop(columns=["_bh"]).copy()
-            out["contaminated"] = seg
-            yield out
+        # T == 0 (empty/whitespace text) docs probe the bare-seed window
+        # (42), mirroring the build side's fallback for such docs
+        empty_hit = bool(
+            b.contains_hashed(xxh64_long(np.uint64(42)).reshape(1))[0]
+        )
+        for batch in batches:
+            i_th = batch.schema.get_field_index("_th")
+            col = batch.column(i_th)
+            offs = np.asarray(col.offsets, dtype=np.int64)
+            vals = np.asarray(col.values, dtype=np.int64)
+            nulls = np.asarray(col.is_null())
+            lens = np.diff(offs)
+            lens[nulls] = 0  # null-text docs: no windows, never flagged
+            win, woffs = xxh64_window_fold(vals, offs, n, lens=lens)
+            hits = b.contains_hashed(xxh64_long(win))
+            hc = np.concatenate([[0], np.cumsum(hits)])
+            seg = hc[woffs[1:]] > hc[woffs[:-1]]
+            if empty_hit:
+                seg |= (lens == 0) & ~nulls
+            arrays = [batch.column(j) for j, f in enumerate(batch.schema)
+                      if f.name != "_th"]
+            yield pa.RecordBatch.from_arrays(
+                arrays + [pa.array(seg)], names=out_fields + ["contaminated"]
+            )
 
-    return staged.mapInPandas(probe, schema=out_schema)
+    return staged.mapInArrow(probe, schema=out_schema)
 
 
 # ---------------------------------------------------------------------------
