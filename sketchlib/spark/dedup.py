@@ -187,59 +187,47 @@ def _token_hash_expr(text_col: str):
     )
 
 
-def _tokenchain_window_expr(th_col: str, ngram: int):
-    """n-gram window hashes over a MATERIALIZED per-token-hash column
-    ``th_col`` (array<long>): window hash = ``xxhash64(th_i, ..,
-    th_{i+n-1})`` — Spark's left fold over longs, which
-    ``sketchlib.hashing.xxh64_window_fold`` reproduces bitwise so an
-    Arrow-side numpy kernel can continue the SAME chain.  This is the
-    "token-chain" (v2) shingle construction: ~n× less JVM string hashing
-    than ``_hashed_shingle_expr`` because each token is hashed once and the
-    window fold runs over fixed 8-byte longs.
+def poly_shingle_values(df: DataFrame, text_col: str = "text",
+                        ngram: int = 5) -> DataFrame:
+    """One ``shingle: long`` row per token n-gram window, in the
+    polynomial rolling-hash space (``sketchlib.hashing.poly_window_fold``
+    over per-token JVM ``xxhash64`` values) — the decontamination
+    build-side construction, and EXACTLY the space
+    ``bloom_decontam_flags`` probes (both sides run the same kernel; the
+    zero-false-negative law is build == probe by construction).
 
-    Documents with 1 <= T < n tokens contribute ONE window folding their T
-    token hashes; T == 0 (empty/whitespace text) contributes the bare seed
-    (42) so that byte-identical short/empty texts still collide across
-    corpora (zero-false-negative law vs the exact containment path).  NULL
-    ``th_col`` (NULL text) yields a NULL array — dropped by ``explode`` and
-    by every equi-join.
+    Document conventions (mirroring the exact containment path): NULL text
+    contributes nothing; empty/whitespace text contributes the empty-sum
+    window (0) so byte-identical empty texts still collide across corpora;
+    1 <= T < ngram tokens contribute one window over all T tokens.
 
-    ``th_col`` MUST be a real column (``withColumn``), never an inlined
-    expression: see the CAUTION on ``shingle_arrays`` — an inlined
-    higher-order transform re-evaluates per element reference."""
-    th = F.col(th_col)
+    The JVM hashes each token string exactly ONCE (vs once per window in
+    the v1 string-chain construction); the window combination runs
+    O(total tokens) vectorized in numpy — ~70x the throughput of a
+    per-window chained fold at ngram=8."""
+    import numpy as np
+    import pyarrow as pa
 
-    def _win(i):
-        return F.xxhash64(*[F.element_at(th, i + k) for k in range(ngram)])
+    from sketchlib.hashing import poly_window_fold
 
-    fallback = F.lit(42).cast("long")  # fold over zero hashes = the seed
-    for t in range(1, ngram):
-        fallback = F.when(
-            F.size(th) == t,
-            F.xxhash64(*[F.element_at(th, k + 1) for k in range(t)]),
-        ).otherwise(fallback)
-    return F.when(
-        F.size(th) >= ngram,
-        F.transform(F.sequence(F.lit(1), F.size(th) - (ngram - 1)), _win),
-    ).otherwise(
-        F.when(th.isNotNull(), F.array(fallback))
-    )
+    d = with_tokens(df.select(text_col), text_col)
+    staged = d.select(_token_hash_expr(text_col).alias("_th"))
 
+    def windows(batches):
+        for batch in batches:
+            col = batch.column(0)
+            offs = np.asarray(col.offsets, dtype=np.int64)
+            vals = np.asarray(col.values, dtype=np.int64)
+            nulls = np.asarray(col.is_null())
+            lens = np.diff(offs)
+            lens[nulls] = 0
+            win, _ = poly_window_fold(vals, offs, ngram, lens=lens,
+                                      min_one=~nulls)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(win.view(np.int64))], names=["shingle"]
+            )
 
-def tokenchain_shingle_sets(df: DataFrame, id_col: str = "doc_id",
-                            text_col: str = "text", ngram: int = 5,
-                            keep: list[str] | None = None) -> DataFrame:
-    """(id, shingle) pairs in the token-chain (v2) hash space — the
-    decontamination build-side construction.  Bitwise-reproducible by the
-    numpy probe kernel (``xxh64_window_fold``); NOT the same hash space as
-    ``hashed_shingle_sets`` (v1 hashes the n token STRINGS per window; v2
-    folds per-token hashes), so build and probe must both be v2."""
-    cols = [id_col] + list(keep or [])
-    d = with_tokens(df.select(*cols, text_col), text_col)
-    d = d.withColumn("_th", _token_hash_expr(text_col))
-    return d.select(
-        *cols, F.explode(_tokenchain_window_expr("_th", ngram)).alias("shingle")
-    )
+    return staged.mapInArrow(windows, schema="shingle long")
 
 
 def ngram_jaccard_pairs(
@@ -927,19 +915,14 @@ def eval_ngram_bloom(
 
     from sketchlib.bloom import Bloom
 
-    # token-chain (v2) construction: MUST match bloom_decontam_flags' probe
-    # kernel (it folds the same per-token xxhash64 chain in numpy).  Blobs
-    # built by the pre-v2 string-chain construction are incompatible —
-    # rebuild them (the build is one tiny eval-corpus pass).
-    # NULL-text docs yield a NULL window array -> explode drops them before
-    # the sketch build (Spark's xxhash64(NULL) would otherwise ingest the
-    # seed 42 and flag every null-text train doc).
-    sh = (
-        tokenchain_shingle_sets(eval_df, id_col, text_col, ngram)
-        .select("shingle")
-        .where(F.col("shingle").isNotNull())
-        .distinct()
-    )
+    # polynomial rolling-hash construction: build and probe run the SAME
+    # kernel (``poly_shingle_values`` / ``bloom_decontam_flags`` both call
+    # ``hashing.poly_window_fold``), so zero false negatives hold by
+    # construction.  Blobs built by an older construction are incompatible
+    # — rebuild them (the build is one tiny eval-corpus pass).  NULL-text
+    # docs contribute nothing (the kernel zeroes their lengths; Spark's
+    # xxhash64(NULL) = seed would otherwise flag every null-text train doc).
+    sh = poly_shingle_values(eval_df, text_col, ngram).distinct()
     n = sh.count()
     params = {"fpr": fpr, "expected_n": max(n, 1000)}
     rows = sketch_aggregate(sh, [], "shingle", "bloom", params).collect()
@@ -967,23 +950,21 @@ def bloom_decontam_flags(
     function runs on a Structured Streaming DataFrame unchanged — the
     streaming ingest decontaminator.
 
-    Hot-path split (token-chain / v2 construction — must match
-    ``eval_ngram_bloom``): the JVM hashes each token string exactly ONCE
-    (``xxhash64(token)`` inside one ``transform``); the Arrow stage gets
-    the per-token hash arrays as ONE flat int64 buffer (zero-copy, no
-    per-row objects) and runs the n-gram window fold, the Bloom base hash
-    — both bit-identical to what the JVM expression ``xxhash64(th_i, ..,
-    th_{i+n-1})`` / ``xxhash64(window)`` would produce
-    (``sketchlib.hashing.xxh64_long`` property tests) — and one vectorized
-    ``contains_hashed`` probe per batch.  The pre-v2 kernel hashed every
-    token string n times inside an interpreted per-window chain; v2 cuts
-    JVM hashing n× and removes all per-window JVM allocation.
+    Hot-path split (polynomial rolling-hash construction — the same kernel
+    ``eval_ngram_bloom`` builds with): the JVM hashes each token string
+    exactly ONCE (``xxhash64(token)`` inside one ``transform``); the Arrow
+    stage gets the per-token hash arrays as ONE flat int64 buffer
+    (zero-copy, no per-row objects) and runs ``poly_window_fold`` — the
+    O(total-tokens) rolling window hash, ~70x a per-window chained fold —
+    then the Bloom base hash (``xxh64_long``, bit-identical to the JVM
+    ``xxhash64(shingle)`` the build-side aggregator ingests) and one
+    vectorized ``contains_hashed`` probe per batch.
     """
     import numpy as np
     import pyarrow as pa
 
     from sketchlib.bloom import Bloom
-    from sketchlib.hashing import xxh64_long, xxh64_window_fold
+    from sketchlib.hashing import poly_window_fold, xxh64_long
 
     cols = [id_col] + list(keep or [])
     d = with_tokens(df.select(*cols, text_col), text_col)
@@ -1000,11 +981,6 @@ def bloom_decontam_flags(
 
     def probe(batches):
         b = Bloom.deserialize(bc.value)
-        # T == 0 (empty/whitespace text) docs probe the bare-seed window
-        # (42), mirroring the build side's fallback for such docs
-        empty_hit = bool(
-            b.contains_hashed(xxh64_long(np.uint64(42)).reshape(1))[0]
-        )
         for batch in batches:
             i_th = batch.schema.get_field_index("_th")
             col = batch.column(i_th)
@@ -1013,12 +989,13 @@ def bloom_decontam_flags(
             nulls = np.asarray(col.is_null())
             lens = np.diff(offs)
             lens[nulls] = 0  # null-text docs: no windows, never flagged
-            win, woffs = xxh64_window_fold(vals, offs, n, lens=lens)
+            # min_one: empty-text docs probe the empty-sum window (0),
+            # mirroring the build side's convention for such docs
+            win, woffs = poly_window_fold(vals, offs, n, lens=lens,
+                                          min_one=~nulls)
             hits = b.contains_hashed(xxh64_long(win))
             hc = np.concatenate([[0], np.cumsum(hits)])
             seg = hc[woffs[1:]] > hc[woffs[:-1]]
-            if empty_hit:
-                seg |= (lens == 0) & ~nulls
             arrays = [batch.column(j) for j, f in enumerate(batch.schema)
                       if f.name != "_th"]
             yield pa.RecordBatch.from_arrays(
