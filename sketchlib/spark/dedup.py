@@ -922,10 +922,16 @@ def eval_ngram_bloom(
     # — rebuild them (the build is one tiny eval-corpus pass).  NULL-text
     # docs contribute nothing (the kernel zeroes their lengths; Spark's
     # xxhash64(NULL) = seed would otherwise flag every null-text train doc).
-    sh = poly_shingle_values(eval_df, text_col, ngram).distinct()
-    n = sh.count()
-    params = {"fpr": fpr, "expected_n": max(n, 1000)}
-    rows = sketch_aggregate(sh, [], "shingle", "bloom", params).collect()
+    # persist between the sizing count and the sketch build: the distinct
+    # shingle set is 8 B/n-gram (KB-MB at eval-corpus scale) and caching it
+    # avoids re-running the tokenize + Arrow window pass
+    sh = poly_shingle_values(eval_df, text_col, ngram).distinct().persist()
+    try:
+        n = sh.count()
+        params = {"fpr": fpr, "expected_n": max(n, 1000)}
+        rows = sketch_aggregate(sh, [], "shingle", "bloom", params).collect()
+    finally:
+        sh.unpersist()
     if not rows:  # empty eval corpus -> empty filter (flags nothing)
         return Bloom(expected_n=params["expected_n"], fpr=fpr).serialize()
     return bytes(rows[0]["sketch"])

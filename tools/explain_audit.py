@@ -369,15 +369,15 @@ def main():
           must=[r"WindowGroupLimit", r"ReadSchema:[^\n]*doc_id"],
           must_not=[r"ReadSchema:[^\n]*source", r"ReadSchema:[^\n]*n_chars"])
 
-    # 6y. bloom decontam flags: the production flags projection is
-    # MapInPandas over a 3-column pruned scan; the flags⋈truth stitch is
-    # the verification side (any join shape allowed) but no column beyond
-    # (doc_id, lang, text) may be read anywhere
+    # 6y. bloom decontam flags: the production flags projection is a
+    # zero-copy Arrow map stage over a 3-column pruned scan; the
+    # flags⋈truth stitch is the verification side (any join shape allowed)
+    # but no column beyond (doc_id, lang, text) may be read anywhere
     from sketchlib.spark.queries import q_decontam_bloom_flags
 
     p = plan_of(q_decontam_bloom_flags(spark, sf_dir))
     check("bloom decontam pruned python stage", p,
-          must=[r"MapInPandas", r"ReadSchema:[^\n]*text"],
+          must=[r"MapInArrow|PythonMapInArrow", r"ReadSchema:[^\n]*text"],
           must_not=[r"ReadSchema:[^\n]*source", r"ReadSchema:[^\n]*n_chars"])
 
     # 6z. cms join size: the exact verification join is broadcast-hash over
