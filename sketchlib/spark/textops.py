@@ -1763,3 +1763,70 @@ def registrable_domain(host) -> F.Column:  # type: ignore[name-defined]
         .when(last2.isin(*TWO_LEVEL_SUFFIXES), last3)
         .otherwise(last2)
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (the key-prep step for URL-level dedup)
+# ---------------------------------------------------------------------------
+
+# tracking parameters every major CC-curation pipeline strips before URL
+# dedup (utm_* campaign tags, ad-click ids, social share refs); one
+# Java∩RE2-safe alternation so Spark rlike and DuckDB regexp_matches agree
+TRACKING_PARAM_RE = (
+    r"^(utm_[a-z0-9_]*|gclid|gbraid|wbraid|fbclid|msclkid|dclid|twclid|"
+    r"igshid|mc_cid|mc_eid|ref|ref_src|ref_url|_ga|_gl|yclid|s_kwcid)="
+)
+
+_URL_SPLIT_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)[?]?([^#]*)"
+
+
+def canonical_url(url, fold_scheme: bool = True,
+                  drop_www: bool = True) -> F.Column:  # type: ignore[name-defined]
+    """Canonical form of an absolute http(s) URL as ONE codegen'd
+    expression — the key-prep step before URL-level exact dedup (the same
+    page is crawled as ``http://`` vs ``https://``, with/without ``www.``,
+    with tracking params, reordered query strings, fragments, default
+    ports, trailing slashes; naive URL dedup misses all of these).
+
+    Steps (all byte-reproducible in DuckDB — regexes in the Java∩RE2
+    subset, list ops with binary sort order; NOTE Spark's regexp_replace
+    is global while DuckDB's needs the explicit 'g' flag — so an oracle
+    can gate the exact output; see tests/test_url_canonical.py for the
+    full mirror):
+
+    1. split scheme / authority / path / query on one regex; fragments
+       never enter (the regex stops at ``#``);
+    2. scheme lower-cased; ``https`` folds to ``http`` (``fold_scheme``,
+       the CC-pipeline default: scheme is not content identity);
+    3. host from ``url_host`` (userinfo/port stripped, lower, no trailing
+       dot) minus one leading ``www.`` (``drop_www``);
+    4. path: runs of ``/`` collapse to one, trailing ``/`` stripped
+       ('' and '/' meet at '');
+    5. query: split on ``&``, drop empty params and ``TRACKING_PARAM_RE``
+       matches, remaining params sorted (byte order) and rejoined — param
+       ORDER is not identity, tracking params are not identity.
+
+    Non-http(s) or unparseable inputs pass through trimmed (canonicalize
+    what we understand, never corrupt what we don't); NULL stays NULL."""
+    c = F.trim(F.col(url) if isinstance(url, str) else url)
+    scheme = F.lower(F.regexp_extract(c, _URL_SPLIT_RE, 1))
+    if fold_scheme:
+        scheme = F.when(scheme == "https", F.lit("http")).otherwise(scheme)
+    host = url_host(c)
+    if drop_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    path = F.regexp_extract(c, _URL_SPLIT_RE, 3)
+    path = F.regexp_replace(F.regexp_replace(path, r"/+", "/"), r"/$", "")
+    query = F.regexp_extract(c, _URL_SPLIT_RE, 4)
+    kept = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    ))
+    qjoin = F.array_join(kept, "&")
+    rebuilt = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(qjoin == "", F.lit("")).otherwise(F.concat(F.lit("?"), qjoin)),
+    )
+    return F.when(
+        scheme.isin("http", "https") & host.isNotNull(), rebuilt
+    ).otherwise(c)
