@@ -3531,8 +3531,19 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB), then ONE hash-aggregate per domain: docs, distinct hosts,
     distinct sources, total chars.  Plan: scan → codegen projection → one
     Exchange; at 100 TB the domain is the canonical per-site key —
-    compose with ``sampling.cap_per_key`` for quotas."""
-    from sketchlib.spark.textops import registrable_domain, url_host
+    compose with ``sampling.cap_per_key`` for quotas.
+
+    Also gates ``textops.canonical_url`` (the URL-dedup key): per domain,
+    the distinct canonical-URL count plus two verdict booleans computed
+    over crawl-variant pairs of every synthesized URL — appending a
+    fragment and swapping ``http://``→``https://`` must not change the
+    canonical key (both laws recomputed from scratch by the DuckDB mirror
+    of the canonicalization spec, not assumed)."""
+    from sketchlib.spark.textops import (
+        canonical_url,
+        registrable_domain,
+        url_host,
+    )
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     d = F.col("doc_id")
@@ -3554,15 +3565,26 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(".com.au/x")))
         .otherwise(F.concat(F.lit("http://"), F.col("source"), F.lit(".org/"), s))
     )
+    url_frag = F.concat(url, F.lit("#x"))
+    url_sch = F.when(
+        url.startswith("http://"),
+        F.concat(F.lit("https://"), F.substring(url, 8, 1 << 20)),
+    ).otherwise(url)
     hosts = (
         docs.withColumn("host", url_host(url))
         .withColumn("domain", registrable_domain("host"))
+        .withColumn("canon", canonical_url(url))
+        .withColumn("_c_frag", canonical_url(url_frag))
+        .withColumn("_c_sch", canonical_url(url_sch))
     )
     return hosts.groupBy("domain").agg(
         F.count("*").alias("n_docs"),
         F.countDistinct("host").alias("n_hosts"),
         F.countDistinct("source").alias("n_sources"),
         F.sum("n_chars").alias("sum_chars"),
+        F.countDistinct("canon").alias("n_canon_urls"),
+        F.bool_and(F.col("_c_frag") == F.col("canon")).alias("frag_invariant"),
+        F.bool_and(F.col("_c_sch") == F.col("canon")).alias("scheme_invariant"),
     )
 
 
@@ -3570,6 +3592,18 @@ def _domain_sql_suffixes() -> str:
     from sketchlib.spark.textops import TWO_LEVEL_SUFFIXES
 
     return ", ".join(f"'{x}'" for x in TWO_LEVEL_SUFFIXES)
+
+
+def _canon_track_re() -> str:
+    from sketchlib.spark.textops import TRACKING_PARAM_RE
+
+    return TRACKING_PARAM_RE
+
+
+def _canon_split_re() -> str:
+    from sketchlib.spark.textops import _URL_SPLIT_RE
+
+    return _URL_SPLIT_RE
 
 
 _DOMAIN_STATS_SQL = f"""
@@ -3613,11 +3647,55 @@ WITH d0 AS (
       ELSE parts[n-1] || '.' || parts[n]
     END AS domain
   FROM p
+), v AS (
+  SELECT doc_id, 0 AS tag, url AS vu FROM d0
+  UNION ALL SELECT doc_id, 1, url || '#x' FROM d0
+  UNION ALL SELECT doc_id, 2,
+    CASE WHEN url LIKE 'http://%' THEN 'https://' || substr(url, 8)
+         ELSE url END
+  FROM d0
+), cx AS (
+  SELECT doc_id, tag, trim(vu) AS u,
+    lower(coalesce(regexp_extract(trim(vu), '{_canon_split_re()}', 1), ''))
+      AS scheme0,
+    coalesce(regexp_extract(trim(vu), '{_canon_split_re()}', 2), '') AS cauth,
+    coalesce(regexp_extract(trim(vu), '{_canon_split_re()}', 3), '') AS path0,
+    coalesce(regexp_extract(trim(vu), '{_canon_split_re()}', 4), '') AS query0
+  FROM v
+), ch AS (
+  SELECT *, nullif(regexp_replace(lower(regexp_replace(regexp_replace(
+      cauth, '^.*@', ''), ':[0-9]*$', '')), '\\.$', ''), '') AS chost
+  FROM cx
+), cy AS (
+  SELECT *,
+    CASE WHEN scheme0 = 'https' THEN 'http' ELSE scheme0 END AS scheme1,
+    regexp_replace(chost, '^www\\.', '') AS host1,
+    regexp_replace(regexp_replace(path0, '/+', '/', 'g'), '/$', '') AS path1,
+    coalesce(array_to_string(list_sort(list_filter(string_split(query0, '&'),
+        q -> q <> '' AND NOT regexp_matches(q, '{_canon_track_re()}'))),
+      '&'), '') AS q1
+  FROM ch
+), cz AS (
+  SELECT doc_id, tag, CASE
+      WHEN scheme1 IN ('http', 'https') AND host1 IS NOT NULL
+      THEN scheme1 || '://' || host1 || path1 ||
+           CASE WHEN q1 = '' THEN '' ELSE '?' || q1 END
+      ELSE u END AS canon
+  FROM cy
+), cp AS (
+  SELECT doc_id,
+    max(CASE WHEN tag = 0 THEN canon END) AS canon0,
+    max(CASE WHEN tag = 1 THEN canon END) AS canon1,
+    max(CASE WHEN tag = 2 THEN canon END) AS canon2
+  FROM cz GROUP BY doc_id
 )
 SELECT domain, COUNT(*) AS n_docs, COUNT(DISTINCT host) AS n_hosts,
        COUNT(DISTINCT source) AS n_sources,
-       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-FROM dom GROUP BY domain
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       COUNT(DISTINCT canon0) AS n_canon_urls,
+       BOOL_AND(canon1 = canon0) AS frag_invariant,
+       BOOL_AND(canon2 = canon0) AS scheme_invariant
+FROM dom JOIN cp USING (doc_id) GROUP BY domain
 """
 
 

@@ -1798,8 +1798,10 @@ def canonical_url(url, fold_scheme: bool = True,
        never enter (the regex stops at ``#``);
     2. scheme lower-cased; ``https`` folds to ``http`` (``fold_scheme``,
        the CC-pipeline default: scheme is not content identity);
-    3. host from ``url_host`` (userinfo/port stripped, lower, no trailing
-       dot) minus one leading ``www.`` (``drop_www``);
+    3. host from ``url_host`` (userinfo stripped, lower, no trailing dot,
+       ALL ports dropped — deliberately aggressive: in crawl dedup a port
+       is hosting detail, not content identity) minus one leading
+       ``www.`` (``drop_www``);
     4. path: runs of ``/`` collapse to one, trailing ``/`` stripped
        ('' and '/' meet at '');
     5. query: split on ``&``, drop empty params and ``TRACKING_PARAM_RE``

@@ -33,7 +33,7 @@ URLS = [
     "  http://example.com/pad  ",                    # trim
     "http://example.com/a?b&=v&c=1",                 # empty params dropped
     "https://example.com/a?ref_src=twsrc&keep=1&_ga=2.1",
-    "http://EXAMPLE.com:8080/x",                     # non-default port kept
+    "http://EXAMPLE.com:8080/x",                     # ports dropped (all)
 ]
 
 _RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)[?]?([^#]*)"
