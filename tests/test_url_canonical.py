@@ -134,3 +134,86 @@ def test_canonical_url_dedup_key(spark):
         "http://example.com/a/b": (3, 1),
         "http://example.com/other": (1, 4),
     }
+
+
+# ---------------------------------------------------------------------------
+# hypothesis property: Spark canonical_url == pure-Python spec mirror
+# ---------------------------------------------------------------------------
+
+import re
+
+from hypothesis import given, settings, strategies as st
+
+_SPLIT = re.compile(r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)\??([^#]*)")
+_TRACK = re.compile(TRACKING_PARAM_RE)
+
+
+def _py_canon(u, fold_scheme=True, drop_www=True):
+    """Pure-Python mirror of the documented spec (regex steps, not urllib
+    — Spark trim strips SPACES only, so the strategies avoid other
+    whitespace)."""
+    if u is None:
+        return None
+    t = u.strip(" ")
+    m = _SPLIT.match(t)
+    scheme = m.group(1).lower() if m else ""
+    if fold_scheme and scheme == "https":
+        scheme = "http"
+    auth = m.group(2) if m else ""
+    host = re.sub(r"^.*@", "", auth)
+    host = re.sub(r":[0-9]*$", "", host)
+    host = re.sub(r"\.$", "", host.lower()) or None
+    if host is not None and drop_www:
+        host = re.sub(r"^www\.", "", host)
+    path = re.sub(r"/+", "/", m.group(3)) if m else ""
+    path = re.sub(r"/$", "", path)
+    query = m.group(4) if m else ""
+    kept = sorted(p for p in query.split("&") if p and not _TRACK.match(p))
+    q = "&".join(kept)
+    if scheme in ("http", "https") and host is not None:
+        return f"{scheme}://{host}{path}" + (f"?{q}" if q else "")
+    return t
+
+
+_param = st.sampled_from(
+    ["", "a=1", "z=9", "b", "A=B", "utm_source=tw", "utm_x", "gclid=1",
+     "ref=h", "q=a&b"])
+_structured = st.builds(
+    lambda scheme, user, www, labels, dot, port, path, params, frag: (
+        scheme + "://" + (user + "@" if user else "") + www
+        + ".".join(labels) + dot + (":" + port if port else "") + path
+        + ("?" + "&".join(params) if params else "")
+        + ("#f" if frag else "")
+    ),
+    st.sampled_from(["http", "https", "HTTP", "HTTPS", "ftp", "x+z.w-1"]),
+    st.one_of(st.just(""), st.text(alphabet="ab:@", max_size=4)),
+    st.sampled_from(["", "www.", "WWW."]),
+    st.lists(st.text(alphabet="abz09-AB_", min_size=0, max_size=5),
+             min_size=1, max_size=4),
+    st.sampled_from(["", "."]),
+    st.one_of(st.just(""), st.text(alphabet="0123456789", max_size=4)),
+    st.sampled_from(["", "/", "/a/b", "/a//b/", "//", "/a%20b"]),
+    st.lists(_param, max_size=4),
+    st.booleans(),
+)
+_url_like = st.one_of(
+    st.none(),
+    st.text(alphabet="ab://?#&=. @", max_size=24),
+    _structured,
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(_url_like, min_size=1, max_size=25, unique=True))
+def test_canonical_url_property_vs_python_oracle(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select(
+        "url",
+        canonical_url("url").alias("c"),
+        canonical_url("url", fold_scheme=False, drop_www=False).alias("c2"),
+    ).collect()
+    for r in rows:
+        u = r["url"]
+        assert r["c"] == _py_canon(u), repr(u)
+        assert r["c2"] == _py_canon(u, fold_scheme=False,
+                                    drop_www=False), repr(u)
