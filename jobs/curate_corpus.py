@@ -17,6 +17,12 @@ completed stage instead of rescanning the corpus.
 Stage graph (every stage is a linear scan-shaped Spark job; stage
 boundaries land on durable storage):
 
+0. **urldedup** (with ``--url-col``) — canonical-URL dedup pre-pass
+   (``textops.canonical_url``): crawl variants of one page (http/https,
+   ``www.``, ports, fragments, tracking params, param order) collapse to
+   the deterministic min-id keeper BEFORE any text hashing — the
+   cheapest dedup runs first; NULL-url docs always survive to the
+   content-dedup stages.
 1. **quality** — ONE bound-lambda predicate (``textops.quality_keep_expr``):
    keep docs with >= ``--min-tokens`` tokens and Gopher/C4
    duplicate-3-gram ratio <= ``--max-rep-frac``; NULL text (failed
@@ -97,6 +103,11 @@ def main() -> int:
     ap.add_argument("--ngram", type=int, default=3,
                     help="shingle n-gram for near-dup")
     ap.add_argument("--num-perm", type=int, default=64)
+    ap.add_argument("--url-col", default=None,
+                    help="URL column; enables canonical-URL dedup as the "
+                         "stage-0 pre-pass (cheapest dedup first: crawl "
+                         "variants of one page collapse before any text "
+                         "hashing)")
     ap.add_argument("--eval-input", default=None,
                     help="held-out eval corpus parquet; enables decontam")
     ap.add_argument("--decontam-ngram", type=int, default=8)
@@ -122,6 +133,7 @@ def main() -> int:
         propagate_min_keeper,
     )
     from sketchlib.spark.textops import (
+        canonical_url,
         pack_sequences,
         quality_keep_expr,
         redact_pii,
@@ -169,9 +181,30 @@ def main() -> int:
                          "skipped": False, "fp": fp}
         return df
 
+    # ---- stage 0: canonical-URL dedup (optional pre-pass) -----------------
+    url_deduped = None
+    if args.url_col is not None:
+        def urldedup():
+            from pyspark.sql import Window
+
+            src = spark.read.parquet(args.input)
+            w = Window.partitionBy("_canon")
+            return (
+                src.withColumn("_canon", canonical_url(args.url_col))
+                # NULL url: nothing to key on, always kept; otherwise the
+                # deterministic min-id keeper (same policy as exact dedup)
+                .withColumn("_keep", F.col("_canon").isNull()
+                            | (F.col(idc) == F.min(idc).over(w)))
+                .filter(F.col("_keep")).drop("_canon", "_keep")
+            )
+
+        url_deduped = run_stage(0, "urldedup", {"url_col": args.url_col},
+                                urldedup)
+
     # ---- stage 1: quality filter (+ optional PII redaction) --------------
     def quality():
-        src = spark.read.parquet(args.input)
+        src = (url_deduped if url_deduped is not None
+               else spark.read.parquet(args.input))
         keep = [c for c in src.columns]
         # one bound-lambda hashed predicate (textops.quality_keep_expr):
         # the naive string-n-gram form re-inlines split(text) per reference

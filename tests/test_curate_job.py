@@ -157,3 +157,58 @@ def test_curate_job_lmscore_stage(spark, tmp_path, monkeypatch):
     # the 10 fluent docs are EXACT duplicates of each other -> one keeper;
     # the OOV-heavy doc fell to the score gate
     assert got == {0}
+
+
+def test_curate_job_urldedup_stage(spark, tmp_path, monkeypatch):
+    """--url-col threads the canonical-URL pre-pass in as stage 0: crawl
+    variants of one page collapse to the min-id keeper before any text
+    hashing, NULL-url docs always survive to the content stages, and the
+    stage participates in the fingerprint/resume chain."""
+    sys.path.insert(0, "jobs")
+    import curate_corpus as job
+
+    capture = []
+    monkeypatch.setattr("builtins.print", lambda s: capture.append(s))
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+
+    def words(seed, n):
+        return " ".join(f"tok{seed}x{i}" for i in range(n))
+
+    # 1-3: crawl variants of ONE url (distinct text, so only URL dedup can
+    # collapse them); 4: same host, distinct page; 5: NULL url
+    rows = [
+        (1, "en", "http://site.com/a/b", words(1, 30)),
+        (2, "en", "https://www.site.com/a/b/", words(2, 30)),
+        (3, "en", "http://site.com/a/b?utm_source=x#f", words(3, 30)),
+        (4, "en", "http://site.com/other", words(4, 30)),
+        (5, "en", None, words(5, 30)),
+    ]
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, url string, text string"
+    ).write.parquet(src)
+    wd, out = str(tmp_path / "wd"), str(tmp_path / "curated")
+    argv = ["--input", src, "--workdir", wd, "--output", out,
+            "--dedup", "exact", "--url-col", "url"]
+
+    rc = _run(monkeypatch, job, argv)
+    assert rc == 0
+    got = {r["doc_id"] for r in
+           spark.read.parquet(out).select("doc_id").collect()}
+    assert got == {1, 4, 5}
+    m1 = json.loads(capture[-1])
+    assert list(m1["stages"]) == ["urldedup", "quality", "dedup"]
+    assert m1["stages"]["urldedup"]["rows"] == 3
+
+    # resume skips stage 0 too; dropping the flag re-keys the whole chain
+    rc = _run(monkeypatch, job, argv + ["--resume"])
+    assert json.loads(capture[-1])["stages"]["urldedup"]["skipped"]
+    rc = _run(monkeypatch, job,
+              ["--input", src, "--workdir", wd, "--output", out,
+               "--dedup", "exact", "--resume"])
+    m3 = json.loads(capture[-1])
+    assert "urldedup" not in m3["stages"]
+    assert not m3["stages"]["quality"]["skipped"]  # chain re-keyed
+    got3 = {r["doc_id"] for r in
+            spark.read.parquet(out).select("doc_id").collect()}
+    assert got3 == {1, 2, 3, 4, 5}
