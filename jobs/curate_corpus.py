@@ -188,15 +188,19 @@ def main() -> int:
             from pyspark.sql import Window
 
             src = spark.read.parquet(args.input)
+            # keeper computed on the NARROW (id, canon) projection so the
+            # window shuffle moves 16-byte rows, never text; NULL url has
+            # nothing to key on and is always kept.  Deterministic min-id
+            # keeper — the same policy as exact content dedup.
+            keyed = src.select(
+                F.col(idc), canonical_url(args.url_col).alias("_canon")
+            ).where(F.col("_canon").isNotNull())
             w = Window.partitionBy("_canon")
-            return (
-                src.withColumn("_canon", canonical_url(args.url_col))
-                # NULL url: nothing to key on, always kept; otherwise the
-                # deterministic min-id keeper (same policy as exact dedup)
-                .withColumn("_keep", F.col("_canon").isNull()
-                            | (F.col(idc) == F.min(idc).over(w)))
-                .filter(F.col("_keep")).drop("_canon", "_keep")
+            drop = (
+                keyed.withColumn("_min", F.min(idc).over(w))
+                .where(F.col(idc) != F.col("_min")).select(idc)
             )
+            return src.join(drop, idc, "left_anti")
 
         url_deduped = run_stage(0, "urldedup", {"url_col": args.url_col},
                                 urldedup)
