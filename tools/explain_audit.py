@@ -369,6 +369,18 @@ def main():
           must=[r"WindowGroupLimit", r"ReadSchema:[^\n]*doc_id"],
           must_not=[r"ReadSchema:[^\n]*source", r"ReadSchema:[^\n]*n_chars"])
 
+    # 6x2. domain stats (now carrying canonical_url 3x): the whole
+    # synthesize→host→domain→canonicalize pipeline must stay a pure
+    # codegen projection over ONE pruned scan — no Python stage of any
+    # kind, no join, and the text column never read
+    from sketchlib.spark.queries import q_domain_stats
+
+    p = plan_of(q_domain_stats(spark, sf_dir))
+    check("domain stats pure-codegen canonical", p,
+          must=[r"Scan parquet", r"ReadSchema:[^\n]*n_chars"],
+          must_not=[r"BatchEvalPython|ArrowEvalPython|MapInPandas|MapInArrow",
+                    r"Join", r"ReadSchema:[^\n]*text"])
+
     # 6y. bloom decontam flags: the production flags projection is a
     # zero-copy Arrow map stage over a 3-column pruned scan; the
     # flags⋈truth stitch is the verification side (any join shape allowed)
