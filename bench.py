@@ -1565,11 +1565,82 @@ def lmquality_bench() -> None:
     print(json.dumps(out))
 
 
+def sigkernel_bench() -> None:
+    """MinHash signature-stage throughput, kernel="xxh" (JVM chained
+    xxhash64 shingles + explode/groupBy minima) vs kernel="poly" (each
+    token hashed once, polynomial window fold + splitmix64 minima in one
+    zero-Exchange Arrow projection) over a ~1M-page slice of the bench
+    pages.  Best-of-2 warm reps at full parallelism, plus the poly kernel
+    at 2 and 8 cores for the north-rule N-vs-4N scaling evidence.  One
+    JSON line."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.dedup import minhash_signatures
+    from sketchlib.spark.session import get_spark
+
+    path = os.path.join(BENCH_DIR, f"pages_{BENCH_ROWS}.parquet")
+    ensure_pages(path, BENCH_ROWS)
+
+    def pages(spark):
+        return (
+            spark.read.parquet(path).select("url", "text")
+            .filter(F.abs(F.xxhash64("url")) % 8 == 0)
+            .withColumn("doc_id", F.xxhash64("url"))
+        )
+
+    def run(spark, kernel):
+        sigs = minhash_signatures(pages(spark), kernel=kernel)
+        # force every signature without collecting them (shiftright keeps
+        # the ANSI sum far from int64 overflow)
+        return sigs.agg(
+            F.count("*").alias("n"),
+            F.sum(F.shiftright(F.element_at("sig", 1), 33)).alias("chk"),
+        ).collect()[0]
+
+    def best_of(spark, kernel, reps=2):
+        run(spark, kernel)  # warm-up
+        best, r = float("inf"), None
+        for _ in range(reps):
+            t0 = time.time()
+            r = run(spark, kernel)
+            best = min(best, time.time() - t0)
+        return best, r
+
+    out = {}
+    spark = get_spark("sigkernel-bench", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    n_docs = pages(spark).count()
+    for kernel in ("xxh", "poly"):
+        sec, r = best_of(spark, kernel)
+        out[kernel] = {"sec": round(sec, 2),
+                       "docs_per_sec": round(n_docs / sec, 1),
+                       "signed_docs": int(r["n"])}
+    spark.stop()
+
+    scaling = {}
+    for cpus in (2, 8):
+        spark = get_spark(f"sigkernel-poly-{cpus}", cpus=cpus)
+        spark.sparkContext.setLogLevel("ERROR")
+        sec, _ = best_of(spark, "poly")
+        scaling[cpus] = {"sec": round(sec, 2),
+                         "docs_per_sec": round(n_docs / sec, 1)}
+        spark.stop()
+    eff = scaling[8]["docs_per_sec"] / (4.0 * scaling[2]["docs_per_sec"])
+    print(json.dumps({
+        "docs": int(n_docs),
+        "kernels": out,
+        "poly_speedup": round(out["xxh"]["sec"] / out["poly"]["sec"], 2),
+        "poly_scaling": scaling,
+        "poly_scaling_efficiency_2_to_8": round(eff, 3),
+        "cpus": CPUS,
+    }))
+
+
 _MODES = (
     "--scaling", "--compare-builtin", "--sketches", "--quantilecmp",
     "--frequent",
     "--joins", "--profile", "--decontam", "--rangepart", "--lmquality",
-    "--incdedup", "--spandedup", "--curate",
+    "--incdedup", "--spandedup", "--curate", "--sigkernel",
     "--measure-build",
 )
 
@@ -1606,6 +1677,8 @@ if __name__ == "__main__":
         curate_bench()
     elif len(sys.argv) > 1 and sys.argv[1] == "--lmquality":
         lmquality_bench()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--sigkernel":
+        sigkernel_bench()
     elif len(sys.argv) > 1 and sys.argv[1] == "--measure-build":
         reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
         print(json.dumps(measure_build(int(sys.argv[2]), sys.argv[3], reps)))

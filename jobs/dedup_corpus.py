@@ -57,6 +57,14 @@ def main() -> None:
     ap.add_argument("--threshold", type=float, default=0.8)
     ap.add_argument("--ngram", type=int, default=3)
     ap.add_argument("--num-perm", type=int, default=64)
+    ap.add_argument("--sig-kernel", default="xxh", choices=["xxh", "poly"],
+                    help="signature kernel: 'xxh' (JVM chained-xxhash64 "
+                         "shingles + groupBy minima) or 'poly' (each token "
+                         "hashed once, polynomial window fold + splitmix64 "
+                         "minima in one zero-Exchange Arrow projection). "
+                         "Signatures from different kernels never mix: the "
+                         "kernel is stored in the index meta and pinned by "
+                         "--sig-index-in.")
     ap.add_argument("--sig-index-in", default=None, metavar="PATH",
                     help="stored banded-LSH index (from a previous run's "
                          "--sig-index-out): new docs colliding with the "
@@ -89,7 +97,8 @@ def main() -> None:
     def _banded(frame):
         sigs = minhash_signatures(
             frame.filter(F.col(args.text_col).isNotNull()),
-            idc, args.text_col, args.ngram, args.num_perm)
+            idc, args.text_col, args.ngram, args.num_perm,
+            kernel=args.sig_kernel)
         return banded_signatures(sigs, idc, bands, args.num_perm // bands)
 
     index_dropped = None
@@ -101,6 +110,8 @@ def main() -> None:
             meta = spark.read.parquet(f"{args.sig_index_in}/meta").collect()[0]
             bands, args.ngram, args.num_perm = (
                 meta["bands"], meta["ngram"], meta["num_perm"])
+            # v1 indices (no sig_kernel field) were all built with "xxh"
+            args.sig_kernel = meta.asDict().get("sig_kernel") or "xxh"
         else:
             bands = minhash_auto_bands(args.threshold, args.num_perm)[0]
 
@@ -137,7 +148,7 @@ def main() -> None:
             minhash_lsh_dedup_pairs(
                 df, args.threshold, idc, args.text_col, args.ngram,
                 args.num_perm, bands="auto", hashed_verify=True,
-                shingle_storage="disk",
+                shingle_storage="disk", kernel=args.sig_kernel,
             ).select("a_id", "b_id")
         )
     edges = edge_frames[0]
@@ -167,8 +178,8 @@ def main() -> None:
                 f"{args.sig_index_in}/banded").unionByName(new_index)
         new_index.write.mode("overwrite").parquet(f"{args.sig_index_out}/banded")
         spark.createDataFrame(
-            [(bands, args.ngram, args.num_perm)],
-            "bands int, ngram int, num_perm int",
+            [(bands, args.ngram, args.num_perm, args.sig_kernel)],
+            "bands int, ngram int, num_perm int, sig_kernel string",
         ).write.mode("overwrite").parquet(f"{args.sig_index_out}/meta")
 
     out = spark.read.parquet(args.output)

@@ -339,7 +339,8 @@ def ngram_jaccard_pairs(
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", ngram: int = 3,
-                       num_perm: int = 64, stateless: bool = False) -> DataFrame:
+                       num_perm: int = 64, stateless: bool = False,
+                       kernel: str = "xxh") -> DataFrame:
     """MinHash signatures computed entirely JVM-side.  Output:
     (id, sig array<long> of length num_perm).
 
@@ -368,7 +369,36 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     stream-static join).  Cost: the higher-order functions evaluate
     interpreted, measured 2.3x the codegen hash-agg path per CPU at 1M
     pages (36 s vs 15.6 s, local[32]) — pay it when you need streaming or
-    when removing the signature shuffle matters more than CPU."""
+    when removing the signature shuffle matters more than CPU.
+
+    ``kernel="poly"`` moves the whole signature build into the polynomial
+    rolling-hash Arrow kernel decontamination uses
+    (``sketchlib.hashing.poly_window_fold``): the JVM hashes each token
+    string exactly ONCE (vs once per window position here), the window
+    combination is O(total tokens), and the ``num_perm`` minima are one
+    shared splitmix64 mix + a two-pass multiply-add remix and segmented
+    min each (measured ~2x the xxh kernel at 1M pages, eff(2→8) 0.85–0.99
+    — BENCH/sigkernel_d4.json) — all inside one
+    zero-Exchange, stateless projection (runs on a readStream unchanged,
+    like ``stateless=True``, without the interpreted higher-order-function
+    tax).  The SHINGLE SPACE differs from the default (polynomial sums of
+    per-token hashes vs chained xxhash64) and so does the minhash family
+    (multiply-add remixes of one splitmix64 mix vs seeded xxhash64) —
+    irrelevant for LSH, whose
+    candidates are verified on exact shingles, but signatures/banded
+    indices from different kernels must never be mixed (stored-index meta
+    records the kernel; ``jobs/dedup_corpus.py``).  Pr[min collision] = J
+    analysis is unchanged: both families are independent uniform 64-bit
+    hashes of the same n-gram set.  Convention deltas vs the default
+    kernel, mirroring ``poly_shingle_values``: all-whitespace/empty texts
+    share ONE empty-sum shingle (the xxh kernel hashes the raw text, so
+    "" and "  " differ there); NULL text yields a NULL signature (xxh
+    yields a constant-signature row)."""
+    if kernel == "poly":
+        return _minhash_signatures_poly(df, id_col, text_col, ngram, num_perm)
+    if kernel != "xxh":
+        raise ValueError(f"minhash_signatures: unknown kernel {kernel!r} "
+                         "(expected 'xxh' or 'poly')")
     if stateless:
         arr = hashed_shingle_arrays(df, id_col, text_col, ngram)
 
@@ -392,6 +422,80 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     return agg.select(
         F.col(id_col), F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig")
     )
+
+
+def _minhash_signatures_poly(df: DataFrame, id_col: str, text_col: str,
+                             ngram: int, num_perm: int) -> DataFrame:
+    """``minhash_signatures(kernel="poly")``: one mapInArrow projection.
+
+    Per Arrow batch: per-token JVM xxhash64 values arrive as ONE flat
+    int64 buffer (zero-copy); ``poly_window_fold`` produces every n-gram
+    window hash in O(total tokens); ONE splitmix64 pass avalanche-mixes
+    the polynomial sums, then minhash function i is the universal-hash
+    remix ``a_i·m + b_i mod 2^64`` (a_i odd — a bijection, so uniform over
+    the mixed values; the standard multiply-add minhash family, two
+    vectorized passes per perm instead of a full seeded splitmix64 remix —
+    measured 6.6x on the perm loop), reduced per document with one
+    ``np.minimum.reduceat``.  Duplicate windows need no dedup pass — the
+    min is idempotent under multiplicity, so signatures over the window
+    MULTISET equal signatures over the set.  Deterministic and
+    batch-slicing/partitioning invariant (per-doc computation only)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sketchlib.hashing import poly_window_fold, splitmix64
+
+    id_field = next(f for f in df.schema.fields if f.name == id_col)
+    d = with_tokens(df.select(id_col, text_col), text_col)
+    staged = d.select(id_col, _token_hash_expr(text_col).alias("_th"))
+    out_schema = f"{id_col} {id_field.dataType.simpleString()}, sig array<long>"
+    n = ngram
+    # deterministic per-perm multipliers/offsets (splitmix64 of the perm
+    # index; multipliers forced odd so each remix is a bijection mod 2^64)
+    perm_idx = np.arange(num_perm, dtype=np.uint64)
+    perm_a = splitmix64(perm_idx * np.uint64(2) + np.uint64(1)) | np.uint64(1)
+    perm_b = splitmix64(perm_idx * np.uint64(2) + np.uint64(2))
+
+    def sign(batches):
+        for batch in batches:
+            i_th = batch.schema.get_field_index("_th")
+            col = batch.column(i_th)
+            offs = np.asarray(col.offsets, dtype=np.int64)
+            vals = np.asarray(col.values, dtype=np.int64)
+            nulls = np.asarray(col.is_null())
+            lens = np.diff(offs)
+            lens[nulls] = 0  # NULL text: no windows -> NULL signature
+            win, woffs = poly_window_fold(vals, offs, n, lens=lens,
+                                          min_one=~nulls)
+            nw = np.diff(woffs)
+            has = nw > 0
+            nkept = int(has.sum())
+            sig = np.empty((nkept, num_perm), dtype=np.uint64)
+            if nkept:
+                # reduceat over the kept (nonzero-length) segments only:
+                # consecutive kept starts are strictly increasing, so each
+                # segment spans exactly its own document's windows
+                starts = woffs[:-1][has]
+                m = splitmix64(win)
+                tmp = np.empty_like(m)
+                with np.errstate(over="ignore"):
+                    for i in range(num_perm):
+                        np.multiply(m, perm_a[i], out=tmp)
+                        tmp += perm_b[i]
+                        sig[:, i] = np.minimum.reduceat(tmp, starts)
+            out_offs = np.zeros(len(nw) + 1, dtype=np.int32)
+            np.cumsum(has * np.int32(num_perm), out=out_offs[1:])
+            la = pa.ListArray.from_arrays(
+                pa.array(out_offs, type=pa.int32()),
+                pa.array(sig.view(np.int64).ravel(), type=pa.int64()),
+                mask=pa.array(~has),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(batch.schema.get_field_index(id_col)), la],
+                names=[id_col, "sig"],
+            )
+
+    return staged.mapInArrow(sign, schema=out_schema)
 
 
 def _cap_buckets(banded: DataFrame, bucket_cols: list[str],
@@ -550,6 +654,7 @@ def minhash_lsh_dedup_pairs(
     hashed_verify: bool = False,
     shingle_storage: str = "memory",
     n_rows: int | None = None,
+    kernel: str = "xxh",
 ) -> DataFrame:
     """The full discovery path: MinHash -> LSH banding -> exact Jaccard
     verification of candidates.  No false positives; recall loss bounded by
@@ -559,14 +664,19 @@ def minhash_lsh_dedup_pairs(
     64-bit shingle hashes instead of n-gram strings (the scale mode — exact
     up to ~s²/2^65 collisions).  ``bands="auto"`` tunes the banding curve
     to the threshold and caps buckets at ~√n (``minhash_auto_bands``; one
-    cheap count when ``n_rows`` isn't supplied).  The gated query keeps all
-    scale levers off."""
+    cheap count when ``n_rows`` isn't supplied).  ``kernel="poly"`` signs
+    with the polynomial Arrow kernel (each token hashed once, zero
+    Exchange in the signature stage — see ``minhash_signatures``); the
+    verified output is IDENTICAL up to banding-recall noise, since
+    verification runs on exact shingles either way.  The gated query keeps
+    all scale levers off."""
     if bands == "auto":
         n = n_rows if n_rows is not None else df.count()
         bands, default_cap = minhash_auto_bands(threshold, num_perm, n)
         if max_bucket_size is None:
             max_bucket_size = default_cap
-    sigs = minhash_signatures(df, id_col, text_col, ngram, num_perm)
+    sigs = minhash_signatures(df, id_col, text_col, ngram, num_perm,
+                              kernel=kernel)
     cand = lsh_candidate_pairs(sigs, id_col, bands, num_perm // bands,
                                max_bucket_size)
     return ngram_jaccard_pairs(df, threshold, id_col, text_col, ngram,

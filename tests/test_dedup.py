@@ -586,3 +586,102 @@ def test_ngram_containment_pairs_vs_python(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="measure"):
         ngram_jaccard_pairs(df, 0.5, measure="dice").collect()
+
+
+def test_minhash_poly_kernel_invariants(spark):
+    """kernel="poly" (token-hash-once + poly_window_fold + splitmix64
+    minima in one Arrow projection): identical docs sign equal; empty and
+    whitespace-only docs share the empty-sum shingle; NULL text yields a
+    NULL signature; signatures are partitioning/batch-slicing invariant;
+    the plan has zero Exchange; the matching-minima fraction estimates the
+    window-set Jaccard (J=4/6 pair within a loose 4-sigma bound)."""
+    from sketchlib.spark.dedup import minhash_signatures
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "x y"), (4, ""),
+         (5, None), (6, "a b c d e f h"), (7, "   ")],
+        "doc_id long, text string",
+    )
+    s = {r["doc_id"]: r["sig"]
+         for r in minhash_signatures(df, kernel="poly").collect()}
+    assert s[1] == s[2] and len(s[1]) == 64
+    assert s[4] == s[7]
+    assert s[5] is None
+    assert s[1] != s[3]
+    est = sum(a == b for a, b in zip(s[1], s[6])) / 64
+    assert abs(est - 4 / 6) < 0.25  # 4*sigma at num_perm=64
+    s2 = {r["doc_id"]: r["sig"]
+          for r in minhash_signatures(df.repartition(7),
+                                      kernel="poly").collect()}
+    assert s == s2
+    plan = minhash_signatures(df, kernel="poly")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_minhash_poly_pipeline_matches_xxh(spark):
+    """The verified LSH output is kernel-independent on the planted-dup
+    corpus: candidates differ only by shingle-space/banding noise and the
+    exact-Jaccard verification removes it."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.dedup import minhash_lsh_dedup_pairs
+
+    docs = _docs(spark).unionByName(spark.createDataFrame(
+        [(9001, None), (9002, "one"), (9003, "two words")],
+        "doc_id long, text string").withColumn("lang", F.lit("en"))
+        .withColumn("source", F.lit("s")).withColumn("n_chars", F.lit(0)),
+        allowMissingColumns=True)
+    a = {(r["a_id"], r["b_id"])
+         for r in minhash_lsh_dedup_pairs(docs, threshold=0.8).collect()}
+    b = {(r["a_id"], r["b_id"])
+         for r in minhash_lsh_dedup_pairs(docs, threshold=0.8,
+                                          kernel="poly").collect()}
+    assert a == b and a
+
+
+def test_minhash_poly_streaming_equals_batch(spark, tmp_path):
+    """kernel="poly" is a stateless projection: the SAME call runs on a
+    readStream and emits byte-identical signatures to the batch run."""
+    from sketchlib.spark.dedup import minhash_signatures
+
+    new = _docs(spark).select("doc_id", "text")
+    batch = {r["doc_id"]: r["sig"]
+             for r in minhash_signatures(new, kernel="poly").collect()}
+
+    src = str(tmp_path / "src")
+    new.repartition(4).write.parquet(src)
+    stream = spark.readStream.schema(new.schema).option(
+        "maxFilesPerTrigger", "1").parquet(src)
+    got = {}
+    q = (minhash_signatures(stream, kernel="poly")
+         .writeStream.outputMode("append")
+         .foreachBatch(lambda bdf, _id: got.update(
+             (r["doc_id"], r["sig"]) for r in bdf.collect())).start())
+    q.processAllAvailable()
+    q.stop()
+    assert got == batch and got
+
+
+def test_minhash_poly_family_golden(spark):
+    """The poly kernel's hash family is part of the STORED-INDEX format:
+    indices record sig_kernel="poly" and a later probe signs with the same
+    kernel, so any change to the family (window polynomial, splitmix mix,
+    per-perm multipliers) silently zeroes every index hit.  Pin the first
+    four signature values of a fixed doc — a deliberate family change must
+    bump the kernel name (poly -> poly2) and update this golden."""
+    from sketchlib.spark.dedup import minhash_signatures
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    sig = minhash_signatures(df, kernel="poly").collect()[0]["sig"]
+    assert sig[:4] == [644659787054476853, 7947582341147907936,
+                       699415566012630479, 4195368463979408032]
+
+
+def test_minhash_unknown_kernel_raises(spark):
+    from sketchlib.spark.dedup import minhash_signatures
+
+    with pytest.raises(ValueError, match="unknown kernel"):
+        minhash_signatures(_docs(spark), kernel="nope")

@@ -170,3 +170,51 @@ def test_dedup_job_incremental_index(spark, tmp_path, monkeypatch):
     assert idx_ids == kept1 | set(range(110, 120))   # cumulative union
     meta = spark.read.parquet(f"{idx2}/meta").collect()[0]
     assert (meta["ngram"], meta["num_perm"]) == (3, 64)
+    assert meta["sig_kernel"] == "xxh"
+
+
+def test_dedup_job_index_pins_sig_kernel(spark, tmp_path, monkeypatch):
+    """An index built with --sig-kernel poly records the kernel in meta,
+    and a later --sig-index-in run signs with THAT kernel even when the
+    flag is omitted (mixing kernels would make every index probe miss)."""
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, "jobs")
+    import dedup_corpus as job
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(150)]
+
+    def text():
+        return " ".join(rng.choice(vocab, 30))
+
+    e1_rows = [(i, text()) for i in range(8)]
+    e1 = str(tmp_path / "e1")
+    spark.createDataFrame(e1_rows, "doc_id long, text string").write.parquet(e1)
+    e2 = str(tmp_path / "e2")
+    spark.createDataFrame(
+        [(100 + k, e1_rows[k][1] + " tail") for k in range(4)]
+        + [(200, text())],
+        "doc_id long, text string").write.parquet(e2)
+
+    o1, o2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+    idx1 = str(tmp_path / "idx1")
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    monkeypatch.setattr("builtins.print", lambda s: None)
+    monkeypatch.setattr(sys, "argv", [
+        "job", "--input", e1, "--output", o1,
+        "--sig-kernel", "poly", "--sig-index-out", idx1])
+    assert job.main() is None
+    meta = spark.read.parquet(f"{idx1}/meta").collect()[0]
+    assert meta["sig_kernel"] == "poly"
+
+    # flag omitted on purpose: the kernel must come from the index meta
+    monkeypatch.setattr(sys, "argv", [
+        "job", "--input", e2, "--output", o2, "--sig-index-in", idx1])
+    assert job.main() is None
+    out2 = {r["id"]: r["keeper_id"] for r in spark.read.parquet(o2).collect()}
+    for k in range(4):
+        assert out2[100 + k] == k, (k, out2)
+    assert out2[200] == 200
