@@ -1154,7 +1154,7 @@ def incdedup_bench() -> None:
     }))
 
 
-def curate_bench() -> None:
+def curate_bench(url_mode: bool = False) -> None:
     """jobs/curate_corpus.py end-to-end at two parallelism levels — the
     north-rule scaling evidence on the HEADLINE artifact (the whole
     curation pipeline, not one operator).  Input: a 1/16 slice of the 8M
@@ -1163,7 +1163,15 @@ def curate_bench() -> None:
     decontam stages do real work.  The job runs via its own main() (same
     code path as spark-submit); per-level seconds are the job's summed
     stage times (JVM/session boot excluded — a cluster pays it once per
-    app, not per stage).  One JSON line."""
+    app, not per stage).  One JSON line.
+
+    ``url_mode`` (``bench.py --curate url``): the input keeps the ``url``
+    column and the planted duplicates are CRAWL VARIANTS of the same page
+    (http + www. + :80 + trailing slash + tracking param + fragment forms
+    of the original URL, identical text, new doc_id); the job runs with
+    ``--url-col url`` so the canonical-URL stage-0 pre-pass does the
+    dropping on the narrow (id, canon) projection before any text-bearing
+    stage sees the variants."""
     import builtins
     import sys as _sys
 
@@ -1180,8 +1188,9 @@ def curate_bench() -> None:
     # fixed per-stage costs (write commit, metadata counts, scheduling)
     # amortize — at a 1/16 slice the 8-core stages ran 7-26 s and constant
     # overheads capped measured efficiency at 0.62
-    src = os.path.join(BENCH_DIR, "curate_input_d4.parquet")
-    ev = os.path.join(BENCH_DIR, "curate_eval_d4.parquet")
+    tag = "url_" if url_mode else ""
+    src = os.path.join(BENCH_DIR, f"curate_input_{tag}d4.parquet")
+    ev = os.path.join(BENCH_DIR, f"curate_eval_{tag}d4.parquet")
     if not (os.path.exists(os.path.join(src, "_SUCCESS"))
             and os.path.exists(os.path.join(ev, "_SUCCESS"))):
         spark = get_spark("curate-prep", cpus=8)
@@ -1195,10 +1204,22 @@ def curate_bench() -> None:
             base.filter(F.abs(F.xxhash64("url", F.lit(7))) % 10 == 3)
             .withColumn("doc_id", F.xxhash64("url", F.lit(99)))
         )
-        base.unionByName(dups).select("doc_id", "lang", "text") \
+        if url_mode:
+            # crawl variants: same page, messier URL (generator URLs are
+            # https://siteNNNN.example/NNNNNN — canonical_url collapses
+            # the variant back onto the original's key)
+            dups = dups.withColumn("url", F.concat(
+                F.lit("http://www."),
+                F.regexp_replace("url", "^https://", ""),
+                F.lit("/?utm_source=bench#top"),
+            ))
+            cols = ["doc_id", "url", "lang", "text"]
+        else:
+            cols = ["doc_id", "lang", "text"]
+        base.unionByName(dups).select(*cols) \
             .write.mode("overwrite").parquet(src)
         base.filter(F.abs(F.xxhash64("url", F.lit(13))) % 100 == 0) \
-            .select("doc_id", "lang", "text") \
+            .select(*cols) \
             .write.mode("overwrite").parquet(ev)
         spark.stop()
 
@@ -1208,15 +1229,16 @@ def curate_bench() -> None:
     for cpus in (2, 8):
         spark = get_spark(f"curate-{cpus}", cpus=cpus)
         spark.sparkContext.setLogLevel("ERROR")
-        wd = os.path.join(BENCH_DIR, f"curate_wd_{cpus}")
-        dest = os.path.join(BENCH_DIR, f"curate_out_{cpus}")
+        wd = os.path.join(BENCH_DIR, f"curate_wd_{tag}{cpus}")
+        dest = os.path.join(BENCH_DIR, f"curate_out_{tag}{cpus}")
         import shutil
 
         shutil.rmtree(wd, ignore_errors=True)
         captured = []
         _sys.argv = ["job", "--input", src, "--workdir", wd,
                      "--output", dest, "--eval-input", ev,
-                     "--dedup", "exact", "--decontam-ngram", "8"]
+                     "--dedup", "exact", "--decontam-ngram", "8"] \
+            + (["--url-col", "url"] if url_mode else [])
         builtins.print = lambda s: captured.append(s)
         try:
             job.main()  # stops the session itself
@@ -1235,7 +1257,8 @@ def curate_bench() -> None:
     eff = out[8]["docs_per_sec"] / (4.0 * out[2]["docs_per_sec"])
     assert out[2]["n_out"] == out[8]["n_out"], "level-dependent output!"
     print(json.dumps({
-        "job": "curate_corpus", "n_out": out[8]["n_out"],
+        "job": "curate_corpus" + ("+urldedup" if url_mode else ""),
+        "n_out": out[8]["n_out"],
         "levels": {str(k): v for k, v in out.items()},
         "scaling_efficiency_2_to_8": round(eff, 3),
     }))
@@ -1674,7 +1697,7 @@ if __name__ == "__main__":
     elif len(sys.argv) > 1 and sys.argv[1] == "--spandedup":
         spandedup_bench()
     elif len(sys.argv) > 1 and sys.argv[1] == "--curate":
-        curate_bench()
+        curate_bench(url_mode=len(sys.argv) > 2 and sys.argv[2] == "url")
     elif len(sys.argv) > 1 and sys.argv[1] == "--lmquality":
         lmquality_bench()
     elif len(sys.argv) > 1 and sys.argv[1] == "--sigkernel":

@@ -45,10 +45,11 @@ def main() -> None:
                     help='JSON params for sibling sketches, e.g. \'{"p":14}\'')
     args = ap.parse_args()
 
-    from pyspark.sql import SparkSession
+
+    from sketchlib.spark.session import job_session
 
     # plain builder: master/conf come from spark-submit, not from code
-    spark = SparkSession.builder.appName("sketchlib-build-digests").getOrCreate()
+    spark = job_session("sketchlib-build-digests")
     spark.sparkContext.setLogLevel("WARN")
 
     from sketchlib.spark.checkpoint import TDigestCheckpointer

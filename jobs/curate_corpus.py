@@ -103,6 +103,11 @@ def main() -> int:
     ap.add_argument("--ngram", type=int, default=3,
                     help="shingle n-gram for near-dup")
     ap.add_argument("--num-perm", type=int, default=64)
+    ap.add_argument("--sig-kernel", default="xxh", choices=["xxh", "poly"],
+                    help="near-dup MinHash signature kernel (see "
+                         "jobs/dedup_corpus.py --sig-kernel; 'poly' signs "
+                         "in one zero-Exchange Arrow projection, each "
+                         "token hashed once — ~2x the signature stage)")
     ap.add_argument("--url-col", default=None,
                     help="URL column; enables canonical-URL dedup as the "
                          "stage-0 pre-pass (cheapest dedup first: crawl "
@@ -120,9 +125,11 @@ def main() -> int:
     if args.max_score is not None and args.model is None:
         ap.error("--max-score requires --model")
 
-    from pyspark.sql import SparkSession, functions as F
+    from pyspark.sql import functions as F
 
-    spark = SparkSession.builder.appName("sketchlib-curate-corpus").getOrCreate()
+    from sketchlib.spark.session import job_session
+
+    spark = job_session("sketchlib-curate-corpus")
     spark.sparkContext.setLogLevel("WARN")
 
     from sketchlib.spark.dedup import (
@@ -256,7 +263,7 @@ def main() -> int:
                 edges.append(minhash_lsh_dedup_pairs(
                     docs, args.threshold, idc, txt, args.ngram,
                     args.num_perm, bands="auto", hashed_verify=True,
-                    shingle_storage="disk",
+                    shingle_storage="disk", kernel=args.sig_kernel,
                 ).select("a_id", "b_id"))
             e = edges[0]
             for x in edges[1:]:
@@ -269,6 +276,11 @@ def main() -> int:
         docs = run_stage(3, "dedup", {
             "mode": args.dedup, "threshold": args.threshold,
             "ngram": args.ngram, "num_perm": args.num_perm,
+            # default kernel keeps pre-existing fingerprints (and thus
+            # --resume checkpoints) valid; a non-default kernel must
+            # invalidate the stage, so it enters the fingerprint
+            **({"sig_kernel": args.sig_kernel}
+               if args.sig_kernel != "xxh" else {}),
         }, dedup)
 
     # ---- stage 4: decontamination (optional) -------------------------------

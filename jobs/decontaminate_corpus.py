@@ -48,13 +48,13 @@ def main() -> None:
                          "shingle build, 8 B/n-gram broadcast)")
     args = ap.parse_args()
 
-    from pyspark.sql import SparkSession, functions as F
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.session import job_session
 
     from sketchlib.spark.dedup import contamination_hits
 
-    spark = SparkSession.builder.appName(
-        "sketchlib-decontaminate-corpus"
-    ).getOrCreate()
+    spark = job_session("sketchlib-decontaminate-corpus")
     spark.sparkContext.setLogLevel("WARN")
     train = spark.read.parquet(args.train)
     eval_df = spark.read.parquet(args.eval_path)

@@ -76,9 +76,11 @@ def main() -> None:
                          "next incremental run")
     args = ap.parse_args()
 
-    from pyspark.sql import SparkSession, functions as F
+    from pyspark.sql import functions as F
 
-    spark = SparkSession.builder.appName("sketchlib-dedup-corpus").getOrCreate()
+    from sketchlib.spark.session import job_session
+
+    spark = job_session("sketchlib-dedup-corpus")
     spark.sparkContext.setLogLevel("WARN")
 
     from sketchlib.spark.dedup import (

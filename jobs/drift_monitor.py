@@ -66,10 +66,11 @@ def main() -> int:
     if not args.timeline and not (args.left and args.right):
         ap.error("pair mode needs both --left and --right")
 
-    from pyspark.sql import SparkSession
+
+    from sketchlib.spark.session import job_session
     from pyspark.sql import functions as F
 
-    spark = SparkSession.builder.appName("sketchlib-drift-monitor").getOrCreate()
+    spark = job_session("sketchlib-drift-monitor")
     spark.sparkContext.setLogLevel("WARN")
 
     from sketchlib.spark.tdigest_ops import (

@@ -52,13 +52,13 @@ def main() -> None:
                     help="pivot to one binary column per sketch family")
     args = ap.parse_args()
 
-    from pyspark.sql import SparkSession, functions as F
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.session import job_session
 
     from sketchlib.spark.sketch_ops import profile_aggregate, profile_pivot
 
-    spark = SparkSession.builder.appName(
-        "sketchlib-profile-corpus"
-    ).getOrCreate()
+    spark = job_session("sketchlib-profile-corpus")
     spark.sparkContext.setLogLevel("WARN")
     keys = [k for k in args.keys.split(",") if k]
     specs = (json.loads(args.specs) if args.specs is not None

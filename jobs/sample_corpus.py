@@ -85,11 +85,13 @@ def main() -> None:
     if args.target_props is not None and args.target_rows is None:
         ap.error("--target-props requires --target-rows")
 
-    from pyspark.sql import SparkSession, functions as F
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.session import job_session
 
     from sketchlib.spark.sampling import cap_per_key, stratified_hash_sample
 
-    spark = SparkSession.builder.appName("sketchlib-sample-corpus").getOrCreate()
+    spark = job_session("sketchlib-sample-corpus")
     spark.sparkContext.setLogLevel("WARN")
     df = spark.read.parquet(args.input)
     t0 = time.time()

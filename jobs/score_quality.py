@@ -86,10 +86,11 @@ def main() -> int:
     if args.ngram < 1:
         ap.error("--ngram must be >= 1")
 
-    from pyspark.sql import SparkSession
+
+    from sketchlib.spark.session import job_session
     from pyspark.sql import functions as F
 
-    spark = SparkSession.builder.appName("sketchlib-score-quality").getOrCreate()
+    spark = job_session("sketchlib-score-quality")
     spark.sparkContext.setLogLevel("WARN")
 
     from sketchlib.spark.textops import (

@@ -9,6 +9,16 @@ local[N]):
   pandas/Arrow UDF; bigger batches amortize the JVM↔Python hop.
 - shuffle.partitions is a default for local runs; at cluster scale set it
   to ~2-3× total cores or rely on AQE.
+- Python-worker glibc malloc tuning (MALLOC_MMAP_MAX_=0,
+  MALLOC_TRIM_THRESHOLD_=-1 via spark.executorEnv): the Arrow kernels
+  allocate MB-scale numpy temporaries per batch; glibc serves those with
+  mmap and munmaps them on free, so EVERY batch re-faults freshly zeroed
+  pages (and, with many workers on one kernel, contends on the page
+  allocator — the measured 8→32-core scaling ceiling of the
+  allocation-heavy kernels).  Keeping freed blocks on the heap free-list
+  instead measured 2.1x on the decontam probe stage standalone.  Worker
+  heaps then hold their per-batch peak instead of returning it — bounded,
+  since batch sizes are (maxRecordsPerBatch-)bounded.
 """
 
 from __future__ import annotations
@@ -40,7 +50,24 @@ def get_spark(
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SKETCHLIB_DRIVER_MEM", "8g"))
+        # glibc tunables for the python workers (see module docstring);
+        # read by glibc at worker-daemon start, inherited through fork
+        .config("spark.executorEnv.MALLOC_MMAP_MAX_", "0")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "-1")
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+def job_session(app: str) -> SparkSession:
+    """SparkSession for spark-submit jobs: master / memory / cluster
+    configs come from the submit command; this only applies the library's
+    python-worker glibc tunables (see module docstring) so the Arrow
+    kernels don't pay mmap/munmap churn per batch on any deployment."""
+    return (
+        SparkSession.builder.appName(app)
+        .config("spark.executorEnv.MALLOC_MMAP_MAX_", "0")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "-1")
+        .getOrCreate()
+    )

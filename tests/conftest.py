@@ -24,6 +24,10 @@ def spark():
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", "4g")
         .config("spark.ui.enabled", "false")
+        # python-worker glibc tunables (sketchlib.spark.session docstring):
+        # tests must run the same worker config production sessions get
+        .config("spark.executorEnv.MALLOC_MMAP_MAX_", "0")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "-1")
         .getOrCreate()
     )
     yield spark

@@ -212,3 +212,46 @@ def test_curate_job_urldedup_stage(spark, tmp_path, monkeypatch):
     got3 = {r["doc_id"] for r in
             spark.read.parquet(out).select("doc_id").collect()}
     assert got3 == {1, 2, 3, 4, 5}
+
+
+def test_curate_job_sig_kernel_poly(spark, tmp_path, monkeypatch):
+    """--dedup near --sig-kernel poly: the near-dup stage signs with the
+    polynomial Arrow kernel and drops the planted near-duplicate; a
+    non-default kernel enters the stage fingerprint (so --resume can never
+    serve an xxh checkpoint to a poly run), while the default keeps the
+    pre-existing fingerprint format."""
+    sys.path.insert(0, "jobs")
+    import curate_corpus as job
+
+    capture = []
+    monkeypatch.setattr("builtins.print", lambda s: capture.append(s))
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+
+    def words(seed, n):
+        return " ".join(f"tok{seed}x{i}" for i in range(n))
+
+    rows = [(i, "en", words(i, 30)) for i in range(10)]
+    rows += [(500, "en", words(42, 30) + " tail")]   # distinct doc, survives
+    rows += [(501, "en", rows[4][2] + " tail")]      # near-dup of doc 4
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(rows, "doc_id long, lang string, text string") \
+        .write.parquet(src)
+
+    out_k = {}
+    fps = {}
+    for kernel in ("xxh", "poly"):
+        wd = str(tmp_path / f"wd_{kernel}")
+        out = str(tmp_path / f"out_{kernel}")
+        rc = _run(monkeypatch, job, [
+            "--input", src, "--workdir", wd, "--output", out,
+            "--dedup", "near", "--sig-kernel", kernel, "--ctx-len", "16"])
+        assert rc == 0
+        m = json.loads(capture[-1])
+        fps[kernel] = m["stages"]["dedup"]["fp"]
+        out_k[kernel] = {r["doc_id"]
+                         for r in spark.read.parquet(out)
+                         .select("doc_id").collect()}
+    # both kernels drop 501 (near-dup of 4, min-id keeper); 500 is its own
+    # distinct doc and survives
+    assert out_k["xxh"] == out_k["poly"] == set(range(10)) | {500}
+    assert fps["xxh"] != fps["poly"]
