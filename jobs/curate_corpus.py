@@ -103,11 +103,13 @@ def main() -> int:
     ap.add_argument("--ngram", type=int, default=3,
                     help="shingle n-gram for near-dup")
     ap.add_argument("--num-perm", type=int, default=64)
-    ap.add_argument("--sig-kernel", default="xxh", choices=["xxh", "poly"],
+    ap.add_argument("--sig-kernel", default="poly", choices=["xxh", "poly"],
                     help="near-dup MinHash signature kernel (see "
-                         "jobs/dedup_corpus.py --sig-kernel; 'poly' signs "
-                         "in one zero-Exchange Arrow projection, each "
-                         "token hashed once — ~2x the signature stage)")
+                         "jobs/dedup_corpus.py --sig-kernel; 'poly' — the "
+                         "default since the recall-parity soak in "
+                         "BENCH/soak_sigkernel_d4.json — signs in one "
+                         "zero-Exchange Arrow projection, each token "
+                         "hashed once, ~2x the signature stage)")
     ap.add_argument("--url-col", default=None,
                     help="URL column; enables canonical-URL dedup as the "
                          "stage-0 pre-pass (cheapest dedup first: crawl "
@@ -276,9 +278,11 @@ def main() -> int:
         docs = run_stage(3, "dedup", {
             "mode": args.dedup, "threshold": args.threshold,
             "ngram": args.ngram, "num_perm": args.num_perm,
-            # default kernel keeps pre-existing fingerprints (and thus
-            # --resume checkpoints) valid; a non-default kernel must
-            # invalidate the stage, so it enters the fingerprint
+            # "xxh" is omitted so checkpoints from the pre-poly era (when
+            # xxh was both the default and unfingerprinted) stay resumable
+            # under an explicit --sig-kernel xxh; any other kernel —
+            # including today's "poly" default — enters the fingerprint,
+            # so a kernel switch always invalidates the stage
             **({"sig_kernel": args.sig_kernel}
                if args.sig_kernel != "xxh" else {}),
         }, dedup)

@@ -57,14 +57,17 @@ def main() -> None:
     ap.add_argument("--threshold", type=float, default=0.8)
     ap.add_argument("--ngram", type=int, default=3)
     ap.add_argument("--num-perm", type=int, default=64)
-    ap.add_argument("--sig-kernel", default="xxh", choices=["xxh", "poly"],
-                    help="signature kernel: 'xxh' (JVM chained-xxhash64 "
-                         "shingles + groupBy minima) or 'poly' (each token "
+    ap.add_argument("--sig-kernel", default="poly", choices=["xxh", "poly"],
+                    help="signature kernel: 'poly' (default; each token "
                          "hashed once, polynomial window fold + splitmix64 "
-                         "minima in one zero-Exchange Arrow projection). "
-                         "Signatures from different kernels never mix: the "
-                         "kernel is stored in the index meta and pinned by "
-                         "--sig-index-in.")
+                         "minima in one zero-Exchange Arrow projection, "
+                         "~2x the signature stage — recall parity vs 'xxh' "
+                         "soaked in BENCH/soak_sigkernel_d4.json: max "
+                         "drift 0.0026 over 6 seeded corpora) or 'xxh' "
+                         "(JVM chained-xxhash64 shingles + groupBy "
+                         "minima).  Signatures from different kernels "
+                         "never mix: the kernel is stored in the index "
+                         "meta and pinned by --sig-index-in.")
     ap.add_argument("--sig-index-in", default=None, metavar="PATH",
                     help="stored banded-LSH index (from a previous run's "
                          "--sig-index-out): new docs colliding with the "

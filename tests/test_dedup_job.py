@@ -170,13 +170,17 @@ def test_dedup_job_incremental_index(spark, tmp_path, monkeypatch):
     assert idx_ids == kept1 | set(range(110, 120))   # cumulative union
     meta = spark.read.parquet(f"{idx2}/meta").collect()[0]
     assert (meta["ngram"], meta["num_perm"]) == (3, 64)
-    assert meta["sig_kernel"] == "xxh"
+    # flag omitted -> the post-soak default kernel is recorded in meta
+    assert meta["sig_kernel"] == "poly"
 
 
 def test_dedup_job_index_pins_sig_kernel(spark, tmp_path, monkeypatch):
-    """An index built with --sig-kernel poly records the kernel in meta,
-    and a later --sig-index-in run signs with THAT kernel even when the
-    flag is omitted (mixing kernels would make every index probe miss)."""
+    """An index built with --sig-kernel xxh (the non-default kernel since
+    the recall soak flipped the default to poly) records the kernel in
+    meta, and a later --sig-index-in run signs with THAT kernel even when
+    the flag is omitted (mixing kernels would make every index probe
+    miss — the probe finding all planted near-dups proves it signed xxh,
+    not this run's poly default)."""
     import sys
 
     import numpy as np
@@ -205,10 +209,10 @@ def test_dedup_job_index_pins_sig_kernel(spark, tmp_path, monkeypatch):
     monkeypatch.setattr("builtins.print", lambda s: None)
     monkeypatch.setattr(sys, "argv", [
         "job", "--input", e1, "--output", o1,
-        "--sig-kernel", "poly", "--sig-index-out", idx1])
+        "--sig-kernel", "xxh", "--sig-index-out", idx1])
     assert job.main() is None
     meta = spark.read.parquet(f"{idx1}/meta").collect()[0]
-    assert meta["sig_kernel"] == "poly"
+    assert meta["sig_kernel"] == "xxh"
 
     # flag omitted on purpose: the kernel must come from the index meta
     monkeypatch.setattr(sys, "argv", [
