@@ -1068,6 +1068,9 @@ def incdedup_bench() -> None:
     against the STORED index at two parallelism levels — the north-rule
     N-vs-4N scaling evidence for the incremental path (the historical
     corpus is signed exactly once; only the new side is per-run work).
+    Signs with the ``poly`` kernel — the job default since the recall
+    soak (BENCH/soak_sigkernel_d4.json); build and probe must share one
+    kernel, exactly as jobs/dedup_corpus.py pins via ``meta.sig_kernel``.
     Best-of-2 warm reps.  One JSON line."""
     import shutil
 
@@ -1098,14 +1101,22 @@ def incdedup_bench() -> None:
         new = pages.filter(split == 0)
         return hist, new
 
-    # index build (once, at full parallelism) — the amortized side
+    # index build at full parallelism — the amortized side.  Best-of-2
+    # like the probes: a single cold shot folds Python-worker startup and
+    # page-cache state into the one number (measured 75.6 s cold vs 9.4 s
+    # warm for the same build in one session — the warm number is the
+    # kernel, the cold one is the host window)
     spark = get_spark("incdedup-build", cpus=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     hist, new = slice_pages(spark)
     n_hist, n_new = hist.count(), new.count()
-    t0 = time.time()
-    banded_signatures(minhash_signatures(hist)).write.parquet(idx_dir)
-    t_build = time.time() - t0
+    t_build = float("inf")
+    for _ in range(2):
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        t0 = time.time()
+        banded_signatures(minhash_signatures(hist, kernel="poly")) \
+            .write.parquet(idx_dir)
+        t_build = min(t_build, time.time() - t0)
     idx_rows = spark.read.parquet(idx_dir).count()
     spark.stop()
 
@@ -1121,8 +1132,8 @@ def incdedup_bench() -> None:
 
         def probe():
             cands = lsh_candidates_vs_index(
-                banded_signatures(minhash_signatures(new)), index,
-                max_bucket_size=cap)
+                banded_signatures(minhash_signatures(new, kernel="poly")),
+                index, max_bucket_size=cap)
             return cands.agg(
                 F.count("*").alias("pairs"),
                 F.countDistinct("new_id").alias("flagged"),

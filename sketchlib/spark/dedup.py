@@ -393,7 +393,25 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     kernel, mirroring ``poly_shingle_values``: all-whitespace/empty texts
     share ONE empty-sum shingle (the xxh kernel hashes the raw text, so
     "" and "  " differ there); NULL text yields a NULL signature (xxh
-    yields a constant-signature row)."""
+    yields a constant-signature row).
+
+    SMALL-UNIVERSE caveat (both kernels): when the corpus's distinct
+    shingle set is small (low-entropy/templated text — the synthetic
+    bench vocab yields only ~30k distinct 3-gram hashes), banding gains
+    a heavy-tailed false-candidate floor INDEPENDENT of true Jaccard: a
+    single shingle whose remixed values happen to fall in the bottom ~p
+    of one band's r perms becomes the min of every doc containing it
+    with probability ~(1-p)^W per perm, welding those docs into one
+    bucket.  The per-(shingle, band) odds are identical for any uniform
+    hash family — measured on the 876k-doc bench slice, one such
+    coincidence gave the poly kernel a 128-doc bucket (pair mass 16.3k
+    vs xxh's 6.2k, while an independent-hash numpy reference measured
+    6.0k — same lottery, different tickets; candidates' median exact
+    Jaccard was 0.015 for BOTH kernels, i.e. all noise).  Real web-scale
+    shingle universes are astronomically larger, so the floor vanishes;
+    the defenses where it can bite are ``max_bucket_size`` (buckets from
+    hot shingles are exactly what it prunes) and exact verification in
+    every gated path."""
     if kernel == "poly":
         return _minhash_signatures_poly(df, id_col, text_col, ngram, num_perm)
     if kernel != "xxh":
