@@ -1130,27 +1130,34 @@ def incdedup_bench() -> None:
 
         cap = max(256, int(n_hist ** 0.5))  # same skew rationale as auto mode
 
-        def probe():
+        def probe(prune):
             cands = lsh_candidates_vs_index(
                 banded_signatures(minhash_signatures(new, kernel="poly")),
-                index, max_bucket_size=cap)
+                index, max_bucket_size=cap, prune=prune)
             return cands.agg(
                 F.count("*").alias("pairs"),
                 F.countDistinct("new_id").alias("flagged"),
             ).collect()[0]
 
-        r = probe()  # warm-up
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            r = probe()
-            best = min(best, time.time() - t0)
-        probes[cpus] = {
-            "sec": round(best, 2),
-            "new_docs_per_sec": round(n_new / best, 1),
-            "candidate_pairs": int(r["pairs"]),
-            "flagged_new_docs": int(r["flagged"]),
-        }
+        rec = {}
+        for prune in (None, "bloom"):
+            r = probe(prune)  # warm-up
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                r = probe(prune)
+                best = min(best, time.time() - t0)
+            rec[prune or "plain"] = {
+                "sec": round(best, 2),
+                "new_docs_per_sec": round(n_new / best, 1),
+                "candidate_pairs": int(r["pairs"]),
+                "flagged_new_docs": int(r["flagged"]),
+            }
+        assert (rec["plain"]["candidate_pairs"]
+                == rec["bloom"]["candidate_pairs"]), "prune changed candidates!"
+        probes[cpus] = {**rec["plain"],
+                        "bloom_prune": {k: rec["bloom"][k]
+                                        for k in ("sec", "new_docs_per_sec")}}
         spark.stop()
 
     eff = probes[8]["new_docs_per_sec"] / (4.0 * probes[2]["new_docs_per_sec"])

@@ -68,6 +68,14 @@ def main() -> None:
                          "minima).  Signatures from different kernels "
                          "never mix: the kernel is stored in the index "
                          "meta and pinned by --sig-index-in.")
+    ap.add_argument("--index-prune", default=None, choices=["bloom"],
+                    help="with --sig-index-in: pre-filter the stored "
+                         "index scan through a broadcast Bloom of the new "
+                         "crawl's (band, bh) keys — map-side, before any "
+                         "Exchange; identical candidates (zero false "
+                         "negatives). Use when the new batch is small "
+                         "next to the index (the blob is ~1.2 B per new "
+                         "key and must stay broadcastable).")
     ap.add_argument("--sig-index-in", default=None, metavar="PATH",
                     help="stored banded-LSH index (from a previous run's "
                          "--sig-index-out): new docs colliding with the "
@@ -126,7 +134,8 @@ def main() -> None:
         # no text, so there is no exact-verify pass here; banding precision
         # is the measured LSH curve).  Keeper = smallest colliding index doc.
         index_dropped = (
-            lsh_candidates_vs_index(_banded(df), index, idc)
+            lsh_candidates_vs_index(_banded(df), index, idc,
+                                    prune=args.index_prune)
             .groupBy("new_id").agg(F.min("index_id").alias("keeper_id"))
             .withColumnRenamed("new_id", "id")
         )

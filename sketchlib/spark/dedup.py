@@ -618,6 +618,8 @@ def lsh_candidates_vs_index(
     id_col: str = "doc_id",
     max_bucket_size: int | None = None,
     distinct: bool = True,
+    prune: str | None = None,
+    prune_fpr: float = 0.01,
 ) -> DataFrame:
     """Incremental near-dup discovery: distinct (new_id, index_id) pairs
     colliding in at least one band, between a NEW crawl's banded
@@ -627,18 +629,86 @@ def lsh_candidates_vs_index(
     the union corpus.  ``max_bucket_size`` caps each side's hot buckets
     independently (same skew rationale as ``_cap_buckets``).
 
+    ``prune="bloom"`` (the daily-crawl asymmetry lever, new ≪ index):
+    build a Bloom filter over the NEW side's distinct ``(band, bh)`` keys
+    (one pass over the small side; KB–MB blob at typical crawl batches),
+    broadcast it, and pre-filter the INDEX scan with a vectorized
+    ``contains_hashed`` probe BEFORE the join — so instead of shuffling
+    the whole 10^12-doc index to meet a 10^8-key new side, only the
+    ~selectivity fraction of index rows that CAN collide ever reaches an
+    Exchange.  Zero false negatives, so the candidate set is EXACTLY the
+    unpruned one (Bloom false positives are eliminated by the equi-join
+    itself); the bucket cap is applied to the index side AFTER pruning
+    (surviving buckets only — cheaper, and the cap's skew rationale only
+    concerns buckets that reach the join).  Do NOT use it when the new
+    side's key count approaches the index's — the blob scales with the
+    small side (~1.2 B/key at 1% fpr) and must stay broadcastable.
+
     ``distinct=False`` skips the final dedup (a pair colliding in k bands
     appears k times): required on a readStream, where the stream-static
     equi-join is stateless but a global distinct would need unbounded
-    state — dedup per micro-batch in foreachBatch instead."""
+    state — dedup per micro-batch in foreachBatch instead.  The Bloom
+    prune is a stateless broadcast projection, so it composes with
+    streaming unchanged."""
     l = _cap_buckets(new_banded, ["band", "bh"], max_bucket_size).select(
         F.col(id_col).alias("new_id"), "band", "bh"
     )
-    r = _cap_buckets(index_banded, ["band", "bh"], max_bucket_size).select(
-        F.col(id_col).alias("index_id"), "band", "bh"
-    )
+    r = index_banded.select(F.col(id_col).alias("index_id"), "band", "bh")
+    if prune == "bloom":
+        r = _bloom_prune_banded(l, r)
+    elif prune is not None:
+        raise ValueError(f"lsh_candidates_vs_index: unknown prune {prune!r} "
+                         "(expected None or 'bloom')")
+    r = _cap_buckets(r, ["band", "bh"], max_bucket_size)
     pairs = l.join(r, ["band", "bh"]).select("new_id", "index_id")
     return pairs.distinct() if distinct else pairs
+
+
+def _bloom_prune_banded(small: DataFrame, big: DataFrame,
+                        fpr: float = 0.01) -> DataFrame:
+    """Filter ``big``'s (band, bh) rows through a broadcast Bloom of
+    ``small``'s distinct (band, bh) keys — map-side, before any Exchange.
+    Key = JVM ``xxhash64(band, bh)``; the Bloom aggregator base-hashes
+    values with ``xxhash64(value)``, so the probe side computes the same
+    double hash JVM-side and the Arrow stage is ONE vectorized
+    ``contains_hashed`` per batch (same pattern as ``q_bloom_join_prune``
+    and ``bloom_decontam_flags`` — no per-row Python)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sketchlib.bloom import Bloom
+    from sketchlib.spark.sketch_ops import sketch_aggregate
+
+    keys = small.select(F.xxhash64("band", "bh").alias("_k")).distinct()
+    n = keys.count()
+    rows = sketch_aggregate(
+        keys, [], "_k", "bloom", {"fpr": fpr, "expected_n": max(n, 1000)}
+    ).collect()
+    if not rows:  # empty small side: nothing can collide
+        return big.limit(0)
+    bc = big.sparkSession.sparkContext.broadcast(bytes(rows[0]["sketch"]))
+
+    staged = big.withColumn("_h", F.xxhash64(F.xxhash64("band", "bh")))
+    names = [f.name for f in big.schema.fields]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in big.schema.fields
+    )
+
+    def probe(batches):
+        b = Bloom.deserialize(bc.value)
+        for batch in batches:
+            i_h = batch.schema.get_field_index("_h")
+            h = np.asarray(batch.column(i_h), dtype=np.int64).view(np.uint64)
+            hits = b.contains_hashed(h)
+            if not hits.any():
+                continue
+            keep = batch.filter(pa.array(hits))
+            yield pa.RecordBatch.from_arrays(
+                [keep.column(keep.schema.get_field_index(c)) for c in names],
+                names=names,
+            )
+
+    return staged.mapInArrow(probe, schema=out_schema)
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",

@@ -396,6 +396,34 @@ def test_lsh_index_incremental_equals_batch(spark, tmp_path):
         == 0
     )
 
+    # prune="bloom" (map-side index-scan filter): EXACT same candidate set
+    # (zero false negatives; Bloom false positives die in the equi-join),
+    # an empty new side prunes everything, and the cap composes
+    new_banded = banded_signatures(minhash_signatures(new))
+    pruned = {
+        (r["new_id"], r["index_id"])
+        for r in lsh_candidates_vs_index(
+            new_banded, index, prune="bloom"
+        ).collect()
+    }
+    assert pruned == got
+    assert (
+        lsh_candidates_vs_index(
+            banded_signatures(minhash_signatures(empty)), index, prune="bloom"
+        ).count()
+        == 0
+    )
+    capped = {
+        (r["new_id"], r["index_id"])
+        for r in lsh_candidates_vs_index(
+            new_banded, index, max_bucket_size=3, prune="bloom"
+        ).collect()
+    }
+    assert capped <= got
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown prune"):
+        lsh_candidates_vs_index(new_banded, index, prune="nope")
+
 
 def test_minhash_stateless_byte_identical(spark):
     """stateless=True (per-row array_min/transform, zero Exchange) yields

@@ -103,6 +103,35 @@ def main():
     if n_semi < 3:
         FAIL.append(f"LSH verify: {n_semi} semi-joins, want >=3")
 
+    # 6b2. Bloom-pruned index probe: the prune must add a PythonMapInArrow
+    # scan-side filter WITHOUT adding any Exchange (map-side, before the
+    # shuffle — same Exchange count as the plain probe)
+    from sketchlib.spark.dedup import (
+        banded_signatures,
+        lsh_candidates_vs_index,
+        minhash_signatures,
+    )
+
+    old_side = docs.filter(F.col("doc_id") % 3 != 0).limit(400)
+    new_side = docs.filter(F.col("doc_id") % 3 == 0).limit(60)
+    idx_banded = banded_signatures(minhash_signatures(old_side))
+    new_banded = banded_signatures(minhash_signatures(new_side))
+    p_plain = plan_of(lsh_candidates_vs_index(new_banded, idx_banded))
+    p_pruned = plan_of(
+        lsh_candidates_vs_index(new_banded, idx_banded, prune="bloom"))
+    n_ex_plain = len(re.findall(r"Exchange", p_plain))
+    n_ex_pruned = len(re.findall(r"Exchange", p_pruned))
+    ok = (re.search(r"MapInArrow", p_pruned) is not None
+          and re.search(r"MapInArrow", p_plain) is None
+          and n_ex_pruned == n_ex_plain)
+    print(f"{'bloom index prune: map-side, no shuffle':40s} "
+          f"{'OK' if ok else 'FAIL'} "
+          f"(Exchanges plain={n_ex_plain} pruned={n_ex_pruned})")
+    if not ok:
+        FAIL.append(
+            f"bloom index prune: want map-side MapInArrow + equal Exchange "
+            f"count, got plain={n_ex_plain} pruned={n_ex_pruned}")
+
     # 6c. cube over partials: ONE parquet scan feeds all grouping sets (the
     # partials frame is cached and re-merged; no per-grouping-set rescan)
     from sketchlib.spark.queries import q_td_cube_lang_source
