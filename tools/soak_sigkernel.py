@@ -1,10 +1,11 @@
 """Recall-parity soak: MinHash kernel="poly" vs kernel="xxh".
 
-SURVEY §7.4 candidate (e) gate: the polynomial Arrow signature kernel
-(~2x throughput, zero-Exchange — `dedup.minhash_signatures`) may become
-the DEFAULT for the incremental-index probe (`jobs/dedup_corpus.py`) and
-the curate near-dup stage (`jobs/curate_corpus.py`) only after a soak
-shows NO recall drift vs the JVM chained-xxhash64 kernel.  Both kernels
+SURVEY §7.4 candidate (e) gate — PASSED (BENCH/soak_sigkernel_d4.json:
+max drift 0.0026 over 6 seeded runs): the polynomial Arrow signature
+kernel (~2x throughput, zero-Exchange — `dedup.minhash_signatures`) is
+now the DEFAULT for the incremental-index probe (`jobs/dedup_corpus.py`)
+and the curate near-dup stage (`jobs/curate_corpus.py`); this soak is
+the evidence and stays runnable as the regression gate.  Both kernels
 are independent uniform 64-bit hash families over the same n-gram set,
 so Pr[min collision] = J holds for each; this soak measures that the
 EMPIRICAL banding recall agrees — across seeds, corpora shapes, and
