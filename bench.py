@@ -1080,6 +1080,8 @@ def incdedup_bench() -> None:
         banded_signatures,
         lsh_candidates_vs_index,
         minhash_signatures,
+        read_bucketed_banded,
+        write_bucketed_banded,
     )
     from sketchlib.spark.session import get_spark
 
@@ -1087,6 +1089,8 @@ def incdedup_bench() -> None:
     ensure_pages(path, BENCH_ROWS)
     idx_dir = os.path.join(BENCH_DIR, "incdedup_index")
     shutil.rmtree(idx_dir, ignore_errors=True)
+    idx_bdir = idx_dir + "_bucketed"
+    shutil.rmtree(idx_bdir, ignore_errors=True)
 
     def slice_pages(spark):
         pages = (
@@ -1118,6 +1122,13 @@ def incdedup_bench() -> None:
             .write.parquet(idx_dir)
         t_build = min(t_build, time.time() - t0)
     idx_rows = spark.read.parquet(idx_dir).count()
+    # bucketed layout of the SAME banded rows (CLUSTERED+SORTED BY
+    # (band, bh), 64 buckets): the probe's join then reads the index side
+    # shuffle-free in any later session
+    t0 = time.time()
+    idx_ddl = write_bucketed_banded(
+        spark.read.parquet(idx_dir), idx_bdir, 64)
+    t_bucket = time.time() - t0
     spark.stop()
 
     # new-crawl probe at two parallelism levels (fresh JVM each)
@@ -1139,25 +1150,40 @@ def incdedup_bench() -> None:
                 F.countDistinct("new_id").alias("flagged"),
             ).collect()[0]
 
+        index_bucketed = read_bucketed_banded(spark, idx_bdir, idx_ddl, 64)
+
+        def probe_b():
+            cands = lsh_candidates_vs_index(
+                banded_signatures(minhash_signatures(new, kernel="poly")),
+                index_bucketed, max_bucket_size=cap)
+            return cands.agg(
+                F.count("*").alias("pairs"),
+                F.countDistinct("new_id").alias("flagged"),
+            ).collect()[0]
+
         rec = {}
-        for prune in (None, "bloom"):
-            r = probe(prune)  # warm-up
+        for variant, fn in (("plain", lambda: probe(None)),
+                            ("bloom", lambda: probe("bloom")),
+                            ("bucketed", probe_b)):
+            r = fn()  # warm-up
             best = float("inf")
             for _ in range(2):
                 t0 = time.time()
-                r = probe(prune)
+                r = fn()
                 best = min(best, time.time() - t0)
-            rec[prune or "plain"] = {
+            rec[variant] = {
                 "sec": round(best, 2),
                 "new_docs_per_sec": round(n_new / best, 1),
                 "candidate_pairs": int(r["pairs"]),
                 "flagged_new_docs": int(r["flagged"]),
             }
-        assert (rec["plain"]["candidate_pairs"]
-                == rec["bloom"]["candidate_pairs"]), "prune changed candidates!"
+        for v in ("bloom", "bucketed"):
+            assert (rec["plain"]["candidate_pairs"]
+                    == rec[v]["candidate_pairs"]), f"{v} changed candidates!"
         probes[cpus] = {**rec["plain"],
-                        "bloom_prune": {k: rec["bloom"][k]
-                                        for k in ("sec", "new_docs_per_sec")}}
+                        **{f"{v}_probe": {k: rec[v][k]
+                                          for k in ("sec", "new_docs_per_sec")}
+                           for v in ("bloom", "bucketed")}}
         spark.stop()
 
     eff = probes[8]["new_docs_per_sec"] / (4.0 * probes[2]["new_docs_per_sec"])
@@ -1165,6 +1191,7 @@ def incdedup_bench() -> None:
         "hist_docs": int(n_hist), "new_docs": int(n_new),
         "index_build_sec": round(t_build, 2),
         "index_build_docs_per_sec": round(n_hist / t_build, 1),
+        "index_bucketed_rewrite_sec": round(t_bucket, 2),
         "index_rows": int(idx_rows),
         "probe": probes,
         "probe_scaling_efficiency_2_to_8": round(eff, 3),

@@ -31,6 +31,15 @@ docs that collide with the stored index (keeper = smallest colliding index
 doc; candidate-level — the index holds no text, so banding precision is
 the gate) BEFORE within-batch dedup, and never re-signs the historical
 corpus; with both flags the written index is the cumulative union.
+
+``--sig-index-format bucketed`` stores the index CLUSTERED+SORTED BY
+(band, bh) — bucket ids live in the part-file names, so any later
+session re-registers the files as a bucketed table from the stored meta
+(no metastore) and the probe's join reads the index side shuffle-free
+and pre-sorted; only the new crawl hits an Exchange.  Measured at a
+14M-row index: probe 8.2 -> 5.5 s at 8 cores, scaling eff(2->8) 0.962
+vs 0.83 plain (BENCH/incdedup_1m.json) — the layout a 10^12-row index
+wants, where the plain probe's index shuffle IS the job.
 """
 
 from __future__ import annotations
@@ -85,6 +94,19 @@ def main() -> None:
                     help="write the banded-LSH index of this run's keepers "
                          "(unioned with --sig-index-in when given) for the "
                          "next incremental run")
+    ap.add_argument("--sig-index-format", default="parquet",
+                    choices=["parquet", "bucketed"],
+                    help="index storage layout: 'bucketed' writes the "
+                         "banded rows CLUSTERED+SORTED BY (band, bh) so a "
+                         "later probe's join reads the index side "
+                         "shuffle-free and pre-sorted (bucket ids live in "
+                         "the part-file names — no metastore; any session "
+                         "re-registers the table from the stored meta). "
+                         "The layout a 10^12-row index wants: only the "
+                         "new crawl ever hits an Exchange.")
+    ap.add_argument("--index-buckets", type=int, default=64,
+                    help="bucket count for --sig-index-format bucketed "
+                         "(fixed per index; stored in meta)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -101,6 +123,8 @@ def main() -> None:
         minhash_auto_bands,
         minhash_lsh_dedup_pairs,
         minhash_signatures,
+        read_bucketed_banded,
+        write_bucketed_banded,
     )
 
     df = spark.read.parquet(args.input)
@@ -123,13 +147,23 @@ def main() -> None:
             meta = spark.read.parquet(f"{args.sig_index_in}/meta").collect()[0]
             bands, args.ngram, args.num_perm = (
                 meta["bands"], meta["ngram"], meta["num_perm"])
-            # v1 indices (no sig_kernel field) were all built with "xxh"
-            args.sig_kernel = meta.asDict().get("sig_kernel") or "xxh"
+            # v1 indices (no sig_kernel field) were all built with "xxh";
+            # pre-bucketing indices (no format field) are plain parquet
+            md = meta.asDict()
+            args.sig_kernel = md.get("sig_kernel") or "xxh"
+            in_format = md.get("format") or "parquet"
+            in_schema_ddl = md.get("schema_ddl")
+            in_buckets = md.get("n_buckets") or 64
         else:
             bands = minhash_auto_bands(args.threshold, args.num_perm)[0]
 
     if args.sig_index_in is not None:
-        index = spark.read.parquet(f"{args.sig_index_in}/banded")
+        if in_format == "bucketed":
+            index = read_bucketed_banded(
+                spark, f"{args.sig_index_in}/banded", in_schema_ddl,
+                in_buckets)
+        else:
+            index = spark.read.parquet(f"{args.sig_index_in}/banded")
         # candidate-level drops at threshold-tuned banding (the index holds
         # no text, so there is no exact-verify pass here; banding precision
         # is the measured LSH curve).  Keeper = smallest colliding index doc.
@@ -188,12 +222,21 @@ def main() -> None:
         )
         new_index = _banded(keepers)
         if args.sig_index_in is not None:
-            new_index = spark.read.parquet(
-                f"{args.sig_index_in}/banded").unionByName(new_index)
-        new_index.write.mode("overwrite").parquet(f"{args.sig_index_out}/banded")
+            # `index` was resolved above in the stored format
+            new_index = index.unionByName(new_index)
+        schema_ddl = None
+        if args.sig_index_format == "bucketed":
+            schema_ddl = write_bucketed_banded(
+                new_index, f"{args.sig_index_out}/banded",
+                args.index_buckets)
+        else:
+            new_index.write.mode("overwrite") \
+                .parquet(f"{args.sig_index_out}/banded")
         spark.createDataFrame(
-            [(bands, args.ngram, args.num_perm, args.sig_kernel)],
-            "bands int, ngram int, num_perm int, sig_kernel string",
+            [(bands, args.ngram, args.num_perm, args.sig_kernel,
+              args.sig_index_format, args.index_buckets, schema_ddl)],
+            "bands int, ngram int, num_perm int, sig_kernel string, "
+            "format string, n_buckets int, schema_ddl string",
         ).write.mode("overwrite").parquet(f"{args.sig_index_out}/meta")
 
     out = spark.read.parquet(args.output)

@@ -612,6 +612,51 @@ def banded_signatures(sigs: DataFrame, id_col: str = "doc_id",
     ).select(id_col, "bk.band", "bk.bh")
 
 
+def write_bucketed_banded(banded: DataFrame, path: str,
+                          n_buckets: int = 64) -> str:
+    """Persist a banded index BUCKETED on the join key (band, bh) — the
+    layout where a 10^12-row stored index never shuffles: Spark writes
+    bucket ids into the part-file NAMES (``part-*_000NN``), so ANY later
+    session can re-register the files as a bucketed table (see
+    ``read_bucketed_banded``) and the probe's SortMergeJoin reads the
+    index side shuffle-free AND pre-sorted (bucketed + SORTED BY scan
+    satisfies both the join's clustering and its sort order); only the
+    small new-crawl side hits an Exchange.  No Hive metastore involved:
+    the table metadata lives only in the writing session (the external
+    table is dropped right after the write — files persist) and is
+    recreated from the returned DDL on every read.
+
+    Returns the column DDL string a reader must pass back (the id
+    column's name/type varies by corpus) — store it in the index meta."""
+    spark = banded.sparkSession
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                    for f in banded.schema.fields)
+    tbl = "sketchlib_lsh_index_w"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    (banded.write.bucketBy(n_buckets, "band", "bh").sortBy("band", "bh")
+     .option("path", path).mode("overwrite").saveAsTable(tbl))
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")  # external: files persist
+    return ddl
+
+
+def read_bucketed_banded(spark, path: str, schema_ddl: str,
+                         n_buckets: int = 64) -> DataFrame:
+    """Re-register bucketed banded-index files written by
+    ``write_bucketed_banded`` as a bucketed table in THIS session's
+    catalog (in-memory catalog suffices — bucket ids come from the file
+    names) and return it as a DataFrame whose scan reports
+    ``Bucketed: true``: joins and windows keyed on (band, bh) then need
+    no Exchange on this side (plan-audited)."""
+    tbl = "sketchlib_lsh_index_ro"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(
+        f"CREATE TABLE {tbl} ({schema_ddl}) USING parquet "
+        f"CLUSTERED BY (band, bh) SORTED BY (band, bh) "
+        f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+    )
+    return spark.table(tbl)
+
+
 def lsh_candidates_vs_index(
     new_banded: DataFrame,
     index_banded: DataFrame,

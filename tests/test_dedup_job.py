@@ -222,3 +222,117 @@ def test_dedup_job_index_pins_sig_kernel(spark, tmp_path, monkeypatch):
     for k in range(4):
         assert out2[100 + k] == k, (k, out2)
     assert out2[200] == 200
+
+
+def test_dedup_job_bucketed_index(spark, tmp_path, monkeypatch):
+    """--sig-index-format bucketed: the index files are written CLUSTERED+
+    SORTED BY (band, bh) (bucket ids in the part-file names — no
+    metastore), a later flag-omitted probe re-registers them from meta and
+    produces EXACTLY the drops of a plain-parquet index over the same
+    corpus, the probe's plan reads the index side as a bucketed scan with
+    no Exchange below the join, and a third cumulative run unions into the
+    bucketed layout."""
+    import re
+    import sys
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, "jobs")
+    import dedup_corpus as job
+
+    from sketchlib.spark.dedup import (
+        banded_signatures,
+        lsh_candidates_vs_index,
+        minhash_signatures,
+        read_bucketed_banded,
+    )
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(220)]
+
+    def text():
+        return " ".join(rng.choice(vocab, 30))
+
+    e1_rows = [(i, text()) for i in range(24)]
+    e1 = str(tmp_path / "e1")
+    spark.createDataFrame(e1_rows, "doc_id long, text string").write.parquet(e1)
+    e2_rows = [(100 + k, e1_rows[k][1] + " tail") for k in range(8)]
+    e2_rows += [(300, text())]
+    e2 = str(tmp_path / "e2")
+    spark.createDataFrame(e2_rows, "doc_id long, text string").write.parquet(e2)
+
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    monkeypatch.setattr("builtins.print", lambda s: None)
+
+    def run(argv):
+        monkeypatch.setattr(sys, "argv", ["job"] + argv)
+        assert job.main() is None
+
+    # build the SAME epoch-1 index in both layouts
+    ob, op = str(tmp_path / "ob"), str(tmp_path / "op")
+    idx_b, idx_p = str(tmp_path / "idx_b"), str(tmp_path / "idx_p")
+    run(["--input", e1, "--output", ob, "--sig-index-out", idx_b,
+         "--sig-index-format", "bucketed", "--index-buckets", "8"])
+    run(["--input", e1, "--output", op, "--sig-index-out", idx_p])
+
+    meta = spark.read.parquet(f"{idx_b}/meta").collect()[0]
+    assert meta["format"] == "bucketed" and meta["n_buckets"] == 8
+    assert "band" in meta["schema_ddl"] and "bh" in meta["schema_ddl"]
+    # bucket ids live in the file names
+    files = [f for f in __import__("os").listdir(f"{idx_b}/banded")
+             if f.startswith("part-")]
+    assert files and all(re.search(r"_0000[0-7]\.", f) for f in files)
+    # same banded ROWS in both layouts
+    rows_b = {tuple(r) for r in spark.read.parquet(f"{idx_b}/banded").collect()}
+    rows_p = {tuple(r) for r in spark.read.parquet(f"{idx_p}/banded").collect()}
+    assert rows_b == rows_p
+
+    # probes against both layouts drop identically
+    o2b, o2p = str(tmp_path / "o2b"), str(tmp_path / "o2p")
+    run(["--input", e2, "--output", o2b, "--sig-index-in", idx_b])
+    run(["--input", e2, "--output", o2p, "--sig-index-in", idx_p])
+    got_b = {(r["id"], r["keeper_id"])
+             for r in spark.read.parquet(o2b).collect()}
+    got_p = {(r["id"], r["keeper_id"])
+             for r in spark.read.parquet(o2p).collect()}
+    assert got_b == got_p
+    assert {(100 + k, k) for k in range(8)} <= got_b
+    assert (300, 300) in got_b
+
+    # plan shape: index side is a bucketed scan, no Exchange below the join
+    index = read_bucketed_banded(spark, f"{idx_b}/banded",
+                                 meta["schema_ddl"], 8)
+    new_b = banded_signatures(minhash_signatures(
+        spark.read.parquet(e2), kernel="poly"))
+    def plan_of(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "formatted")
+
+    # force SortMergeJoin (the tiny test frames would broadcast) and count
+    # SHUFFLE exchanges only: the bucketed layout removes EXACTLY the
+    # index side's Exchange vs a plain read of the same files
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(lsh_candidates_vs_index(new_b, index))
+        plain_idx = spark.read.parquet(f"{idx_b}/banded")
+        plan_plain = plan_of(lsh_candidates_vs_index(new_b, plain_idx))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert "Bucketed: true" in plan
+    shuffles = r"(?<!Broadcast)Exchange"
+    n_b = len(re.findall(shuffles, plan.split("\n\n")[0]))
+    n_p = len(re.findall(shuffles, plan_plain.split("\n\n")[0]))
+    assert n_b == n_p - 1, (n_b, n_p)
+
+    # cumulative: bucketed in + bucketed out unions both epochs' keepers
+    o3, idx3 = str(tmp_path / "o3"), str(tmp_path / "idx3")
+    run(["--input", e2, "--output", o3, "--sig-index-in", idx_b,
+         "--sig-index-out", idx3, "--sig-index-format", "bucketed",
+         "--index-buckets", "8"])
+    m3 = spark.read.parquet(f"{idx3}/meta").collect()[0]
+    ids3 = {r["doc_id"] for r in spark.read.parquet(f"{idx3}/banded")
+            .select("doc_id").distinct().collect()}
+    assert m3["format"] == "bucketed"
+    assert ids3 == set(range(24)) | {300}
