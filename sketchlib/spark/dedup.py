@@ -648,11 +648,12 @@ def read_bucketed_banded(spark, path: str, schema_ddl: str,
     ``Bucketed: true``: joins and windows keyed on (band, bh) then need
     no Exchange on this side (plan-audited)."""
     tbl = "sketchlib_lsh_index_ro"
+    loc = path.replace("'", "''")  # SQL-literal escape for odd paths
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     spark.sql(
         f"CREATE TABLE {tbl} ({schema_ddl}) USING parquet "
         f"CLUSTERED BY (band, bh) SORTED BY (band, bh) "
-        f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+        f"INTO {n_buckets} BUCKETS LOCATION '{loc}'"
     )
     return spark.table(tbl)
 
