@@ -2080,9 +2080,19 @@ def q_td_ks_drift_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     two stored corpus slices (yesterday vs today, source A vs B) at
     KB-sketch cost.  Discrete digests are lossless, so the statistic is the
     EXACT KS of the data and the oracle recomputes it with window-function
-    CDFs.  Plan: the 5 digest rows cross-join a broadcast single global row
-    — no row-scale join anywhere."""
-    from sketchlib.spark.tdigest_ops import tdigest_ks_udf, tdigest_merge
+    CDFs.  PSI and Jensen–Shannon divergence ride the same two digests
+    (``psi_jsd_of_centroids``: global-decile bins, eps-floored masses) —
+    the three standard drift monitors from ONE sketch pass; both are
+    likewise exact in discrete mode and the oracle recomputes them from
+    decile-bin counts (rounded to 6 decimals on BOTH sides so engine
+    sum-order ulps can't flip the hash).  Plan: the 5 digest rows
+    cross-join a broadcast single global row — no row-scale join
+    anywhere."""
+    from sketchlib.spark.tdigest_ops import (
+        tdigest_ks_udf,
+        tdigest_merge,
+        tdigest_psi_jsd_udf,
+    )
 
     docs = load(spark, sf_dir, "documents").select("lang", "n_chars")
     docs = docs.filter(F.col("n_chars").isNotNull())
@@ -2092,10 +2102,17 @@ def q_td_ks_drift_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     glob = tdigest_merge(lang_dig, [], discrete=True).select(
         F.col("digest").alias("_gdigest")
     )
-    return lang_dig.crossJoin(F.broadcast(glob)).select(
-        "lang",
-        tdigest_count_udf("digest").cast("long").alias("n_docs"),
-        tdigest_ks_udf("digest", "_gdigest").alias("ks_global"),
+    pj = tdigest_psi_jsd_udf(bins=10, ndigits=6)
+    return (
+        lang_dig.crossJoin(F.broadcast(glob))
+        .withColumn("_pj", pj("digest", "_gdigest"))
+        .select(
+            "lang",
+            tdigest_count_udf("digest").cast("long").alias("n_docs"),
+            tdigest_ks_udf("digest", "_gdigest").alias("ks_global"),
+            F.col("_pj")[0].alias("psi_global"),
+            F.col("_pj")[1].alias("jsd_global"),
+        )
     )
 
 
@@ -2123,11 +2140,45 @@ WITH d AS (
          sum(c) OVER (ORDER BY v) AS cuma,
          sum(c) OVER () AS na
   FROM ga
+), lt AS (  -- per-lang totals
+  SELECT k, sum(c) AS n FROM g GROUP BY k
+), e AS (   -- global decile edges: weighted Nearest Rank (min v, cum >= N*p)
+  SELECT b.i, min(sa.v) AS edge
+  FROM (SELECT unnest(generate_series(1, 9)) AS i) b, sa
+  WHERE sa.cuma >= sa.na * (b.i / 10.0)
+  GROUP BY b.i
+), fk AS (  -- per-lang step CDF at each edge
+  SELECT l.k, e.i,
+         coalesce(sum(CASE WHEN g2.v <= e.edge THEN g2.c END), 0) / l.n AS f
+  FROM lt l CROSS JOIN e LEFT JOIN g g2 ON g2.k = l.k
+  GROUP BY l.k, e.i, l.n
+), fg AS (  -- global step CDF at each edge
+  SELECT e.i,
+         (SELECT sum(CASE WHEN ga.v <= e.edge THEN ga.c END) FROM ga)
+           / (SELECT sum(c) FROM ga) AS f
+  FROM e
+), pk AS (  -- per-lang decile-bin masses (F_i - F_{i-1}, top bin to 1.0)
+  SELECT k, i, f - coalesce(lag(f) OVER (PARTITION BY k ORDER BY i), 0) AS p
+  FROM (SELECT k, i, f FROM fk UNION ALL SELECT k, 10 AS i, 1.0 AS f FROM lt)
+), pg AS (
+  SELECT i, f - coalesce(lag(f) OVER (ORDER BY i), 0) AS q
+  FROM (SELECT i, f FROM fg UNION ALL SELECT 10 AS i, 1.0 AS f)
+), terms AS (  -- eps-floored masses, one row per (lang, bin)
+  SELECT pk.k, greatest(pk.p, 1e-6) AS p, greatest(pg.q, 1e-6) AS q
+  FROM pk JOIN pg ON pk.i = pg.i
+), pj AS (
+  SELECT k,
+         round(sum((p - q) * ln(p / q)), 6) AS psi_global,
+         round(sum(0.5 * p * ln(2 * p / (p + q))
+                 + 0.5 * q * ln(2 * q / (p + q))), 6) AS jsd_global
+  FROM terms GROUP BY k
 )
 SELECT s.k AS lang,
        CAST(max(s.n) AS BIGINT) AS n_docs,
-       max(abs(s.cum / s.n - sa.cuma / sa.na)) AS ks_global
-FROM s JOIN sa ON s.v = sa.v
+       max(abs(s.cum / s.n - sa.cuma / sa.na)) AS ks_global,
+       max(pj.psi_global) AS psi_global,
+       max(pj.jsd_global) AS jsd_global
+FROM s JOIN sa ON s.v = sa.v JOIN pj ON pj.k = s.k
 GROUP BY s.k
 """
 
@@ -2210,7 +2261,7 @@ def q_td_drift_winsor_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DRIFT_WINSOR_SQL = f"""
-SELECT ks.lang, ks.n_docs, ks.ks_global,
+SELECT ks.lang, ks.n_docs, ks.ks_global, ks.psi_global, ks.jsd_global,
        w.n_clipped_lo, w.n_clipped_hi, w.sum_winsorized, w.p05, w.p95
 FROM ({_KS_DRIFT_SQL}) ks JOIN ({_WINSORIZE_SQL}) w ON ks.lang = w.lang
 """

@@ -49,6 +49,7 @@ from sketchlib.tdigest.core import (
     cdf_of_centroids,
     ks_of_centroids,
     parse_tdigest_wire,
+    psi_jsd_of_centroids,
     quantiles_of_centroids,
     wrap_tdigest_wire,
 )
@@ -377,6 +378,40 @@ def tdigest_ks_udf(dig_a: pd.Series, dig_b: pd.Series) -> pd.Series:
             else:
                 out.append(ks_of_centroids(ma, na, mb, nb))
     return pd.Series(out, dtype="float64")
+
+
+def tdigest_psi_jsd_udf(bins: int = 10, eps: float = 1e-6, ndigits: int = 9):
+    """array<double> [psi, jsd]: Population Stability Index and
+    Jensen–Shannon divergence between two digest columns per row
+    (``psi_jsd_of_centroids``), binned on the SECOND argument's quantile
+    grid — drift monitors from stored sketches, zero fact rescans.  Exact
+    when both digests are discrete.  NULL if either side is empty (same
+    contract as ``tdigest_ks_udf``).  Results are rounded to ``ndigits``
+    decimals so the ascending-bin Python sum and a SQL engine's
+    arbitrary-order SUM hash identically; pass ``ndigits=None`` to disable.
+    Post-aggregation only (runs on sketch rows)."""
+    if bins < 2:
+        raise ValueError(f"tdigest_psi_jsd: need bins >= 2, got {bins}")
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def f(dig_a: pd.Series, dig_b: pd.Series) -> pd.Series:
+        out = []
+        for a, b in zip(dig_a, dig_b):
+            if a is None or b is None or len(a) == 0 or len(b) == 0:
+                out.append(None)
+                continue
+            ma, na = bytes_to_centroids(bytes(a))
+            mb, nb = bytes_to_centroids(bytes(b))
+            if len(ma) == 0 or len(mb) == 0:
+                out.append(None)
+            else:
+                psi, jsd = psi_jsd_of_centroids(ma, na, mb, nb, bins, eps)
+                if ndigits is not None:
+                    psi, jsd = round(psi, ndigits), round(jsd, ndigits)
+                out.append([psi, jsd])
+        return pd.Series(out)
+
+    return f
 
 
 def tdigest_trimmed_mean_udf(lo: float = 0.1, hi: float = 0.9):

@@ -450,6 +450,61 @@ def ks_of_centroids(
     return float(np.max(np.abs(ca / na[-1] - cb / nb[-1])))
 
 
+def psi_jsd_of_centroids(
+    means_a: np.ndarray,
+    ns_a: np.ndarray,
+    means_b: np.ndarray,
+    ns_b: np.ndarray,
+    bins: int = 10,
+    eps: float = 1e-6,
+) -> tuple[float, float]:
+    """Population Stability Index and Jensen–Shannon divergence between two
+    digests, binned on the REFERENCE side's (b) quantile grid — the other
+    two standard distribution-drift monitors next to ``ks_of_centroids``,
+    likewise computed from stored KB sketches with zero fact rescans.
+
+    Bin edges are b's ``bins``-quantiles (Nearest Rank in discrete mode, so
+    edges are exact data values); bin mass on each side is the step-CDF
+    difference P(e_{i-1} < X ≤ e_i).  Both masses are floored at ``eps``
+    before the logs (the standard PSI convention for empty bins; it also
+    keeps the JSD terms defined), so an empty-on-both-sides bin contributes
+    exactly 0.  PSI = Σ (p−q)·ln(p/q) ∈ [0, ∞); JSD = ½Σ p·ln(2p/(p+q)) +
+    ½Σ q·ln(2q/(p+q)) ∈ [0, ln 2].  With DISCRETE digests the bin masses
+    are the exact empirical masses, so both statistics are exactly
+    reproducible in SQL (``FILTER (WHERE v <= edge)`` counts + ``LN``).
+
+    Float determinism (the oracle hash relies on it): accumulation is a
+    plain Python sum in ascending-bin order over scalar ``math.log`` (the
+    same libm ``log`` a SQL engine calls); callers that hash results should
+    round (both sides identically) to absorb any engine sum-order ulp.
+    Empty on either side → (NaN, NaN).
+    """
+    if len(means_a) == 0 or len(means_b) == 0 or bins < 2:
+        return (float("nan"), float("nan"))
+    ps = [i / bins for i in range(1, bins)]
+    edges = quantiles_of_centroids(means_b, ns_b, ps, discrete=True)
+    ca = np.cumsum(ns_a)
+    cb = np.cumsum(ns_b)
+    # step CDF P(X <= e): cumulative count of means <= e, as exact doubles
+    fa = np.concatenate(([0.0], ca))[
+        np.searchsorted(means_a, edges, side="right")
+    ] / ca[-1]
+    fb = np.concatenate(([0.0], cb))[
+        np.searchsorted(means_b, edges, side="right")
+    ] / cb[-1]
+    fa = np.concatenate(([0.0], fa, [1.0]))
+    fb = np.concatenate(([0.0], fb, [1.0]))
+    psi = 0.0
+    jsd = 0.0
+    for i in range(bins):
+        p = max(float(fa[i + 1] - fa[i]), eps)
+        q = max(float(fb[i + 1] - fb[i]), eps)
+        psi += (p - q) * math.log(p / q)
+        m = p + q
+        jsd += 0.5 * p * math.log(2.0 * p / m) + 0.5 * q * math.log(2.0 * q / m)
+    return (psi, jsd)
+
+
 # ---------------------------------------------------------------------------
 # Sequential reference-parity digest
 # ---------------------------------------------------------------------------

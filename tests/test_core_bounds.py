@@ -223,3 +223,62 @@ def test_ks_compressed_within_summed_delta():
     approx = ks_of_centroids(da._means, da._ns, db._means, db._ns)
     # each side's CDF is within its rank-error bound -> KS within the sum
     assert abs(approx - exact) <= 0.02, (approx, exact)
+
+
+def _brute_psi_jsd(a: np.ndarray, b: np.ndarray, bins: int = 10,
+                   eps: float = 1e-6) -> tuple[float, float]:
+    """Textbook PSI/JSD over b's Nearest-Rank decile edges, from raw data."""
+    import math
+
+    sb = np.sort(b)
+    edges = [sb[math.ceil(len(sb) * i / bins) - 1] for i in range(1, bins)]
+    fa = np.concatenate(
+        ([0.0], np.searchsorted(np.sort(a), edges, side="right") / len(a), [1.0])
+    )
+    fb = np.concatenate(
+        ([0.0], np.searchsorted(sb, edges, side="right") / len(b), [1.0])
+    )
+    psi = jsd = 0.0
+    for i in range(bins):
+        p = max(float(fa[i + 1] - fa[i]), eps)
+        q = max(float(fb[i + 1] - fb[i]), eps)
+        psi += (p - q) * math.log(p / q)
+        jsd += 0.5 * p * math.log(2 * p / (p + q)) + 0.5 * q * math.log(
+            2 * q / (p + q)
+        )
+    return psi, jsd
+
+
+def test_psi_jsd_discrete_equals_brute_force():
+    from sketchlib.tdigest.core import psi_jsd_of_centroids
+
+    rng = np.random.default_rng(13)
+    a = rng.integers(0, 500, 20_000).astype(float)
+    b = (rng.integers(0, 500, 30_000) + rng.integers(0, 80, 30_000)).astype(float)
+    da, db = MergingDigest(discrete=True), MergingDigest(discrete=True)
+    da.update_batch(a), db.update_batch(b)
+    da.compress(), db.compress()
+    ma, na = da._means, da._ns
+    mb, nb = db._means, db._ns
+    psi, jsd = psi_jsd_of_centroids(ma, na, mb, nb)
+    bpsi, bjsd = _brute_psi_jsd(a, b)
+    # discrete digests are lossless -> identical bin masses, identical sums
+    assert psi == bpsi and jsd == bjsd
+    # laws: self-drift exactly 0 (every p == q), PSI >= 0, JSD in [0, ln 2]
+    assert psi_jsd_of_centroids(ma, na, ma, na) == (0.0, 0.0)
+    assert psi >= 0.0
+    assert 0.0 <= jsd <= np.log(2.0) + 1e-12
+    # disjoint supports: all of a's mass falls in b's first decile bin
+    # (p=1 vs q=0.1 there, eps vs 0.1 elsewhere) -> JSD ~0.52, >> same-ish
+    _, jsd_far = psi_jsd_of_centroids(ma, na, mb + 10_000.0, nb)
+    assert jsd_far > 0.5 and jsd_far > jsd
+
+
+def test_psi_jsd_empty_side_is_nan():
+    from sketchlib.tdigest.core import psi_jsd_of_centroids
+
+    e = np.empty(0)
+    m = np.array([1.0, 2.0])
+    n = np.array([3.0, 4.0])
+    assert all(np.isnan(v) for v in psi_jsd_of_centroids(e, e, m, n))
+    assert all(np.isnan(v) for v in psi_jsd_of_centroids(m, n, e, e))
