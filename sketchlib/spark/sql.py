@@ -24,7 +24,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql.pandas.functions import pandas_udf
-from pyspark.sql.types import BinaryType, DoubleType, IntegerType
+from pyspark.sql.types import ArrayType, BinaryType, DoubleType, IntegerType
 
 from sketchlib.tdigest.core import (
     MergingDigest,
@@ -121,6 +121,29 @@ def register_sql_functions(spark: SparkSession, delta: float = 0.01) -> None:
                 out.append(float(ks_of_centroids(ma, na, mb, nb)))
         return pd.Series(out, dtype="float64")
 
+    @pandas_udf(ArrayType(DoubleType()))
+    def tdigest_psi_jsd(dig_a: pd.Series, dig_b: pd.Series) -> pd.Series:
+        """array<double> [psi, jsd] between two digest columns — the SQL
+        form of ``tdigest_ops.tdigest_psi_jsd_udf`` at its defaults
+        (decile bins on the second argument's grid, eps 1e-6, 9-decimal
+        rounding).  NULL when either side is NULL or holds zero
+        centroids."""
+        from sketchlib.tdigest.core import psi_jsd_of_centroids
+
+        out = []
+        for a, b in zip(dig_a, dig_b):
+            if a is None or b is None or len(a) == 0 or len(b) == 0:
+                out.append(None)
+                continue
+            ma, na = bytes_to_centroids(bytes(a))
+            mb, nb = bytes_to_centroids(bytes(b))
+            if len(ma) == 0 or len(mb) == 0:
+                out.append(None)
+            else:
+                psi, jsd = psi_jsd_of_centroids(ma, na, mb, nb)
+                out.append([round(psi, 9), round(jsd, 9)])
+        return pd.Series(out)
+
     @pandas_udf(DoubleType())
     def tdigest_winsor_bound(dig: pd.Series, p: pd.Series) -> pd.Series:
         """Winsorize-bound helper: the rank-``p`` clip value read off a
@@ -182,6 +205,7 @@ def register_sql_functions(spark: SparkSession, delta: float = 0.01) -> None:
     spark.udf.register("tdigest_cdf", tdigest_cdf)
     spark.udf.register("tdigest_trimmed_mean", tdigest_trimmed_mean)
     spark.udf.register("tdigest_ks", tdigest_ks)
+    spark.udf.register("tdigest_psi_jsd", tdigest_psi_jsd)
     spark.udf.register("tdigest_winsor_bound", tdigest_winsor_bound)
     spark.udf.register("tdigest_size", tdigest_size)
     spark.udf.register("tdigest_count", tdigest_count)

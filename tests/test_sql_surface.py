@@ -292,3 +292,43 @@ def test_sql_tdigest_ks_null_on_empty_digest(spark):
     assert rows[0]["ks"] is None and rows[1]["ks"] is not None
     udf_rows = df.select(tdigest_ks_udf("a", "b").alias("ks")).collect()
     assert sorted([r["ks"] is None for r in udf_rows]) == [False, True]
+
+
+def test_sql_tdigest_psi_jsd(spark):
+    """The PSI/JSD drift monitor must be usable from plain SQL and equal the
+    DataFrame path (``tdigest_psi_jsd_udf``) exactly at the defaults."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from sketchlib.spark.queries import load
+    from sketchlib.spark.sql import register_sql_functions
+    from sketchlib.spark.tdigest_ops import tdigest_aggregate, tdigest_psi_jsd_udf
+
+    register_sql_functions(spark)
+    docs = load(spark, SF_SMALL, "documents")
+    per_lang = tdigest_aggregate(docs, ["lang"], "n_chars", discrete=True)
+    global_d = tdigest_aggregate(docs, [], "n_chars", discrete=True) \
+        .select(F.col("digest").alias("gdigest"))
+    j = per_lang.crossJoin(F.broadcast(global_d))
+    j.createOrReplaceTempView("pj_sql")
+
+    df_rows = {
+        r["lang"]: tuple(r["pj"])
+        for r in j.select(
+            "lang", tdigest_psi_jsd_udf()("digest", "gdigest").alias("pj")
+        ).collect()
+    }
+    sql_rows = {
+        r["lang"]: tuple(r["pj"])
+        for r in spark.sql(
+            "SELECT lang, tdigest_psi_jsd(digest, gdigest) AS pj FROM pj_sql"
+        ).collect()
+    }
+    assert sql_rows == df_rows and len(sql_rows) >= 3
+    assert all(
+        p >= 0.0 and 0.0 <= d <= math.log(2.0) for p, d in sql_rows.values()
+    )
+    assert spark.sql(
+        "SELECT tdigest_psi_jsd(CAST(NULL AS BINARY), CAST(NULL AS BINARY)) AS e"
+    ).collect()[0]["e"] is None
