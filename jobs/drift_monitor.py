@@ -20,9 +20,13 @@ the previous stored epoch, via ``digest_timeline``):
 Inputs are (key..., digest binary) tables as written by
 ``jobs/build_digests.py`` (or any ``tdigest_aggregate`` result).  For each
 key the job reports the two-sample KS distance between the stored digests,
-left/right values at the requested quantiles with their absolute deltas,
-ingested counts on both sides, and a ``drifted`` verdict (KS above the
-threshold, or the key present on only one side).  Everything is computed
+PSI and Jensen-Shannon divergence on the baseline side's decile grid
+(the three standard drift monitors from the same two sketches;
+``--psi-threshold`` adds PSI to the drift gate — 0.1/0.25 are the
+conventional watch/act cutoffs), left/right values at the requested
+quantiles with their absolute deltas, ingested counts on both sides, and
+a ``drifted`` verdict (KS above the threshold, PSI above its threshold
+when one is set, or the key present on only one side).  Everything is computed
 from the KB-scale sketch rows — the fact tables the digests summarize are
 NEVER rescanned, which is the point: at 100 TB this job costs seconds and
 can run after every ingest batch.
@@ -57,6 +61,10 @@ def main() -> int:
                     help="comma-separated key columns shared by both tables")
     ap.add_argument("--quantiles", default="0.5,0.95,0.99")
     ap.add_argument("--ks-threshold", type=float, default=0.1)
+    ap.add_argument("--psi-threshold", type=float, default=0.0,
+                    help="pair mode: also flag drift when PSI exceeds this "
+                         "(0.1 watch / 0.25 act by convention); 0 = report "
+                         "PSI/JSD but gate on KS only")
     ap.add_argument("--discrete", action="store_true",
                     help="digests were built in discrete mode")
     args = ap.parse_args()
@@ -142,19 +150,30 @@ def main() -> int:
         qcols += [ql.alias(f"{tag}_left"), qr.alias(f"{tag}_right"),
                   F.abs(qr - ql).alias(f"{tag}_abs_delta")]
 
+    from sketchlib.spark.tdigest_ops import tdigest_psi_jsd_udf
+
     ks = tdigest_ks_udf("digest_l", "digest_r").alias("ks")
+    # PSI/JSD bin on the SECOND argument's quantile grid: pass the LEFT
+    # (baseline) side there, per PSI convention (expected = baseline)
+    pj = tdigest_psi_jsd_udf()("digest_r", "digest_l")
+    ks_gate = F.col("ks") > F.lit(args.ks_threshold)
+    gate = (ks_gate | (F.col("psi") > F.lit(args.psi_threshold))
+            if args.psi_threshold > 0 else ks_gate)
     report = joined.select(
         *keys,
         ks,
+        pj[0].alias("psi"),
+        pj[1].alias("jsd"),
         F.col("count_l").alias("count_left"),
         F.col("count_r").alias("count_right"),
         *qcols,
     ).withColumn(
         "drifted",
-        # a key that appeared or disappeared IS drift; otherwise gate on KS
+        # a key that appeared or disappeared IS drift; otherwise gate on
+        # KS (and PSI when a threshold is set)
         F.when(F.col("count_left").isNull() | F.col("count_right").isNull(),
                F.lit(True))
-        .otherwise(F.col("ks") > F.lit(args.ks_threshold)),
+        .otherwise(gate),
     )
     report.write.mode("overwrite").parquet(args.output)
 
@@ -163,6 +182,8 @@ def main() -> int:
         F.count(F.lit(1)).alias("n_keys"),
         F.sum(F.col("drifted").cast("long")).alias("n_drifted"),
         F.max("ks").alias("max_ks"),
+        F.max("psi").alias("max_psi"),
+        F.max("jsd").alias("max_jsd"),
         F.sum(F.col("count_left").isNull().cast("long")).alias("new_keys"),
         F.sum(F.col("count_right").isNull().cast("long")).alias("gone_keys"),
     ).collect()[0]
@@ -170,9 +191,12 @@ def main() -> int:
         "n_keys": agg["n_keys"],
         "n_drifted": int(agg["n_drifted"] or 0),
         "max_ks": agg["max_ks"],
+        "max_psi": agg["max_psi"],
+        "max_jsd": agg["max_jsd"],
         "new_keys": int(agg["new_keys"] or 0),
         "gone_keys": int(agg["gone_keys"] or 0),
         "ks_threshold": args.ks_threshold,
+        "psi_threshold": args.psi_threshold,
         "output": args.output,
     }))
     drifted = int(agg["n_drifted"] or 0)

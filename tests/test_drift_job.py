@@ -49,8 +49,11 @@ def test_drift_monitor_end_to_end(spark, tmp_path, monkeypatch):
     rep = json.loads(capture[-1])
     assert rc == 0
     assert rep["n_drifted"] == 0 and rep["max_ks"] == 0.0
+    assert rep["max_psi"] == 0.0 and rep["max_jsd"] == 0.0
     r0 = spark.read.parquet(out0)
-    assert r0.filter("ks != 0.0 OR p5_abs_delta != 0.0").count() == 0
+    assert r0.filter(
+        "ks != 0.0 OR p5_abs_delta != 0.0 OR psi != 0.0 OR jsd != 0.0"
+    ).count() == 0
 
     # -- drift: one lang's lengths tripled, one lang dropped -------------------
     shifted = str(tmp_path / "shifted")
@@ -81,10 +84,28 @@ def test_drift_monitor_end_to_end(spark, tmp_path, monkeypatch):
     # delta is positive; untouched langs stay exactly at zero
     assert rows[hot]["drifted"] and rows[hot]["ks"] > 0.5
     assert rows[hot]["p95_abs_delta"] > 0
+    # tripled values leave the baseline's decile bins almost empty: PSI
+    # blows past the 0.25 "act" cutoff and JSD is well off zero
+    assert rows[hot]["psi"] > 0.25 and rows[hot]["jsd"] > 0.05
     assert rows[gone]["drifted"] and rows[gone]["ks"] is None
+    assert rows[gone]["psi"] is None and rows[gone]["jsd"] is None
     calm = [l for l in langs if l not in (hot, gone)]
     assert all(not rows[l]["drifted"] and rows[l]["ks"] == 0.0 for l in calm)
+    assert all(rows[l]["psi"] == 0.0 and rows[l]["jsd"] == 0.0 for l in calm)
     assert rep["n_drifted"] == 2
+
+    # -- PSI gate: a KS threshold too loose to fire, PSI threshold fires ------
+    out2 = str(tmp_path / "report2")
+    rc = _run(monkeypatch, job, [
+        "--left", base, "--right", shifted, "--key-cols", "lang",
+        "--discrete", "--ks-threshold", "0.99", "--psi-threshold", "0.25",
+        "--output", out2], capture)
+    rep2 = json.loads(capture[-1])
+    assert rc == 2 and rep2["psi_threshold"] == 0.25
+    rows2 = {r["lang"]: r for r in spark.read.parquet(out2).collect()}
+    # hot key: KS gate (0.99) can't fire, the PSI gate does
+    assert rows2[hot]["ks"] <= 0.99 and rows2[hot]["drifted"]
+    assert all(not rows2[l]["drifted"] for l in calm)
 
 def test_drift_monitor_timeline_mode(spark, tmp_path, monkeypatch):
     """--timeline mode: one per-epoch digest table -> per (key, epoch)
