@@ -98,14 +98,13 @@ def main() -> int:
         from sketchlib.spark.tdigest_ops import digest_timeline
 
         digs = spark.read.parquet(args.timeline)
+        ks_gate = F.col("ks_prev") > F.lit(args.ks_threshold)
+        gate = (ks_gate | (F.col("psi_prev") > F.lit(args.psi_threshold))
+                if args.psi_threshold > 0 else ks_gate)
         report = digest_timeline(
             digs, keys, args.epoch_col, ps=ps, discrete=args.discrete,
-            ma_window=args.ma_window,
-        ).withColumn(
-            "drifted",
-            F.coalesce(F.col("ks_prev") > F.lit(args.ks_threshold),
-                       F.lit(False)),
-        )
+            ma_window=args.ma_window, psi_jsd=True,
+        ).withColumn("drifted", F.coalesce(gate, F.lit(False)))
         report.write.mode("overwrite").parquet(args.output)
         out = spark.read.parquet(args.output)
         agg = out.agg(
@@ -113,6 +112,8 @@ def main() -> int:
             F.countDistinct(*keys).alias("n_keys"),
             F.sum(F.col("drifted").cast("long")).alias("n_drifted"),
             F.max("ks_prev").alias("max_ks"),
+            F.max("psi_prev").alias("max_psi"),
+            F.max("jsd_prev").alias("max_jsd"),
         ).collect()[0]
         print(json.dumps({
             "mode": "timeline",
@@ -120,7 +121,10 @@ def main() -> int:
             "n_keys": agg["n_keys"],
             "n_drifted": int(agg["n_drifted"] or 0),
             "max_ks": agg["max_ks"],
+            "max_psi": agg["max_psi"],
+            "max_jsd": agg["max_jsd"],
             "ks_threshold": args.ks_threshold,
+            "psi_threshold": args.psi_threshold,
             "output": args.output,
         }))
         drifted = int(agg["n_drifted"] or 0)

@@ -609,6 +609,7 @@ def digest_timeline(
     discrete: bool = False,
     digest_col: str = "digest",
     ma_window: int = 0,
+    psi_jsd: bool = False,
 ) -> DataFrame:
     """Windowed-trend report over a STORED per-epoch digest table: for each
     key, order the epochs and report per epoch the ingested count, the
@@ -632,7 +633,10 @@ def digest_timeline(
 
     Output columns: ``keys..., epoch_col, n, <ptag>, delta_<ptag> per
     requested quantile, ks_prev`` where ``<ptag>`` is e.g. ``p5`` for 0.5,
-    ``p95`` for 0.95.  The first stored epoch of each key has NULL deltas
+    ``p95`` for 0.95; ``psi_jsd=True`` appends ``psi_prev`` / ``jsd_prev``
+    (PSI and Jensen-Shannon divergence vs the previous stored epoch,
+    binned on the previous epoch's decile grid — baseline = expected, per
+    PSI convention).  The first stored epoch of each key has NULL deltas
     and NULL ``ks_prev`` (nothing to compare against); gaps in the epoch
     sequence compare against the previous STORED epoch, not the previous
     calendar epoch — a monitor should never silently skip a comparison
@@ -663,10 +667,18 @@ def digest_timeline(
         qcols.append((F.col("_q")[i] - F.col("_qprev")[i]).alias(f"delta_{tag}"))
         if wma is not None:
             qcols.append(F.avg(F.col("_q")[i]).over(wma).alias(f"ma_{tag}"))
-    return base.select(
+    cols = [
         *keys,
         epoch_col,
         "n",
         *qcols,
         tdigest_ks_udf("_dig", "_prev").alias("ks_prev"),
-    )
+    ]
+    if psi_jsd:
+        out = base.withColumn("_pj", tdigest_psi_jsd_udf()("_dig", "_prev"))
+        return out.select(
+            *cols,
+            F.col("_pj")[0].alias("psi_prev"),
+            F.col("_pj")[1].alias("jsd_prev"),
+        )
+    return base.select(*cols)

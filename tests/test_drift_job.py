@@ -162,12 +162,17 @@ def test_drift_monitor_timeline_mode(spark, tmp_path, monkeypatch):
         r1 = rows[(lg, 1)]
         assert r1["ks_prev"] == 0.0 and r1["delta_p5"] == 0.0
         assert not r1["drifted"]
-    # epoch 2: hot lang tripled -> big KS and positive p5 delta
+        assert r1["psi_prev"] == 0.0 and r1["jsd_prev"] == 0.0
+    # epoch 2: hot lang tripled -> big KS and positive p5 delta; PSI past
+    # the 0.25 "act" cutoff (baseline deciles nearly emptied)
     assert rows[(hot, 2)]["drifted"] and rows[(hot, 2)]["ks_prev"] > 0.5
     assert rows[(hot, 2)]["delta_p5"] > 0
+    assert rows[(hot, 2)]["psi_prev"] > 0.25
+    assert rows[(hot, 2)]["jsd_prev"] > 0.05
     # gap semantics: gappy's epoch 2 compares against its stored epoch 0
     rg = rows[(gappy, 2)]
     assert rg["ks_prev"] == 0.0 and rg["delta_p5"] == 0.0 and not rg["drifted"]
+    assert rg["psi_prev"] == 0.0 and rg["jsd_prev"] == 0.0
     calm = [l for l in langs if l not in (hot, gappy)]
     for lg in calm:
         r2 = rows[(lg, 2)]
