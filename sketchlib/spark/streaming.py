@@ -450,6 +450,85 @@ def streaming_sessions(
     )
 
 
+def streaming_drift_monitor(
+    stream: DataFrame,
+    keys: list[str],
+    value_col: str,
+    baseline: DataFrame,
+    ts_col: str = "warc_ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    delta: float = 0.01,
+    discrete: bool = False,
+    ks_threshold: float = 0.1,
+    psi_threshold: float = 0.0,
+    slide: str | None = None,
+    final: bool = False,
+) -> DataFrame:
+    """Streaming drift monitor: per-(keys × window) t-digests of the live
+    ingest, compared against a STORED baseline digest table — "alert when
+    today's ingest distribution departs from the released corpus", as a
+    stream.  The operational streaming form of ``jobs/drift_monitor.py``.
+
+    ``baseline`` is a static (keys..., digest) DataFrame — any
+    ``tdigest_aggregate`` result or a ``jobs/build_digests.py`` output
+    read back from parquet.  Mechanics: the windowed digest state runs in
+    ``streaming_tdigest`` (Update snapshots; ``final=True`` switches to
+    the emit-once Append shape of ``streaming_tdigest_final``), then a
+    stream-static LEFT join against the KB-scale baseline — Spark plans
+    the static side as a broadcast per micro-batch, so no streaming
+    shuffle is added — and the same ``tdigest_ks_udf`` /
+    ``tdigest_psi_jsd_udf`` scalar projections the batch job uses.
+
+    Output: (keys..., window_start, window_end, n, ks, psi, jsd, drifted).
+    A window whose key has NO baseline row IS drift (count it the way the
+    batch job counts appeared keys); otherwise drifted = ks > ks_threshold
+    (or psi > psi_threshold when one is set).  With ``discrete=True`` and
+    a discrete baseline every statistic is the exact KS/PSI/JSD of the
+    window's rows vs the baseline data, and stream ≡ batch bit-for-bit
+    (digests are byte-identical to the batch build; the UDFs are shared
+    code) — asserted in tests/test_streaming.py.
+
+    At 100 TB: state is one KB digest per live (key, window); the baseline
+    join side is KB–MB and broadcast; the scalar UDFs run on sketch rows
+    only.  Nothing in the plan scales with fact-row count except the
+    one-pass windowed ingest itself.
+    """
+    from sketchlib.spark.tdigest_ops import (
+        tdigest_count_udf,
+        tdigest_ks_udf,
+        tdigest_psi_jsd_udf,
+    )
+
+    build = streaming_tdigest_final if final else streaming_tdigest
+    digs = build(
+        stream, keys, value_col, ts_col=ts_col, window=window,
+        watermark=watermark, delta=delta, discrete=discrete, slide=slide,
+    )
+    base = baseline.select(*keys, F.col("digest").alias("_bdigest"))
+    joined = digs.join(F.broadcast(base), keys, "left")
+    pj = tdigest_psi_jsd_udf()("digest", "_bdigest")
+    ks_gate = F.col("ks") > F.lit(ks_threshold)
+    gate = (ks_gate | (F.col("psi") > F.lit(psi_threshold))
+            if psi_threshold > 0 else ks_gate)
+    return (
+        joined.withColumn("ks", tdigest_ks_udf("digest", "_bdigest"))
+        .withColumn("psi", pj[0])
+        .withColumn("jsd", pj[1])
+        .select(
+            *keys,
+            "window_start",
+            "window_end",
+            tdigest_count_udf("digest").cast("long").alias("n"),
+            "ks",
+            "psi",
+            "jsd",
+            F.when(F.col("_bdigest").isNull(), F.lit(True))
+            .otherwise(gate).alias("drifted"),
+        )
+    )
+
+
 def streaming_sketch(
     stream: DataFrame,
     keys: list[str],

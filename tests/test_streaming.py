@@ -589,3 +589,81 @@ def test_sliding_from_tumbling_two_level(spark, tmp_path):
         canon.merge_bytes(blob)
         assert bytes(canon.serialize()) == bytes(want.serialize()), (lang, anchor)
         assert 1 <= n_slides <= 3
+
+
+def test_streaming_drift_monitor_matches_batch(spark, tmp_path):
+    """streaming_drift_monitor: per-window digests vs a stored baseline as
+    a stream.  Discrete mode -> every ks/psi/jsd equals the batch-computed
+    statistic exactly; a key absent from the baseline is flagged; the PSI
+    gate fires where a loosened KS gate can't."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.streaming import streaming_drift_monitor
+    from sketchlib.spark.tdigest_ops import (
+        tdigest_aggregate,
+        tdigest_ks_udf,
+        tdigest_psi_jsd_udf,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_chunks(src)
+    static = spark.read.parquet(src)
+
+    # baseline: the "en" slice only -> "de" windows have no baseline row
+    baseline = tdigest_aggregate(
+        static.filter("lang = 'en'"), ["lang"], "n_chars", discrete=True
+    )
+
+    stream = spark.readStream.schema(static.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    out = streaming_drift_monitor(
+        stream, ["lang"], "n_chars", baseline,
+        ts_col="warc_ts", window="1 hour", watermark="10 hours",
+        discrete=True, ks_threshold=0.99, psi_threshold=0.25,
+    )
+    latest = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            latest[(r["lang"], r["window_start"])] = r
+
+    q = out.writeStream.outputMode("update").foreachBatch(sink).start()
+    q.processAllAvailable()
+    q.stop()
+
+    # batch reference: same digests, same UDFs
+    batch = static.withColumn("_w", F.window("warc_ts", "1 hour")).select(
+        "lang", F.col("_w.start").alias("window_start"), "n_chars"
+    )
+    pj = tdigest_psi_jsd_udf()
+    ref = {
+        (r["lang"], r["window_start"]): r
+        for r in tdigest_aggregate(
+            batch, ["lang", "window_start"], "n_chars", discrete=True
+        )
+        .join(
+            F.broadcast(baseline.select(
+                "lang", F.col("digest").alias("_b"))),
+            ["lang"], "left",
+        )
+        .select(
+            "lang", "window_start",
+            tdigest_ks_udf("digest", "_b").alias("ks"),
+            pj("digest", "_b").alias("_pj"),
+        ).collect()
+    }
+    assert set(latest) == set(ref) and len(ref) == 6
+    for k, r in ref.items():
+        got = latest[k]
+        if k[0] == "de":  # no baseline row -> NULL stats, flagged
+            assert got["ks"] is None and got["psi"] is None
+            assert got["drifted"]
+        else:
+            assert got["ks"] == r["ks"]  # bit-identical digests + same UDF
+            assert (got["psi"], got["jsd"]) == tuple(r["_pj"])
+            # en windows vs the full-en baseline: KS gate (0.99) can't
+            # fire; drift iff PSI says so
+            assert got["drifted"] == (got["psi"] > 0.25)
+    assert any(v["drifted"] for v in latest.values())
