@@ -202,3 +202,35 @@ def test_session_interval_merge_incremental_equals_batch(ts, splits, gap):
 
     got = sorted(zip(s.tolist(), l.tolist(), n.tolist()))
     assert got == sorted(batch_sessions(arr))
+
+
+@settings(max_examples=60, deadline=None)
+@given(value_lists, value_lists, st.integers(min_value=2, max_value=20))
+def test_psi_jsd_laws(a, b, bins):
+    """PSI >= 0 and JSD in [0, ln 2] on arbitrary data/bin counts; both are
+    exactly 0 for identical discrete digests; partition layout of the
+    build never changes either statistic (digests are layout-invariant)."""
+    import math
+
+    from sketchlib.tdigest.core import psi_jsd_of_centroids
+
+    def discrete_of(xs):
+        d = MergingDigest(discrete=True)
+        d.update_batch(np.asarray(xs, dtype=np.float64))
+        d.compress()
+        return d
+
+    da, db = discrete_of(a), discrete_of(b)
+    psi, jsd = psi_jsd_of_centroids(da._means, da._ns, db._means, db._ns, bins)
+    assert psi >= 0.0 and not math.isnan(psi)
+    assert -1e-15 <= jsd <= math.log(2.0) + 1e-12
+    assert psi_jsd_of_centroids(
+        da._means, da._ns, da._means, da._ns, bins) == (0.0, 0.0)
+    # layout invariance: build one side from a 3-way byte-concat split
+    k = max(1, len(a) // 3)
+    parts = [a[:k], a[k:2 * k], a[2 * k:]]
+    blob = b"".join(discrete_of(p).serialize() for p in parts if p)
+    dm = MergingDigest.deserialize(blob, discrete=True)
+    dm.compress()
+    assert psi_jsd_of_centroids(
+        dm._means, dm._ns, db._means, db._ns, bins) == (psi, jsd)
