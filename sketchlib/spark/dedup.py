@@ -1255,6 +1255,95 @@ def bloom_decontam_flags(
     return staged.mapInArrow(probe, schema=out_schema)
 
 
+def bloom_overlap_stats(
+    df: DataFrame,
+    bloom_blob: bytes,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 5,
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """GRADED corpus-overlap scoring against a Bloom filter of reference
+    n-grams: one row per input doc with ``n_windows`` (the doc's n-gram
+    window count), ``n_hits`` (windows probing positive) and
+    ``overlap_ratio`` = n_hits / n_windows — the graded form of
+    ``bloom_decontam_flags``'s boolean.  Use it where "contains ANY eval
+    n-gram" is the wrong bar: novelty scoring ("drop docs whose content
+    is >X% already in the reference corpus"), memorization auditing
+    (generated-text overlap with the training set), or soft
+    decontamination thresholds.
+
+    Zero false negatives inherit from the Bloom: a doc truly overlapping
+    the reference can never under-count below its true hit count, so
+    ``overlap_ratio`` is an upper-bound estimate whose error is
+    fpr-bounded per window and one-sided — a doc that IS a reference doc
+    scores exactly 1.0.  ``contaminated`` (n_hits > 0) is emitted too and
+    agrees with ``bloom_decontam_flags`` on the same blob by construction
+    (same kernel, same probe) for every doc with >= 1 token; NULL-text
+    AND empty-text docs have no windows here (ratio NULL — a ratio over
+    zero content is undefined), whereas the flags probe applies the
+    empty-matches-empty convention to empty-but-non-null text.
+
+    Same hot-path shape as the flags probe (one JVM token-hash pass, flat
+    Arrow buffer, ``poly_window_fold``, one vectorized ``contains_hashed``
+    per batch); a stateless projection, so it runs on a readStream
+    unchanged.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from sketchlib.bloom import Bloom
+    from sketchlib.hashing import poly_window_fold, xxh64_long
+
+    cols = [id_col] + list(keep or [])
+    d = with_tokens(df.select(*cols, text_col), text_col)
+    staged = d.select(*cols, _token_hash_expr(text_col).alias("_th"))
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(bytes(bloom_blob))
+    n = ngram
+
+    out_fields = [f.name for f in staged.schema.fields if f.name != "_th"]
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in staged.schema.fields
+         if f.name != "_th"]
+        + ["n_windows bigint", "n_hits bigint", "overlap_ratio double",
+           "contaminated boolean"]
+    )
+
+    def probe(batches):
+        b = Bloom.deserialize(bc.value)
+        for batch in batches:
+            i_th = batch.schema.get_field_index("_th")
+            col = batch.column(i_th)
+            offs = np.asarray(col.offsets, dtype=np.int64)
+            vals = np.asarray(col.values, dtype=np.int64)
+            nulls = np.asarray(col.is_null())
+            lens = np.diff(offs)
+            lens[nulls] = 0  # null-text docs: no windows
+            # unlike the flags probe, empty-but-non-null docs get NO
+            # fallback window here: a ratio over zero content is undefined
+            win, woffs = poly_window_fold(vals, offs, n, lens=lens)
+            hits = b.contains_hashed(xxh64_long(win))
+            hc = np.concatenate([[0], np.cumsum(hits)])
+            n_hits = hc[woffs[1:]] - hc[woffs[:-1]]
+            n_win = woffs[1:] - woffs[:-1]
+            ratio = np.where(n_win > 0, n_hits / np.maximum(n_win, 1), np.nan)
+            arrays = [batch.column(j) for j, f in enumerate(batch.schema)
+                      if f.name != "_th"]
+            yield pa.RecordBatch.from_arrays(
+                arrays + [
+                    pa.array(n_win),
+                    pa.array(n_hits),
+                    pa.array(ratio, type=pa.float64(), from_pandas=True),
+                    pa.array(n_hits > 0),
+                ],
+                names=out_fields + ["n_windows", "n_hits", "overlap_ratio",
+                                    "contaminated"],
+            )
+
+    return staged.mapInArrow(probe, schema=out_schema)
+
+
 # ---------------------------------------------------------------------------
 # Cross-document paragraph dedup (boilerplate removal)
 # ---------------------------------------------------------------------------

@@ -713,3 +713,88 @@ def test_minhash_unknown_kernel_raises(spark):
 
     with pytest.raises(ValueError, match="unknown kernel"):
         minhash_signatures(_docs(spark), kernel="nope")
+
+
+def test_bloom_overlap_stats(spark, tmp_path):
+    """Graded corpus-overlap scoring: exact agreement with a driver-side
+    recompute through the same kernels, consistency with the boolean flags
+    probe, ratio exactly 1.0 for a doc that IS a reference doc, NULL ratio
+    for null/empty text, and batch == readStream (stateless projection)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from sketchlib.bloom import Bloom
+    from sketchlib.hashing import poly_window_fold, xxh64_long
+    from sketchlib.spark.dedup import (
+        bloom_decontam_flags,
+        bloom_overlap_stats,
+        eval_ngram_bloom,
+    )
+
+    ev = spark.createDataFrame(
+        [(100, "a b c d e f"), (101, "x y z w v u t")],
+        "doc_id long, text string")
+    rows = [
+        (1, "a b c d e f"),            # IS eval doc 100 -> ratio 1.0
+        (2, "p q a b c d e r s t u"),  # one eval 5-gram among 7 windows
+        (3, "m n o p q r s"),          # disjoint -> 0 (modulo fpr, tiny here)
+        (4, None),                     # null text -> NULL ratio
+        (5, ""),                       # empty text -> NULL ratio
+        (6, "x y"),                    # short doc: ONE fallback window, miss
+        (7, "x y z w v"),              # short-vs-5? 5 tokens = 1 window, hit
+    ]
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    blob = eval_ngram_bloom(ev, ngram=5, fpr=1e-6)
+
+    got = {r["doc_id"]: r for r in bloom_overlap_stats(
+        train, blob, ngram=5).collect()}
+    assert got[1]["overlap_ratio"] == 1.0 and got[1]["contaminated"]
+    assert got[2]["n_windows"] == 7 and got[2]["n_hits"] == 1
+    assert got[2]["overlap_ratio"] == 1.0 / 7.0
+    assert got[3]["n_hits"] == 0 and not got[3]["contaminated"]
+    assert got[4]["n_windows"] == 0 and got[4]["overlap_ratio"] is None
+    assert got[5]["n_windows"] == 0 and got[5]["overlap_ratio"] is None
+    assert got[6]["n_windows"] == 1 and got[6]["n_hits"] == 0
+    # 5 tokens with n=5: exactly one full window, present in eval doc 101
+    assert got[7]["n_windows"] == 1 and got[7]["overlap_ratio"] == 1.0
+
+    # driver-side recompute through the same kernels (different plumbing):
+    # JVM token hashes pulled via a plain select, then numpy fold + probe
+    b = Bloom.deserialize(blob)
+    tok = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id",
+        F.when(F.col("text").isNotNull(),
+               F.transform(F.filter(F.split("text", " "),
+                                    lambda w: w != ""),
+                           lambda t: F.xxhash64(t))).alias("th"),
+    ).collect()
+    for r in tok:
+        if r["th"] is None or len(r["th"]) == 0:
+            assert got[r["doc_id"]]["n_windows"] == 0
+            continue
+        vals = np.array(r["th"], dtype=np.int64)
+        offs = np.array([0, len(vals)], dtype=np.int64)
+        win, _ = poly_window_fold(vals, offs, 5)
+        hits = int(b.contains_hashed(xxh64_long(win)).sum())
+        assert got[r["doc_id"]]["n_windows"] == len(win)
+        assert got[r["doc_id"]]["n_hits"] == hits
+
+    # boolean consistency with the flags probe on every >=1-token doc
+    flags = {r["doc_id"]: r["contaminated"] for r in bloom_decontam_flags(
+        train, blob, ngram=5).collect()}
+    for did, r in got.items():
+        if r["n_windows"] > 0:
+            assert r["contaminated"] == flags[did]
+
+    # stateless -> identical on a readStream
+    src = str(tmp_path / "overlap_src")
+    train.write.parquet(src)
+    stream = spark.readStream.schema(train.schema).parquet(src)
+    out = []
+    q = bloom_overlap_stats(stream, blob, ngram=5).writeStream.outputMode(
+        "append").foreachBatch(
+        lambda bdf, _i: out.extend(bdf.collect())).start()
+    q.processAllAvailable(); q.stop()
+    streamed = {r["doc_id"]: r for r in out}
+    assert {d: tuple(r) for d, r in streamed.items()} == {
+        d: tuple(r) for d, r in got.items()}
