@@ -7,7 +7,8 @@ held-out benchmark/eval content, by word n-gram overlap.
         --train s3://.../pages/ --eval s3://.../benchmarks/ \
         --output /warehouse/clean \
         [--id-col doc_id] [--text-col text] [--ngram 5] \
-        [--max-containment 0.0] [--mode filter|flag] [--no-broadcast-eval]
+        [--max-containment 0.0] [--mode filter|flag] [--no-broadcast-eval] \
+        [--engine exact|bloom] [--bloom-fpr 1e-4]
 
 Semantics (see ``sketchlib.spark.dedup.contamination_hits``): a train doc's
 containment is (distinct n-grams shared with the eval corpus) / (its
@@ -22,6 +23,13 @@ per-doc stats come from one map-side-combined aggregate.  ``--mode
 filter`` re-reads the train input and keeps clean ids via a join on the
 (contaminated-only, hence tiny) flag set — broadcast anti-join at real
 scale; ``--mode flag`` just writes the per-doc stats table for audits.
+
+``--engine bloom`` swaps in the sketch path: the eval n-gram set becomes
+ONE Bloom blob (``eval_ngram_bloom``) and the train side is scored by the
+stateless graded probe (``bloom_overlap_stats`` — per-doc window-overlap
+ratio, zero false negatives, extra drops fpr-bounded by ``--bloom-fpr``).
+Use it when the eval corpus is rebuilt rarely and probed often, or when
+the probe must also run on a stream.
 """
 
 from __future__ import annotations
@@ -46,6 +54,16 @@ def main() -> None:
     ap.add_argument("--hashed", action="store_true",
                     help="64-bit hashed n-grams (the web-scale mode: ~2x "
                          "shingle build, 8 B/n-gram broadcast)")
+    ap.add_argument("--engine", choices=["exact", "bloom"], default="exact",
+                    help="'bloom' compresses the eval n-gram set into one "
+                         "KB-MB Bloom blob and scores the train side with "
+                         "the stateless graded probe "
+                         "(dedup.bloom_overlap_stats): zero false "
+                         "negatives, fpr-bounded extra drops, per-doc "
+                         "window-overlap ratio instead of distinct-n-gram "
+                         "containment")
+    ap.add_argument("--bloom-fpr", type=float, default=1e-4,
+                    help="bloom engine: per-window false-positive rate")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -60,18 +78,35 @@ def main() -> None:
     eval_df = spark.read.parquet(args.eval_path)
     t0 = time.time()
 
-    stats = contamination_hits(
-        train,
-        eval_df,
-        id_col=args.id_col,
-        text_col=args.text_col,
-        ngram=args.ngram,
-        broadcast_eval=not args.no_broadcast_eval,
-        hashed=args.hashed,
-    )
-    contaminated = stats.filter(
-        F.col("containment") > args.max_containment
-    ).select(args.id_col, "n_ngrams", "n_hits", "containment")
+    if args.engine == "bloom":
+        from sketchlib.spark.dedup import bloom_overlap_stats, eval_ngram_bloom
+
+        blob = eval_ngram_bloom(
+            eval_df, ngram=args.ngram, fpr=args.bloom_fpr,
+            id_col=args.id_col, text_col=args.text_col,
+        )
+        stats = bloom_overlap_stats(
+            train, blob, id_col=args.id_col, text_col=args.text_col,
+            ngram=args.ngram,
+        )
+        # NULL ratio (no windows) is clean, matching the exact path's
+        # equi-join semantics for null/empty text
+        contaminated = stats.filter(
+            F.col("overlap_ratio") > args.max_containment
+        ).select(args.id_col, "n_windows", "n_hits", "overlap_ratio")
+    else:
+        stats = contamination_hits(
+            train,
+            eval_df,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            ngram=args.ngram,
+            broadcast_eval=not args.no_broadcast_eval,
+            hashed=args.hashed,
+        )
+        contaminated = stats.filter(
+            F.col("containment") > args.max_containment
+        ).select(args.id_col, "n_ngrams", "n_hits", "containment")
 
     if args.mode == "flag":
         stats.write.mode("overwrite").parquet(args.output)
@@ -88,6 +123,7 @@ def main() -> None:
 
     print(json.dumps({
         "mode": args.mode,
+        "engine": args.engine,
         "train_rows": n_total,
         "contaminated_rows": n_bad,
         "ngram": args.ngram,

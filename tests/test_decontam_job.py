@@ -80,3 +80,59 @@ def test_decontaminate_job_both_modes(spark, tmp_path, monkeypatch):
     all_ids = set(oracle)
     assert clean_ids == all_ids - want_bad
     assert report["contaminated_rows"] == len(want_bad)
+
+
+def test_decontaminate_job_bloom_engine(spark, tmp_path, monkeypatch):
+    """--engine bloom: zero false negatives (every doc the exact engine
+    drops is dropped), extra drops fpr-bounded (none at fpr 1e-6 on this
+    corpus), flag mode emits the graded overlap columns."""
+    sys.path.insert(0, "jobs")
+    import decontaminate_corpus as job
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text")
+    train_df = docs.filter("doc_id % 23 != 0")
+    eval_df = docs.filter("doc_id % 23 = 0")
+    train_path, eval_path = str(tmp_path / "train"), str(tmp_path / "eval")
+    train_df.write.parquet(train_path)
+    eval_df.write.parquet(eval_path)
+
+    oracle = _py_contaminated(
+        [(r["doc_id"], r["text"]) for r in train_df.collect()],
+        [(r["doc_id"], r["text"]) for r in eval_df.collect()],
+        ngram=4,
+    )
+    want_bad = {i for i, (n, h) in oracle.items() if h > 0}
+
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    capture = []
+    monkeypatch.setattr("builtins.print", lambda s: capture.append(s))
+
+    out_filter = str(tmp_path / "clean_bloom")
+    monkeypatch.setattr(sys, "argv", [
+        "job", "--train", train_path, "--eval", eval_path,
+        "--output", out_filter, "--ngram", "4", "--mode", "filter",
+        "--engine", "bloom", "--bloom-fpr", "1e-6"])
+    job.main()
+    report = json.loads(capture[-1])
+    assert report["engine"] == "bloom"
+    clean_ids = {r["doc_id"]
+                 for r in spark.read.parquet(out_filter).collect()}
+    # zero FN: nothing the exact oracle drops survives
+    assert not (clean_ids & want_bad)
+    # at fpr 1e-6 on 500 docs no false positive fires -> exact agreement
+    assert clean_ids == set(oracle) - want_bad
+
+    out_flag = str(tmp_path / "flag_bloom")
+    monkeypatch.setattr(sys, "argv", [
+        "job", "--train", train_path, "--eval", eval_path,
+        "--output", out_flag, "--ngram", "4", "--mode", "flag",
+        "--engine", "bloom", "--bloom-fpr", "1e-6"])
+    job.main()
+    got = spark.read.parquet(out_flag)
+    assert {"n_windows", "n_hits", "overlap_ratio", "contaminated"} <= set(
+        got.columns)
+    graded = {r["doc_id"]: r for r in got.collect()}
+    # window-grain hits imply the exact path's distinct-gram hits and
+    # vice versa (same n-gram universe)
+    assert {i for i, r in graded.items() if r["n_hits"] > 0} == want_bad
