@@ -1832,3 +1832,74 @@ def canonical_url(url, fold_scheme: bool = True,
     return F.when(
         scheme.isin("http", "https") & host.isNotNull(), rebuilt
     ).otherwise(c)
+
+
+def frequent_phrases(
+    df: DataFrame,
+    ngram: int = 5,
+    k: int = 20,
+    m: int = 256,
+    keys: list[str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Boilerplate-phrase miner: the ``k`` most document-frequent word
+    ``ngram``-grams of the corpus ("All rights reserved", cookie banners,
+    newsletter prompts, templated navigation) — the diagnostic a curation
+    pipeline runs BEFORE writing its filter rules, and the direct input to
+    a paragraph/phrase blocklist.  Optional ``keys`` (e.g. ``["lang"]``)
+    mine per group.
+
+    Two stages, both scale-safe:
+
+    1. Candidate discovery — one scan: within-doc-DISTINCT phrase strings
+       (``dedup.shingle_sets``) feed a Misra–Gries summary via the
+       two-phase ``sketch_aggregate`` plan (map-side partials, KB sketch
+       rows shuffled, never the phrases).  MG's deterministic guarantee
+       (pytest law): EVERY phrase whose doc-frequency exceeds
+       n_pairs/(m+1) survives into the candidate set — the miss bound is
+       structural, not probabilistic.
+    2. Exact recovery — one more scan: the ≤m candidate phrases per group
+       are broadcast back, hits grouped on (keys, phrase) for EXACT
+       document frequencies (the shingle set is within-doc distinct, so
+       ``count(*)`` IS n_docs), and the top ``k`` per group kept via a
+       rank window (partial WindowGroupLimit below one KB-scale
+       Exchange).
+
+    Output: (keys..., phrase, n_docs, est_lower) ordered by n_docs
+    descending within each group; ``est_lower`` is stage 1's MG count
+    (an underestimate by ≤ n_pairs/(m+1) — the standard MG bound).
+    Docs shorter than ``ngram`` tokens contribute their whole text as one
+    phrase (the ``shingle_sets`` fallback convention).
+    """
+    from sketchlib.spark.dedup import shingle_sets
+    from sketchlib.spark.sketch_ops import mg_items_udf, sketch_aggregate
+
+    keys = list(keys or [])
+    cols = [id_col] + keys
+    sh = shingle_sets(
+        df.select(*cols, text_col), id_col=id_col, text_col=text_col,
+        ngram=ngram, keep=keys,
+    ).filter(F.col("shingle").isNotNull())
+    sk = sketch_aggregate(sh, keys, "shingle", "mg", {"m": m})
+    cands = (
+        sk.select(*keys, F.explode(mg_items_udf()("sketch")).alias("kv"))
+        .select(*keys, F.col("kv.item").alias("shingle"),
+                F.col("kv.est").alias("est_lower"))
+    )
+    exact = (
+        sh.join(F.broadcast(cands), keys + ["shingle"])
+        .groupBy(*keys, "shingle", "est_lower")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    w = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    ranked = exact.withColumn(
+        "_rk",
+        F.row_number().over(w.orderBy(F.desc("n_docs"), F.asc("shingle"))),
+    )
+    return (
+        ranked.filter(F.col("_rk") <= k)
+        .select(*keys, F.col("shingle").alias("phrase"), "n_docs",
+                "est_lower")
+        .orderBy(*keys, F.desc("n_docs"), "phrase")
+    )

@@ -291,3 +291,67 @@ def test_quality_keep_expr_equals_naive_string_form(spark):
             (F.size("tokens") >= min_tokens)
             & ((n_total - n_distinct) * 1000 <= n_total * num)).collect()}
         assert got == want, (min_tokens, frac, ng, got ^ want)
+
+
+def test_frequent_phrases_boilerplate_miner(spark):
+    """Planted boilerplate dominates; exact doc-frequencies match a pure
+    python recompute; the MG structural guarantee holds (every phrase with
+    doc-freq > n_pairs/(m+1) is in the candidate output at k = m)."""
+    import itertools
+
+    from sketchlib.spark.textops import frequent_phrases
+
+    filler = ["alpha bravo charlie delta echo foxtrot golf hotel",
+              "india juliet kilo lima mike november oscar papa",
+              "quebec romeo sierra tango uniform victor whiskey xray"]
+    boiler = "subscribe to our newsletter now"
+    rows = []
+    for i in range(120):
+        body = filler[i % 3]
+        text = f"{body} {boiler}" if i % 2 == 0 else f"{body} token{i} end"
+        rows.append((i, "en" if i % 4 else "de", text))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    got = frequent_phrases(df, ngram=5, k=5, m=64).collect()
+    assert got[0]["phrase"] == boiler and got[0]["n_docs"] == 60
+    # est_lower is an MG underestimate, never above the exact count
+    assert all(r["est_lower"] <= r["n_docs"] for r in got)
+
+    # python oracle: within-doc-distinct 5-gram doc frequencies
+    def grams(t):
+        toks = [w for w in t.split(" ") if w]
+        return {" ".join(toks[i:i + 5]) for i in range(len(toks) - 4)} \
+            if len(toks) >= 5 else {t}
+
+    from collections import Counter
+    dfreq = Counter()
+    for _i, _l, t in rows:
+        dfreq.update(grams(t))
+    want_top = sorted(dfreq.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [(r["phrase"], r["n_docs"]) for r in got] == want_top
+
+    # structural guarantee at k = m: candidates hold every phrase whose
+    # doc-freq exceeds n_pairs/(m+1)
+    m = 64
+    n_pairs = sum(len(grams(t)) for _i, _l, t in rows)
+    heavy = {p for p, c in dfreq.items() if c > n_pairs / (m + 1)}
+    all_cands = {r["phrase"] for r in frequent_phrases(
+        df, ngram=5, k=m, m=m).collect()}
+    assert heavy <= all_cands
+
+    # per-key mining: per-lang top-1 with the oracle's tie-break (count
+    # desc, phrase asc).  Every de doc (i % 4 == 0, all even) carries the
+    # boilerplate so it wins there outright; in en it TIES the first
+    # filler 5-gram at 30 docs and the alphabetical tie-break decides.
+    by_lang = frequent_phrases(df, ngram=5, k=1, m=64, keys=["lang"]).collect()
+    per = {r["lang"]: r for r in by_lang}
+    want_lang = {}
+    for lang in ("en", "de"):
+        c = Counter()
+        for _i, lg, t in rows:
+            if lg == lang:
+                c.update(grams(t))
+        want_lang[lang] = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    assert per["de"]["phrase"] == boiler and per["de"]["n_docs"] == 30
+    for lang in ("en", "de"):
+        assert (per[lang]["phrase"], per[lang]["n_docs"]) == want_lang[lang]
