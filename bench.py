@@ -128,12 +128,15 @@ def main() -> None:
         "sketch_source_counts",
         "sketch_laws_summary", "text_doc_features",
         "text_quality_langid_by_lang",
-        "dedup_exact_keepers", "dedup_jaccard_pairs",
-        "dedup_minhash_lsh_pairs", "dedup_simhash_hamming",
+        # dedup_neardup_pairs <- dedup_jaccard_pairs
+        #                       + dedup_minhash_lsh_pairs (r4 fold)
+        "dedup_exact_keepers", "dedup_neardup_pairs", "dedup_simhash_hamming",
         # ann_exact_cosine <- ann_topk_cosine + emb_cosine_pairs (r4 fold)
         "ann_exact_cosine", "media_meta_frames",
         "pipeline_clean_corpus", "ann_ivf_topk_recall",
-        "td_cube_lang_source", "td_weighted_lineitem",
+        # td_tpch_digests <- td_weighted_lineitem
+        #                   + td_order_value_by_nation (r4 fold)
+        "td_cube_lang_source", "td_tpch_digests",
     }
     missing_r01 = sorted(r01 - set(times))
     out = {

@@ -1344,6 +1344,112 @@ def bloom_overlap_stats(
     return staged.mapInArrow(probe, schema=out_schema)
 
 
+def fuzzy_decontam_pairs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    broadcast_eval: bool = True,
+    max_bucket_size: int | None = None,
+    measure: str = "jaccard",
+    hashed_shingles: bool = False,
+) -> DataFrame:
+    """NEAR-DUPLICATE test-set decontamination (asymmetric LSH): every
+    (train doc, eval doc) pair whose word-``ngram`` similarity is >=
+    ``threshold``.  Exact n-gram containment (``contamination_hits``/
+    the Bloom probes) catches verbatim leakage; this catches the
+    paraphrased/lightly-edited/template-shifted contamination exact
+    n-grams miss — the fuzzy pass LLM decontamination pipelines run
+    next to the exact one.
+
+    Scale design (train = the 10^12-doc corpus, eval = benchmark suites,
+    ~10^4-10^6 docs — asymmetry is the whole lever):
+
+    - both sides are signed with the SAME deterministic minhash family
+      (``minhash_signatures``; seeded ``xxhash64``, no RNG state), so
+      signatures built on different days/clusters compose;
+    - the banded EVAL side is KB-MB-scale and broadcast
+      (``broadcast_eval=True``): candidate discovery is a map-side hash
+      join against the train scan — the train corpus never shuffles to
+      discover candidates;
+    - exact verification joins shingles of the CANDIDATE train docs only
+      (left-semi pruned before persisting anything) against eval
+      shingles, grouped per pair — no false positives; recall loss is
+      the banding curve ``1-(1-t^r)^b``, identical to
+      ``minhash_lsh_dedup_pairs``;
+    - ``measure="containment_eval"`` thresholds ``n_common / n_eval``
+      (the share of the EVAL doc present in the train doc) — the
+      decontam-grade asymmetric signal: a benchmark question embedded in
+      a long page scores ~1.0 even though Jaccard is tiny.  MinHash
+      banding estimates JACCARD, so for containment discovery pass a
+      lower banding threshold upstream (see ``ngram_jaccard_pairs``'s
+      containment note); the default jaccard mode keeps discovery and
+      verification aligned.
+
+    Output: (train_id, eval_id, n_common, n_train, n_eval, <measure>).
+    Ids may overlap between the two corpora — pairs are keyed by role,
+    never by ``a<b`` ordering.  Downstream: ``groupBy(train_id)`` for
+    doc flags, or anti-join the keeper set.
+    """
+    rpb = num_perm // bands
+    sig_t = minhash_signatures(train, id_col, text_col, ngram, num_perm)
+    sig_e = minhash_signatures(eval_df, id_col, text_col, ngram, num_perm)
+    bt = banded_signatures(sig_t, id_col, bands, rpb)
+    be = banded_signatures(sig_e, id_col, bands, rpb).select(
+        F.col(id_col).alias("eval_id"), "band", "bh"
+    )
+    bt = _cap_buckets(bt, ["band", "bh"], max_bucket_size)
+    if broadcast_eval:
+        be = F.broadcast(be)
+    cand = (
+        bt.join(be, ["band", "bh"])
+        .select(F.col(id_col).alias("train_id"), "eval_id")
+        .distinct()
+    )
+    maker = hashed_shingle_sets if hashed_shingles else shingle_sets
+    sh_t = maker(train, id_col, text_col, ngram)
+    sh_e = maker(eval_df, id_col, text_col, ngram)
+    cand = cand.cache()
+    sh_t = sh_t.join(
+        F.broadcast(cand.select(F.col("train_id").alias(id_col)).distinct()),
+        id_col, "left_semi",
+    ).select(F.col(id_col).alias("train_id"), "shingle")
+    sh_e = sh_e.join(
+        F.broadcast(cand.select(F.col("eval_id").alias(id_col)).distinct()),
+        id_col, "left_semi",
+    ).select(F.col(id_col).alias("eval_id"), "shingle")
+    from pyspark.storagelevel import StorageLevel
+
+    sh_t = sh_t.persist(StorageLevel.MEMORY_AND_DISK)
+    sh_e = sh_e.persist(StorageLevel.MEMORY_AND_DISK)
+    n_t = sh_t.groupBy("train_id").agg(F.count("*").alias("n_train"))
+    n_e = sh_e.groupBy("eval_id").agg(F.count("*").alias("n_eval"))
+    common = (
+        sh_t.join(sh_e, "shingle")
+        .join(cand, ["train_id", "eval_id"], "left_semi")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    if measure == "jaccard":
+        sim = F.col("n_common") / (
+            F.col("n_train") + F.col("n_eval") - F.col("n_common"))
+    elif measure == "containment_eval":
+        sim = F.col("n_common") / F.col("n_eval")
+    else:
+        raise ValueError(f"unknown measure {measure!r}")
+    return (
+        common.join(n_t, "train_id")
+        .join(F.broadcast(n_e), "eval_id")
+        .withColumn(measure, sim)
+        .filter(F.col(measure) >= threshold)
+        .select("train_id", "eval_id", "n_common", "n_train", "n_eval", measure)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Cross-document paragraph dedup (boilerplate removal)
 # ---------------------------------------------------------------------------

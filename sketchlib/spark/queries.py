@@ -540,22 +540,90 @@ def q_dedup_exact_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_keepers(load(spark, sf_dir, "documents"))
 
 
-def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard pairs >= 0.8 via shingle self-join —
-    the verification-grade (O(n^2)-ish) path LSH discovery is checked
-    against."""
-    from sketchlib.spark.dedup import ngram_jaccard_pairs
+def q_dedup_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOLD of the two near-dup pair paths (r4 slot consolidation —
+    previously gated separately as dedup_jaccard_pairs +
+    dedup_minhash_lsh_pairs, both green since r01 against the SAME exact
+    SQL oracle): the exact word-3-gram shingle self-join AND the
+    MinHash → LSH banding → exact-verify discovery both run, full-outer
+    joined per (a_id, b_id), so one entry gates each path's pair set AND
+    their per-pair agreement (``paths_agree`` — LSH recall is 1.0 at
+    these params on well-separated planted near-dups, P[miss | J=0.9]
+    ~= 4e-8; a pair surfaced by only one path keeps NULL stats and a
+    false verdict, failing the hash gate)."""
+    from sketchlib.spark.dedup import minhash_lsh_dedup_pairs, ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
+    docs = load(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(docs, threshold=0.8)
+    lsh = minhash_lsh_dedup_pairs(docs, threshold=0.8).select(
+        "a_id", "b_id",
+        F.col("n_common").alias("_nc"), F.col("jaccard").alias("_j"),
+    )
+    return exact.join(lsh, ["a_id", "b_id"], "full_outer").select(
+        "a_id", "b_id", "n_common", "n_a", "n_b", "jaccard",
+        (F.col("n_common").isNotNull() & F.col("_nc").isNotNull()
+         & (F.col("_nc") == F.col("n_common"))
+         & (F.col("_j") == F.col("jaccard"))).alias("paths_agree"),
+    )
 
 
-def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH discovery + exact verification; oracle is the exact-Jaccard pair
-    SQL — equality holds because candidate recall is 1.0 at these params on
-    well-separated planted near-dups (P[miss | J=0.9] ~= 4e-8)."""
-    from sketchlib.spark.dedup import minhash_lsh_dedup_pairs
+def q_frequent_phrases_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-phrase miner (``textops.frequent_phrases``): the 10 most
+    document-frequent word bigrams per lang — MG candidate discovery (one
+    scan, KB sketch rows shuffle) + exact doc-frequency recovery (second
+    scan, broadcast candidates, partial-top-k window).  Gated at
+    m=1024 > the corpus's distinct-bigram count per lang (fixed 31-token
+    synthetic vocab → ≤ 961 bigrams at ANY scale factor), so the MG stage
+    is unsaturated: candidates are the full vocabulary with EXACT counts,
+    the recovered top-k is exactly the SQL top-k, and ``est_lower`` equals
+    ``n_docs`` — the same full-capacity gating trick as
+    mg_sources_by_lang (the saturated n/(m+1) bounds are pytest laws:
+    tests/test_textops.py plants boilerplate against a python oracle)."""
+    from sketchlib.spark.textops import frequent_phrases
 
-    return minhash_lsh_dedup_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return frequent_phrases(docs, ngram=2, k=10, m=1024, keys=["lang"])
+
+
+_FREQ_PHRASES_SQL = f"""
+WITH t AS (SELECT doc_id, lang, text, {_TOKS} AS tk FROM documents),
+sh AS (
+  SELECT doc_id, lang, unnest(
+    CASE WHEN len(tk) >= 2 THEN
+      list_distinct(list_transform(range(1, len(tk)),
+                                   i -> array_to_string(tk[i:i+1], ' ')))
+    ELSE [text] END) AS phrase
+  FROM t WHERE text IS NOT NULL
+), df AS (
+  SELECT lang, phrase, count(*)::BIGINT AS n_docs FROM sh GROUP BY 1, 2
+), rk AS (
+  SELECT lang, phrase, n_docs,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_docs DESC, phrase) AS r
+  FROM df
+)
+SELECT lang, phrase, n_docs, n_docs AS est_lower FROM rk WHERE r <= 10
+"""
+
+
+def q_decontam_fuzzy_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUP decontamination (``dedup.fuzzy_decontam_pairs``): train
+    docs (doc_id % 5 != 0) near-duplicate to ANY eval doc (doc_id % 5 ==
+    0) at word-3-gram Jaccard >= 0.8 — the fuzzy pass that catches the
+    paraphrased/edited contamination the exact n-gram containment gate
+    (decontam_eval_overlap) misses.  Discovery is the asymmetric LSH
+    join: the banded EVAL side broadcasts, the train corpus never
+    shuffles to find candidates; verification is exact shingle Jaccard
+    per candidate pair.  The oracle recomputes the full cross-split
+    exact-Jaccard join; equality holds because banding recall at these
+    params is ~1 on the planted near-dups (same curve as
+    dedup_neardup_pairs)."""
+    from sketchlib.spark.dedup import fuzzy_decontam_pairs
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    ev = docs.filter(F.col("doc_id") % 5 == 0)
+    return fuzzy_decontam_pairs(train, ev, threshold=0.8)
 
 
 def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -716,6 +784,28 @@ SELECT k AS l_returnflag,
        max(total) AS total_weight
 FROM s GROUP BY k
 """
+
+
+def q_td_tpch_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOLD of the two TPC-H-shaped digest queries (r4 slot consolidation
+    — previously gated separately as td_weighted_lineitem +
+    td_order_value_by_nation, both green since r01/r02): weighted ingest
+    over lineitem (reference ``add ~n``) and the broadcast-join
+    composition over orders ⋈ customer ⋈ nation, union-tagged on
+    ``scope`` with aligned (key, q50, q95, total) columns.  Both plans
+    run unchanged; the tag keeps the row spaces disjoint."""
+    w = q_td_weighted_lineitem(spark, sf_dir).select(
+        F.lit("lineitem_weighted").alias("scope"),
+        F.col("l_returnflag").alias("key"),
+        F.col("wq50").alias("q50"), F.col("wq95").alias("q95"),
+        F.col("total_weight").alias("total"),
+    )
+    n = q_td_order_value_by_nation(spark, sf_dir).select(
+        F.lit("orders_by_nation").alias("scope"),
+        F.col("nation").alias("key"),
+        "q50", "q95", F.col("n_orders").cast("double").alias("total"),
+    )
+    return w.unionByName(n)
 
 
 def q_td_info_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1054,6 +1144,17 @@ SELECT nation,
        min(v) FILTER (WHERE cum >= total * 0.95) AS q95,
        max(total) AS n_orders
 FROM s GROUP BY nation
+"""
+
+
+_TD_TPCH_SQL = f"""
+SELECT 'lineitem_weighted' AS scope, l_returnflag AS key,
+       wq50 AS q50, wq95 AS q95, total_weight AS total
+FROM ({_WEIGHTED_SQL}) w
+UNION ALL
+SELECT 'orders_by_nation' AS scope, nation AS key, q50, q95,
+       CAST(n_orders AS DOUBLE) AS total
+FROM ({_ORDER_NATION_SQL}) o
 """
 
 
@@ -1414,6 +1515,30 @@ WHERE n_common / (x.n_sh + y.n_sh - n_common) >= {threshold}
 """
 
 
+def _fuzzy_decontam_sql(threshold: float = 0.8, mod: int = 5) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS tk FROM documents),
+sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(tk) >= 3 THEN
+      list_distinct(list_transform(range(1, len(tk) - 1),
+                                   i -> array_to_string(tk[i:i+2], ' ')))
+    ELSE [text] END) AS shingle
+  FROM t
+), sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS train_id, b.doc_id AS eval_id, count(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id % {mod} != 0 AND b.doc_id % {mod} = 0
+  GROUP BY 1, 2
+)
+SELECT train_id, eval_id, n_common, x.n_sh AS n_train, y.n_sh AS n_eval,
+       n_common / (x.n_sh + y.n_sh - n_common) AS jaccard
+FROM common JOIN sz x ON x.doc_id = train_id JOIN sz y ON y.doc_id = eval_id
+WHERE n_common / (x.n_sh + y.n_sh - n_common) >= {threshold}
+"""
+
+
 def _simhash_pairs_sql(max_dist: int = 3) -> str:
     from sketchlib.spark.dedup import SIMHASH_BITS
 
@@ -1729,6 +1854,30 @@ def q_events_in_purchase_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "purchase_id")
 
 
+def q_events_join_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOLD of the two custom-join showcases (r4 slot consolidation —
+    previously gated separately as events_asof_purchase +
+    events_in_purchase_window, both green since r02/r03): the as-of join
+    (union-tag + running-last window, ONE shuffle, no inequality join)
+    and the bucketized range join (interval -> hour-bucket equi-join,
+    never BroadcastNestedLoop), union-tagged into one frame.  Each
+    branch keeps its own oracle semantics; the ``op`` tag keeps the rows
+    disjoint so the hash gate still proves both joins row-for-row."""
+    asof = q_events_asof_purchase(spark, sf_dir).select(
+        F.lit("asof").alias("op"), "event_id", "user_id", "event_type",
+        F.col("last_purchase_id").alias("match_id"),
+        F.col("last_purchase_value").alias("match_value"),
+    )
+    rng = q_events_in_purchase_window(spark, sf_dir).select(
+        F.lit("range").alias("op"), "event_id",
+        F.lit(None).cast("long").alias("user_id"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.col("purchase_id").alias("match_id"),
+        F.lit(None).cast("double").alias("match_value"),
+    )
+    return asof.unionByName(rng)
+
+
 def q_mg_top_sources_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra–Gries frequent items per lang at m=64 — unsaturated for this
     corpus's source cardinality, so the summary holds EVERY source with its
@@ -1801,6 +1950,18 @@ SELECT e.event_id, p.event_id AS purchase_id
 FROM events e JOIN events p
   ON e.user_id = p.user_id AND p.event_type = 'purchase'
  AND e.ts >= p.ts AND e.ts < p.ts + INTERVAL 1 HOUR
+"""
+
+
+_EVENTS_JOIN_SQL = f"""
+SELECT 'asof' AS op, event_id, user_id, event_type,
+       last_purchase_id AS match_id, last_purchase_value AS match_value
+FROM ({_ASOF_SQL}) a
+UNION ALL
+SELECT 'range' AS op, event_id, NULL::BIGINT AS user_id,
+       NULL::VARCHAR AS event_type, purchase_id AS match_id,
+       NULL::DOUBLE AS match_value
+FROM ({_RANGE_JOIN_SQL}) r
 """
 
 
@@ -3786,6 +3947,8 @@ FROM ({_KMV_SQL}) s CROSS JOIN (
 # the long-green remainder follows.
 QUERIES = {
     # --- new in round 4 (never driver-gated) ---
+    "decontam_fuzzy_neardup": q_decontam_fuzzy_neardup,
+    "frequent_phrases_by_lang": q_frequent_phrases_by_lang,
     "emb_dedup_groups": q_emb_dedup_groups,
     "dedup_span_stats": q_dedup_span_stats,
     "domain_stats": q_domain_stats,
@@ -3821,23 +3984,21 @@ QUERIES = {
     # --- round-4 second-wave folds (each subsumes two long-green queries) ---
     "td_quantiles_cdf_by_lang": q_td_quantiles_cdf_by_lang,
     "sketch_source_counts": q_sketch_source_counts,
+    # --- round-4 third-wave folds ---
+    "dedup_neardup_pairs": q_dedup_neardup_pairs,
+    "events_join_ops": q_events_join_ops,
+    "td_tpch_digests": q_td_tpch_digests,
     # --- long-green ---
     "dedup_exact_keepers": q_dedup_exact_keepers,
-    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
-    "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
     "dedup_simhash_hamming": q_dedup_simhash_hamming,
     "ann_exact_cosine": q_ann_exact_cosine,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "emb_signlsh_precision": q_emb_signlsh_precision,
     "top_sources_by_lang": q_top_sources_by_lang,
-    "td_order_value_by_nation": q_td_order_value_by_nation,
     "event_sessions": q_event_sessions,
     "td_cube_lang_source": q_td_cube_lang_source,
-    "td_weighted_lineitem": q_td_weighted_lineitem,
     "dedup_group_keepers": q_dedup_group_keepers,
-    "events_asof_purchase": q_events_asof_purchase,
     "td_prank_by_lang": q_td_prank_by_lang,
-    "events_in_purchase_window": q_events_in_purchase_window,
     "td_merge_laws": q_td_merge_laws,
     "bloom_join_prune": q_bloom_join_prune,
 }
@@ -3911,8 +4072,11 @@ SELECT doc_id, md5(text) AS content_hash,
        count(*) OVER (PARTITION BY text)::BIGINT AS group_size
 FROM documents
 """,
-    "dedup_jaccard_pairs": _jaccard_pairs_sql(0.8),
-    "dedup_minhash_lsh_pairs": _jaccard_pairs_sql(0.8),
+    "dedup_neardup_pairs": (
+        f"SELECT *, TRUE AS paths_agree FROM ({_jaccard_pairs_sql(0.8)}) p"
+    ),
+    "decontam_fuzzy_neardup": _fuzzy_decontam_sql(0.8, 5),
+    "frequent_phrases_by_lang": _FREQ_PHRASES_SQL,
     "dedup_simhash_hamming": _simhash_pairs_sql(3),
     "ann_exact_cosine": _ANN_EXACT_COSINE_SQL,
     "emb_dedup_groups": _EMB_GROUPS_SQL,
@@ -3927,14 +4091,12 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
     "top_sources_by_lang": _TOP_SOURCES_SQL,
     "domain_stats": _DOMAIN_STATS_SQL,
     "kmv_sample_overlap": _KMV_SAMPLE_OVERLAP_SQL,
-    "td_order_value_by_nation": _ORDER_NATION_SQL,
     "event_sessions": _SESSIONS_SQL,
     "td_cube_lang_source": _cube_sql(),
-    "td_weighted_lineitem": _WEIGHTED_SQL,
+    "td_tpch_digests": _TD_TPCH_SQL,
     "dedup_group_keepers": _group_keepers_sql(0.8),
-    "events_asof_purchase": _ASOF_SQL,
+    "events_join_ops": _EVENTS_JOIN_SQL,
     "td_prank_by_lang": _PRANK_SQL,
-    "events_in_purchase_window": _RANGE_JOIN_SQL,
 
     "td_merge_laws": _MERGE_LAWS_SQL,
     "bloom_join_prune": _BLOOM_JOIN_SQL,

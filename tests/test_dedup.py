@@ -798,3 +798,68 @@ def test_bloom_overlap_stats(spark, tmp_path):
     streamed = {r["doc_id"]: r for r in out}
     assert {d: tuple(r) for d, r in streamed.items()} == {
         d: tuple(r) for d, r in got.items()}
+
+
+def test_fuzzy_decontam_pairs_vs_bruteforce(spark):
+    """Asymmetric LSH near-dup decontam equals the brute-force cross-split
+    exact Jaccard pair set (recall ~1 on the planted near-dups)."""
+    from sketchlib.spark.dedup import fuzzy_decontam_pairs
+
+    docs = _docs(spark)
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    train = {d: t for d, t in rows.items() if d % 5 != 0}
+    ev = {d: t for d, t in rows.items() if d % 5 == 0}
+    want = {
+        (t, e)
+        for t in train for e in ev
+        if _jaccard(train[t], ev[e]) >= 0.8
+    }
+    import pyspark.sql.functions as F
+
+    got_df = fuzzy_decontam_pairs(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+        threshold=0.8,
+    )
+    got = {(r["train_id"], r["eval_id"]): r for r in got_df.collect()}
+    assert set(got) == want
+    assert len(got) > 0  # the split straddles planted near-dups
+    # stats are exact integers + one exact division
+    for (t, e), r in got.items():
+        assert r["n_common"] <= min(r["n_train"], r["n_eval"])
+        assert r["jaccard"] == r["n_common"] / (
+            r["n_train"] + r["n_eval"] - r["n_common"])
+
+
+def test_fuzzy_decontam_id_overlap_and_containment(spark):
+    """Ids may collide across corpora (pairs are role-keyed, never a<b);
+    containment_eval thresholds n_common/n_eval — an eval doc embedded in
+    a long train doc scores 1.0 there but low Jaccard."""
+    from sketchlib.spark.dedup import fuzzy_decontam_pairs
+
+    eval_text = "alpha beta gamma delta epsilon"
+    long_train = eval_text + " " + " ".join(f"w{i}" for i in range(40))
+    train = spark.createDataFrame(
+        [(1, long_train), (2, "totally different content here")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(1, eval_text)], "doc_id long, text string",  # id collides with train
+    )
+    # full containment: every eval 3-gram appears in train doc 1.  MinHash
+    # banding estimates JACCARD (~0.07 here), so containment discovery
+    # needs the lower-threshold banding the docstring prescribes — r=1
+    # (bands=num_perm) makes P[miss] = (1-J)^64 ~ 1e-2 per the curve, and
+    # the seeded hash family makes the outcome deterministic for fixed
+    # texts (verified found).
+    got = fuzzy_decontam_pairs(
+        train, ev, threshold=0.99, measure="containment_eval",
+        bands=64, num_perm=64,
+    ).collect()
+    assert [(r["train_id"], r["eval_id"]) for r in got] == [(1, 1)]
+    assert got[0]["containment_eval"] == 1.0
+    # jaccard mode at the same threshold keeps nothing (union dominated
+    # by the long side)
+    got_j = fuzzy_decontam_pairs(
+        train, ev, threshold=0.99, bands=64, num_perm=64).collect()
+    assert got_j == []

@@ -69,7 +69,7 @@ def test_dedup_job_pipeline_on_sf001(spark, tmp_path):
                 f"read_parquet('{SF_MED}/documents.parquet')")
     import __spark_entry__ as e
 
-    near_t = con.execute(e.oracle_sql()["dedup_jaccard_pairs"]).fetchall()
+    near_t = con.execute(e.oracle_sql()["dedup_neardup_pairs"]).fetchall()
     exact_t = con.execute(
         "SELECT min(doc_id) OVER (PARTITION BY text) AS k, doc_id "
         "FROM documents QUALIFY doc_id != k").fetchall()
