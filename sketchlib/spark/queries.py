@@ -567,6 +567,74 @@ def q_dedup_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_TABLE_COLS = [
+    "l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus",
+    "l_shipdate",
+]
+
+
+def q_table_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-driven table profiler (``sketch_ops.profile_table``): five
+    lineitem columns of three types profiled in ONE scan + one KB-scale
+    sketch shuffle — numerics get a production δ=0.01 t-digest + HLL,
+    strings/timestamps HLL + an exact-total CMS.  Exact facts
+    (n_rows/n_vals/n_nulls) hash-gate directly; the estimates gate as
+    verdict booleans against in-plan exact checks (the DDSketch-law
+    pattern): ``q50_ok``/``q95_ok`` = the digest estimate lies inside the
+    exact value window [percentile(q−δ), percentile(q+δ)] (the reference
+    rank-error ≤ δ law, test/test_tdigest.ml:137-154), ``distinct_ok`` =
+    HLL within max(2%, ±2) of exact count(DISTINCT).  All estimates are
+    deterministic (seeded hashing, no RNG), so the booleans are stable."""
+    from sketchlib.spark.sketch_ops import profile_table
+
+    li = load(spark, sf_dir, "lineitem").select(*_PROFILE_TABLE_COLS)
+    prof = profile_table(li, _PROFILE_TABLE_COLS, delta=0.01)
+    d = 0.01
+    ex = li.agg(
+        F.expr(f"percentile(l_quantity, array({0.5-d},{0.5+d},{0.95-d},"
+               f"{0.95+d}))").alias("_wq"),
+        F.expr(f"percentile(l_extendedprice, array({0.5-d},{0.5+d},"
+               f"{0.95-d},{0.95+d}))").alias("_we"),
+        *[F.count_distinct(F.col(c)).alias(f"_d_{c}")
+          for c in _PROFILE_TABLE_COLS],
+    )
+    j = prof.crossJoin(F.broadcast(ex))
+    win = (
+        F.when(F.col("column") == "l_quantity", F.col("_wq"))
+        .when(F.col("column") == "l_extendedprice", F.col("_we"))
+    )
+    exact_d = F.coalesce(
+        *[F.when(F.col("column") == c, F.col(f"_d_{c}").cast("double"))
+          for c in _PROFILE_TABLE_COLS]
+    )
+    return j.select(
+        "column", "dtype", "n_rows", "n_vals", "n_nulls",
+        (F.abs(F.col("est_distinct") - exact_d)
+         <= F.greatest(exact_d * 0.02, F.lit(2.0))).alias("distinct_ok"),
+        F.when(win.isNotNull(),
+               F.col("q50").between(win[0], win[1])).alias("q50_ok"),
+        F.when(win.isNotNull(),
+               F.col("q95").between(win[2], win[3])).alias("q95_ok"),
+    )
+
+
+def _profile_table_sql() -> str:
+    parts = []
+    for c in _PROFILE_TABLE_COLS:
+        num = c in ("l_quantity", "l_extendedprice")
+        dtype = ("double" if num
+                 else "string" if c in ("l_returnflag", "l_linestatus")
+                 else "timestamp_ntz")
+        qok = "TRUE" if num else "NULL::BOOLEAN"
+        parts.append(f"""
+SELECT '{c}' AS "column", '{dtype}' AS dtype,
+       count(*)::BIGINT AS n_rows, count({c})::BIGINT AS n_vals,
+       (count(*) - count({c}))::BIGINT AS n_nulls,
+       TRUE AS distinct_ok, {qok} AS q50_ok, {qok} AS q95_ok
+FROM lineitem""")
+    return "\nUNION ALL\n".join(parts)
+
+
 def q_frequent_phrases_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate-phrase miner (``textops.frequent_phrases``): the 10 most
     document-frequent word bigrams per lang — MG candidate discovery (one
@@ -3949,6 +4017,7 @@ QUERIES = {
     # --- new in round 4 (never driver-gated) ---
     "decontam_fuzzy_neardup": q_decontam_fuzzy_neardup,
     "frequent_phrases_by_lang": q_frequent_phrases_by_lang,
+    "table_profile_lineitem": q_table_profile_lineitem,
     "emb_dedup_groups": q_emb_dedup_groups,
     "dedup_span_stats": q_dedup_span_stats,
     "domain_stats": q_domain_stats,
@@ -4077,6 +4146,7 @@ FROM documents
     ),
     "decontam_fuzzy_neardup": _fuzzy_decontam_sql(0.8, 5),
     "frequent_phrases_by_lang": _FREQ_PHRASES_SQL,
+    "table_profile_lineitem": _profile_table_sql(),
     "dedup_simhash_hamming": _simhash_pairs_sql(3),
     "ann_exact_cosine": _ANN_EXACT_COSINE_SQL,
     "emb_dedup_groups": _EMB_GROUPS_SQL,

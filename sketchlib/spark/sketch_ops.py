@@ -67,7 +67,18 @@ def sketch_partials(
     hashed = sketch in _HASHED
     raw = sketch in _RAW
     if hashed:
-        narrow = df.select(*keys, F.xxhash64(value_col).alias("_v"))
+        # NULL values are never ingested (SQL-aggregate semantics):
+        # Spark's xxhash64(NULL) returns the SEED (42), not NULL, so an
+        # unguarded projection would count every NULL as one phantom
+        # item.  The mask rides as a SEPARATE boolean column rather than
+        # a nullable hash column — a nullable int64 crosses Arrow→pandas
+        # as float64, which silently mangles the low bits of every hash
+        # in the batch.
+        narrow = df.select(
+            *keys,
+            F.xxhash64(value_col).alias("_v"),
+            F.col(value_col).isNull().alias("_vnull"),
+        )
     elif raw:
         narrow = df.select(*keys, F.col(value_col).cast("string").alias("_v"))
     else:
@@ -86,10 +97,15 @@ def sketch_partials(
         )
         aggs: dict[tuple, object] = {}
         for pdf in batches:
+            mask = None  # True where the value is NULL (never ingested)
             if hashed:
+                m = pdf["_vnull"].to_numpy(dtype=bool)
+                mask = m if m.any() else None
                 vals = pdf["_v"].to_numpy(dtype="int64").view(np.uint64)
             elif raw:
                 vals = pdf["_v"].to_numpy(dtype=object)
+                m = pd.isna(vals)
+                mask = m if m.any() else None
             else:
                 vals = pdf["_v"].to_numpy(dtype="float64", na_value=np.nan)
             groups = (
@@ -103,10 +119,13 @@ def sketch_partials(
                 if agg is None:
                     p = params if not overrides else {**params, **overrides.get(key, {})}
                     agg = aggs[key] = cls(**p)
+                v = vals[idx]
+                if mask is not None:
+                    v = v[~mask[idx]]
                 if hashed:
-                    agg.update_hashed(vals[idx])
+                    agg.update_hashed(v)
                 else:
-                    agg.update_batch(vals[idx])
+                    agg.update_batch(v)
         if aggs:
             rows = {name: [k[i] for k in aggs] for i, name in enumerate(keys)}
             rows["sketch"] = [a.serialize() for a in aggs.values()]
@@ -272,10 +291,15 @@ def _spec_proj(spec: dict, i: int):
     kind, col = spec["kind"], spec["col"]
     alias = f"_v{i}"
     if kind in _HASHED:
-        return F.xxhash64(col).alias(alias)
+        # xxhash64(NULL) = seed (42), not NULL: the null mask rides as a
+        # separate boolean column (a nullable int64 would cross
+        # Arrow→pandas as float64 and mangle hash low bits) so NULLs are
+        # never ingested
+        return [F.xxhash64(col).alias(alias),
+                F.col(col).isNull().alias(f"_m{i}")]
     if kind in _RAW:
-        return F.col(col).cast("string").alias(alias)
-    return F.col(col).cast("double").alias(alias)  # kll, tdigest
+        return [F.col(col).cast("string").alias(alias)]
+    return [F.col(col).cast("double").alias(alias)]  # kll, tdigest
 
 
 def _spec_new(spec: dict):
@@ -287,12 +311,19 @@ def _spec_new(spec: dict):
     return SKETCHES[spec["kind"]](**params)
 
 
-def _spec_vals(spec: dict, series: pd.Series):
+def _spec_vals(spec: dict, pdf: pd.DataFrame, i: int):
+    """(values, null_mask_or_None) — NULLs are never ingested (hashed/raw
+    kinds; the double kinds drop NaN inside update_batch)."""
+    series = pdf[f"_v{i}"]
     if spec["kind"] in _HASHED:
-        return series.to_numpy(dtype="int64").view(np.uint64)
+        m = pdf[f"_m{i}"].to_numpy(dtype=bool)
+        vals = series.to_numpy(dtype="int64").view(np.uint64)
+        return vals, (m if m.any() else None)
     if spec["kind"] in _RAW:
-        return series.to_numpy(dtype=object)
-    return series.to_numpy(dtype="float64", na_value=np.nan)
+        vals = series.to_numpy(dtype=object)
+        m = pd.isna(vals)
+        return vals, (m if m.any() else None)
+    return series.to_numpy(dtype="float64", na_value=np.nan), None
 
 
 def profile_partials(df: DataFrame, keys: list[str], specs: list[dict]) -> DataFrame:
@@ -319,7 +350,10 @@ def profile_partials(df: DataFrame, keys: list[str], specs: list[dict]) -> DataF
     for s in specs:
         if s["kind"] not in _PROFILE_KINDS:
             raise ValueError(f"unknown sketch kind {s['kind']!r} in spec {s['name']!r}")
-    narrow = df.select(*keys, *(_spec_proj(s, i) for i, s in enumerate(specs)))
+    narrow = df.select(
+        *keys,
+        *(e for i, s in enumerate(specs) for e in _spec_proj(s, i)),
+    )
     key_fields = [narrow.schema[k] for k in keys]
     out_schema = StructType(
         [StructField(f.name, f.dataType, True) for f in key_fields]
@@ -330,7 +364,7 @@ def profile_partials(df: DataFrame, keys: list[str], specs: list[dict]) -> DataF
     def build(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         aggs: dict[tuple, object] = {}  # (key..., spec_idx) -> sketch
         for pdf in batches:
-            vals = [_spec_vals(s, pdf[f"_v{i}"]) for i, s in enumerate(specs)]
+            vals = [_spec_vals(s, pdf, i) for i, s in enumerate(specs)]
             groups = (
                 pdf.groupby(keys, dropna=False, sort=False).indices.items()
                 if keys
@@ -342,10 +376,14 @@ def profile_partials(df: DataFrame, keys: list[str], specs: list[dict]) -> DataF
                     agg = aggs.get(key + (i,))
                     if agg is None:
                         agg = aggs[key + (i,)] = _spec_new(s)
+                    v, m = vals[i]
+                    v = v[idx]
+                    if m is not None:
+                        v = v[~m[idx]]
                     if s["kind"] in _HASHED:
-                        agg.update_hashed(vals[i][idx])
+                        agg.update_hashed(v)
                     else:
-                        agg.update_batch(vals[i][idx])
+                        agg.update_batch(v)
         if aggs:
             rows = {name: [k[j] for k in aggs] for j, name in enumerate(keys)}
             rows["sk_name"] = [specs[k[-1]]["name"] for k in aggs]
@@ -432,3 +470,101 @@ def profile_pivot(profile: DataFrame, keys: list[str], specs: list[dict]) -> Dat
         .pivot("sk_name", names)
         .agg(F.first("sketch"))
     )
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    delta: float = 0.01,
+    discrete: bool = False,
+    hll_p: int = 14,
+) -> DataFrame:
+    """Schema-driven ONE-PASS table profiler — the "describe my 100-TB
+    table" operator.  Every selected column gets type-appropriate
+    sketches built in a single scan + one KB-scale sketch shuffle
+    (``profile_aggregate``):
+
+    - numeric columns → a t-digest (``delta``; pass ``discrete=True``
+      for exact nearest-rank quantiles on low-cardinality columns)
+      + an HLL++ distinct estimate;
+    - every other column → HLL++ distinct + a 1-row CMS whose exact
+      ``total`` counts ingested values.
+
+    Output: one row per column —
+    ``(column, dtype, n_rows, n_vals, n_nulls, est_distinct, q50, q95)``
+    with q50/q95 NULL for non-numeric columns.  ``n_rows`` is one
+    ``count()`` action (columnar footers only); ``n_vals`` is exact —
+    the digest's total weight / the CMS total; NULLs are never ingested
+    (and for floating-point columns NaN counts as missing too, the
+    t-digest convention).  ``n_nulls = n_rows - n_vals``.  Metric
+    extraction runs on C KB-scale sketch rows, never on the data: the
+    scan cost is ONE pass regardless of how many columns are profiled
+    (the dedicated single-sketch path would cost 2C scans).
+    """
+    from pyspark.sql.types import NumericType
+
+    from sketchlib.cms import CMS
+    from sketchlib.hll import HLL
+    from sketchlib.spark.tdigest_ops import (
+        tdigest_count_udf,
+        tdigest_quantiles_udf,
+    )
+
+    fields = {f.name: f for f in df.schema.fields}
+    cols = list(columns) if columns is not None else list(fields)
+    unknown = [c for c in cols if c not in fields]
+    if unknown:
+        raise ValueError(f"profile_table: unknown columns {unknown}")
+    numeric = {c for c in cols if isinstance(fields[c].dataType, NumericType)}
+    specs = []
+    for i, c in enumerate(cols):
+        specs.append({"name": f"h{i}", "col": c, "kind": "hll",
+                      "params": {"p": hll_p}})
+        if c in numeric:
+            specs.append({"name": f"t{i}", "col": c, "kind": "tdigest",
+                          "params": {"delta": delta, "discrete": discrete}})
+        else:
+            specs.append({"name": f"c{i}", "col": c, "kind": "cms",
+                          "params": {"width": 32, "depth": 1}})
+    n_rows = df.count()
+    wide = profile_pivot(profile_aggregate(df, [], specs), [], specs)
+
+    @F.pandas_udf("double")
+    def _hll_est(blobs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if b is None else HLL.deserialize(bytes(b)).estimate()
+             for b in blobs],
+            dtype="float64",
+        )
+
+    @F.pandas_udf("double")
+    def _cms_total(blobs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if b is None else float(CMS.deserialize(bytes(b)).total)
+             for b in blobs],
+            dtype="float64",
+        )
+
+    q = tdigest_quantiles_udf([0.5, 0.95], discrete=discrete)
+    parts = []
+    for i, c in enumerate(cols):
+        if c in numeric:
+            n_vals = tdigest_count_udf(f"t{i}")
+            q50, q95 = q(f"t{i}")[0], q(f"t{i}")[1]
+        else:
+            n_vals = F.coalesce(_cms_total(f"c{i}"), F.lit(0.0))
+            q50 = q95 = F.lit(None).cast("double")
+        parts.append(wide.select(
+            F.lit(c).alias("column"),
+            F.lit(fields[c].dataType.simpleString()).alias("dtype"),
+            F.lit(n_rows).cast("long").alias("n_rows"),
+            n_vals.cast("long").alias("n_vals"),
+            (F.lit(n_rows) - n_vals).cast("long").alias("n_nulls"),
+            F.coalesce(_hll_est(f"h{i}"), F.lit(0.0)).alias("est_distinct"),
+            q50.alias("q50"),
+            q95.alias("q95"),
+        ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -141,3 +141,57 @@ def test_profile_no_keys_global(spark, docs):
     est = HLL.deserialize(bytes(rows[0]["sketch"])).estimate()
     exact = docs.select("source").distinct().count()
     assert abs(est - exact) <= max(2.0, exact * 0.02)
+
+
+def test_profile_table_exact_facts_and_bounds(spark):
+    """Schema-driven profiler: exact n_rows/n_vals/n_nulls per column,
+    HLL within 2%, digest quantiles within the rank-error window —
+    including NULLs, which must never be ingested."""
+    from sketchlib.spark.sketch_ops import profile_table
+
+    df = spark.createDataFrame(
+        [(float(i), str(i % 7) if i % 5 else None,
+          float(i) if i % 3 else None) for i in range(1, 1001)],
+        "v double, s string, w double",
+    )
+    out = {r["column"]: r for r in
+           profile_table(df, ["v", "s", "w"], discrete=True).collect()}
+    assert out["v"]["n_rows"] == 1000 and out["v"]["n_nulls"] == 0
+    # s: NULL for every i % 5 == 0 -> 200 nulls, 7 distinct values
+    assert out["s"]["n_vals"] == 800 and out["s"]["n_nulls"] == 200
+    assert abs(out["s"]["est_distinct"] - 7) <= max(0.02 * 7, 2)
+    # w: NULL for every i % 3 == 0 -> 333 nulls
+    assert out["w"]["n_vals"] == 667 and out["w"]["n_nulls"] == 333
+    # discrete digests: exact nearest-rank quantiles over 1..1000
+    assert out["v"]["q50"] == 500.0 and out["v"]["q95"] == 950.0
+    assert out["s"]["q50"] is None and out["s"]["q95"] is None
+    assert abs(out["v"]["est_distinct"] - 1000) <= max(0.02 * 1000, 2)
+
+
+def test_hashed_sketches_never_ingest_null(spark):
+    """xxhash64(NULL) = seed (42), not NULL — the builders must strip
+    NULLs BEFORE ingest so distinct counts/totals match SQL aggregates.
+    Both the single-sketch and the profile path, byte-identically."""
+    from sketchlib.cms import CMS
+    from sketchlib.hll import HLL
+    from sketchlib.spark.sketch_ops import (
+        profile_aggregate,
+        sketch_aggregate,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", None), ("a", "y"), ("a", None), ("a", "x")],
+        "k string, v string",
+    )
+    nn = df.filter("v IS NOT NULL")
+    for kind, cls, q in (("hll", HLL, lambda s: s.estimate()),
+                         ("cms", CMS, lambda s: s.total)):
+        with_nulls = sketch_aggregate(df, ["k"], "v", kind).collect()[0]
+        without = sketch_aggregate(nn, ["k"], "v", kind).collect()[0]
+        assert bytes(with_nulls["sketch"]) == bytes(without["sketch"])
+        got = q(cls.deserialize(bytes(with_nulls["sketch"])))
+        assert abs(got - 2 if kind == "hll" else got - 3) < 0.1
+    spec = [{"name": "h", "col": "v", "kind": "hll", "params": {"p": 14}}]
+    prof = profile_aggregate(df, ["k"], spec).collect()[0]
+    ded = sketch_aggregate(nn, ["k"], "v", "hll", {"p": 14}).collect()[0]
+    assert bytes(prof["sketch"]) == bytes(ded["sketch"])
