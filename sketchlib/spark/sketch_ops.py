@@ -545,8 +545,12 @@ def profile_table(
             dtype="float64",
         )
 
+    # ONE projection over the single wide sketch row, exploded to one row
+    # per column — a union of per-column selects would re-execute the
+    # whole scan+build subtree once per column (2C scans, exactly what
+    # this operator exists to avoid)
     q = tdigest_quantiles_udf([0.5, 0.95], discrete=discrete)
-    parts = []
+    structs = []
     for i, c in enumerate(cols):
         if c in numeric:
             n_vals = tdigest_count_udf(f"t{i}")
@@ -554,7 +558,7 @@ def profile_table(
         else:
             n_vals = F.coalesce(_cms_total(f"c{i}"), F.lit(0.0))
             q50 = q95 = F.lit(None).cast("double")
-        parts.append(wide.select(
+        structs.append(F.struct(
             F.lit(c).alias("column"),
             F.lit(fields[c].dataType.simpleString()).alias("dtype"),
             F.lit(n_rows).cast("long").alias("n_rows"),
@@ -564,7 +568,7 @@ def profile_table(
             q50.alias("q50"),
             q95.alias("q95"),
         ))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return (
+        wide.select(F.explode(F.array(*structs)).alias("_r"))
+        .select("_r.*")
+    )

@@ -508,6 +508,35 @@ def main():
             f"timeline: scans={n_scan} (want 1), exchanges={n_exch} "
             "(want 2), joins must be absent")
 
+    # 6d. schema-driven table profiler: ONE scan builds every column's
+    # sketches (a per-column union would rescan 2C times); no wide shuffle
+    from sketchlib.spark.sketch_ops import profile_table
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = plan_of(profile_table(
+        li, ["l_quantity", "l_extendedprice", "l_returnflag"]))
+    n_scan = len(re.findall(r"\(\d+\) Scan parquet", p))
+    n_exch = len(re.findall(r"\(\d+\) Exchange", p))
+    ok = n_scan == 1 and n_exch == 0
+    print(f"{'profile_table: 1 scan, 0 exchanges':40s} "
+          f"{'OK' if ok else 'FAIL'} (scans={n_scan} exchanges={n_exch})")
+    if not ok:
+        FAIL.append(f"profile_table: scans={n_scan} (want 1), "
+                    f"exchanges={n_exch} (want 0)")
+
+    # 6e. fuzzy decontam: candidate discovery joins the banded EVAL side
+    # broadcast — the banded keys must never be a SHUFFLE key (the train
+    # corpus never shuffles to discover candidates; the only shuffles are
+    # the verification groupBys over candidate-pruned shingles)
+    from sketchlib.spark.dedup import fuzzy_decontam_pairs
+
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    ev = docs.filter(F.col("doc_id") % 5 == 0)
+    p = plan_of(fuzzy_decontam_pairs(train, ev, threshold=0.8))
+    check("fuzzy decontam broadcast eval side", p,
+          must=[r"BroadcastExchange"],
+          must_not=[r"hashpartitioning\(band"])
+
     # 7. checkpoint resume: anti-join against completed parts is broadcast
     from sketchlib.spark.checkpoint import TDigestCheckpointer
 
