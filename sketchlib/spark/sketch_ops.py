@@ -196,7 +196,7 @@ def sketch_merge(
         shuffled = (
             partials.repartition(*[F.col(k) for k in keys])
             if keys
-            else partials.coalesce(1)
+            else partials.repartition(1)
         )
         return shuffled.mapInPandas(merge_stream, schema=out_schema)
 
@@ -451,7 +451,7 @@ def profile_merge(partials: DataFrame, keys: list[str], specs: list[dict]) -> Da
     shuffled = (
         partials.repartition(*[F.col(k) for k in keys])
         if keys
-        else partials.coalesce(1)
+        else partials.repartition(1)
     )
     return shuffled.mapInPandas(merge_stream, schema=out_schema)
 

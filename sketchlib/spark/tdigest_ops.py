@@ -226,7 +226,7 @@ def tdigest_merge(
     if keys:
         shuffled = partials.repartition(*[F.col(k) for k in keys])
     else:
-        shuffled = partials.coalesce(1)
+        shuffled = partials.repartition(1)
     return shuffled.mapInPandas(merge_partition, schema=out_schema)
 
 

@@ -517,12 +517,15 @@ def main():
         li, ["l_quantity", "l_extendedprice", "l_returnflag"]))
     n_scan = len(re.findall(r"\(\d+\) Scan parquet", p))
     n_exch = len(re.findall(r"\(\d+\) Exchange", p))
-    ok = n_scan == 1 and n_exch == 0
-    print(f"{'profile_table: 1 scan, 0 exchanges':40s} "
+    # exactly ONE Exchange: the KB-scale sketch-row shuffle (repartition(1)
+    # in the keyless merge — coalesce(1) would collapse the whole scan+build
+    # into a single task, measured 6.8x slower at sf0.1)
+    ok = n_scan == 1 and n_exch == 1
+    print(f"{'profile_table: 1 scan, 1 KB exchange':40s} "
           f"{'OK' if ok else 'FAIL'} (scans={n_scan} exchanges={n_exch})")
     if not ok:
         FAIL.append(f"profile_table: scans={n_scan} (want 1), "
-                    f"exchanges={n_exch} (want 0)")
+                    f"exchanges={n_exch} (want 1)")
 
     # 6e. fuzzy decontam: candidate discovery joins the banded EVAL side
     # broadcast — the banded keys must never be a SHUFFLE key (the train
