@@ -8,7 +8,8 @@ held-out benchmark/eval content, by word n-gram overlap.
         --output /warehouse/clean \
         [--id-col doc_id] [--text-col text] [--ngram 5] \
         [--max-containment 0.0] [--mode filter|flag] [--no-broadcast-eval] \
-        [--engine exact|bloom] [--bloom-fpr 1e-4]
+        [--engine exact|bloom|fuzzy] [--bloom-fpr 1e-4] \
+        [--fuzzy-threshold 0.8] [--fuzzy-measure jaccard|containment_eval]
 
 Semantics (see ``sketchlib.spark.dedup.contamination_hits``): a train doc's
 containment is (distinct n-grams shared with the eval corpus) / (its
@@ -30,6 +31,14 @@ stateless graded probe (``bloom_overlap_stats`` — per-doc window-overlap
 ratio, zero false negatives, extra drops fpr-bounded by ``--bloom-fpr``).
 Use it when the eval corpus is rebuilt rarely and probed often, or when
 the probe must also run on a stream.
+
+``--engine fuzzy`` runs the NEAR-DUPLICATE pass
+(``dedup.fuzzy_decontam_pairs``): train docs similar to any eval doc at
+``--fuzzy-threshold`` word-n-gram Jaccard (or eval-containment with
+``--fuzzy-measure containment_eval``) are dropped/flagged — catches the
+paraphrased or lightly-edited contamination verbatim n-gram overlap
+misses.  Discovery broadcasts the banded eval side (the train corpus
+never shuffles for it); candidates are verified on exact shingles.
 """
 
 from __future__ import annotations
@@ -54,16 +63,32 @@ def main() -> None:
     ap.add_argument("--hashed", action="store_true",
                     help="64-bit hashed n-grams (the web-scale mode: ~2x "
                          "shingle build, 8 B/n-gram broadcast)")
-    ap.add_argument("--engine", choices=["exact", "bloom"], default="exact",
+    ap.add_argument("--engine", choices=["exact", "bloom", "fuzzy"],
+                    default="exact",
                     help="'bloom' compresses the eval n-gram set into one "
                          "KB-MB Bloom blob and scores the train side with "
                          "the stateless graded probe "
                          "(dedup.bloom_overlap_stats): zero false "
                          "negatives, fpr-bounded extra drops, per-doc "
                          "window-overlap ratio instead of distinct-n-gram "
-                         "containment")
+                         "containment; 'fuzzy' drops train docs "
+                         "NEAR-DUPLICATE to any eval doc "
+                         "(dedup.fuzzy_decontam_pairs, asymmetric LSH + "
+                         "exact verify) — the paraphrase-grade pass the "
+                         "n-gram engines miss")
     ap.add_argument("--bloom-fpr", type=float, default=1e-4,
                     help="bloom engine: per-window false-positive rate")
+    ap.add_argument("--fuzzy-threshold", type=float, default=0.8,
+                    help="fuzzy engine: similarity threshold")
+    ap.add_argument("--fuzzy-measure",
+                    choices=["jaccard", "containment_eval"],
+                    default="jaccard",
+                    help="fuzzy engine: 'containment_eval' thresholds the "
+                         "share of the EVAL doc present in the train doc "
+                         "(embedded-benchmark detection); pair it with a "
+                         "low-threshold banding via --fuzzy-bands")
+    ap.add_argument("--fuzzy-bands", type=int, default=16)
+    ap.add_argument("--num-perm", type=int, default=64)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -78,7 +103,27 @@ def main() -> None:
     eval_df = spark.read.parquet(args.eval_path)
     t0 = time.time()
 
-    if args.engine == "bloom":
+    if args.engine == "fuzzy":
+        from sketchlib.spark.dedup import fuzzy_decontam_pairs
+
+        pairs = fuzzy_decontam_pairs(
+            train, eval_df,
+            threshold=args.fuzzy_threshold,
+            id_col=args.id_col, text_col=args.text_col,
+            ngram=args.ngram, num_perm=args.num_perm,
+            bands=args.fuzzy_bands,
+            broadcast_eval=not args.no_broadcast_eval,
+            measure=args.fuzzy_measure,
+            hashed_shingles=args.hashed,
+        )
+        # per-train-doc match stats; docs with no row are clean (unlike
+        # the exact engine's flag mode, which emits a row per train doc)
+        stats = pairs.groupBy(F.col("train_id").alias(args.id_col)).agg(
+            F.count("*").alias("n_eval_matches"),
+            F.max(args.fuzzy_measure).alias("max_sim"),
+        )
+        contaminated = stats
+    elif args.engine == "bloom":
         from sketchlib.spark.dedup import bloom_overlap_stats, eval_ngram_bloom
 
         blob = eval_ngram_bloom(

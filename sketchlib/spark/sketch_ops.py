@@ -492,8 +492,10 @@ def profile_table(
 
     Output: one row per column —
     ``(column, dtype, n_rows, n_vals, n_nulls, est_distinct, q50, q95)``
-    with q50/q95 NULL for non-numeric columns.  ``n_rows`` is one
-    ``count()`` action (columnar footers only); ``n_vals`` is exact —
+    with q50/q95 NULL for non-numeric columns.  ``n_rows`` rides the same
+    pass (a 1-cell CMS over a constant — its ``total`` is the exact row
+    count), so the whole operator is ONE lazy plan with no separate
+    count() action even over filtered/joined inputs; ``n_vals`` is exact —
     the digest's total weight / the CMS total; NULLs are never ingested
     (and for floating-point columns NaN counts as missing too, the
     t-digest convention).  ``n_nulls = n_rows - n_vals``.  Metric
@@ -526,8 +528,14 @@ def profile_table(
         else:
             specs.append({"name": f"c{i}", "col": c, "kind": "cms",
                           "params": {"width": 32, "depth": 1}})
-    n_rows = df.count()
-    wide = profile_pivot(profile_aggregate(df, [], specs), [], specs)
+    # row counter rides the SAME pass: a 1-cell-wide CMS over a constant
+    # counts every row exactly in its ``total`` — no separate count()
+    # action, so profiling a filtered/joined input never recomputes its
+    # upstream, and the whole operator stays one lazy plan
+    specs.append({"name": "_rows", "col": "_ones", "kind": "cms",
+                  "params": {"width": 4, "depth": 1}})
+    staged = df.select(*cols).withColumn("_ones", F.lit(1))
+    wide = profile_pivot(profile_aggregate(staged, [], specs), [], specs)
 
     @F.pandas_udf("double")
     def _hll_est(blobs: pd.Series) -> pd.Series:
@@ -550,6 +558,7 @@ def profile_table(
     # whole scan+build subtree once per column (2C scans, exactly what
     # this operator exists to avoid)
     q = tdigest_quantiles_udf([0.5, 0.95], discrete=discrete)
+    n_rows = F.coalesce(_cms_total("_rows"), F.lit(0.0))
     structs = []
     for i, c in enumerate(cols):
         if c in numeric:
@@ -561,9 +570,9 @@ def profile_table(
         structs.append(F.struct(
             F.lit(c).alias("column"),
             F.lit(fields[c].dataType.simpleString()).alias("dtype"),
-            F.lit(n_rows).cast("long").alias("n_rows"),
+            n_rows.cast("long").alias("n_rows"),
             n_vals.cast("long").alias("n_vals"),
-            (F.lit(n_rows) - n_vals).cast("long").alias("n_nulls"),
+            (n_rows - n_vals).cast("long").alias("n_nulls"),
             F.coalesce(_hll_est(f"h{i}"), F.lit(0.0)).alias("est_distinct"),
             q50.alias("q50"),
             q95.alias("q95"),

@@ -136,3 +136,66 @@ def test_decontaminate_job_bloom_engine(spark, tmp_path, monkeypatch):
     # window-grain hits imply the exact path's distinct-gram hits and
     # vice versa (same n-gram universe)
     assert {i for i, r in graded.items() if r["n_hits"] > 0} == want_bad
+
+
+def _py_jaccard(a, b, n=3):
+    def sh(t):
+        toks = [w for w in (t or "").split(" ") if w]
+        if len(toks) < n:
+            return {t}
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_decontaminate_job_fuzzy_engine(spark, tmp_path, monkeypatch):
+    """--engine fuzzy: the near-dup pass drops exactly the train docs with
+    Jaccard >= threshold vs any eval doc (brute-force python oracle);
+    flag mode emits per-doc match stats."""
+    sys.path.insert(0, "jobs")
+    import decontaminate_corpus as job
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text")
+    train_df = docs.filter("doc_id % 5 != 0")
+    eval_df = docs.filter("doc_id % 5 = 0")
+    train_path, eval_path = str(tmp_path / "train"), str(tmp_path / "eval")
+    train_df.write.parquet(train_path)
+    eval_df.write.parquet(eval_path)
+
+    train_rows = {r["doc_id"]: r["text"] for r in train_df.collect()}
+    eval_rows = {r["doc_id"]: r["text"] for r in eval_df.collect()}
+    want_bad = {
+        t for t, tt in train_rows.items()
+        if any(_py_jaccard(tt, et) >= 0.8 for et in eval_rows.values())
+    }
+    assert want_bad  # the planted near-dups straddle the split
+
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    capture = []
+    monkeypatch.setattr("builtins.print", lambda s: capture.append(s))
+
+    out_filter = str(tmp_path / "clean_fuzzy")
+    monkeypatch.setattr(sys, "argv", [
+        "job", "--train", train_path, "--eval", eval_path,
+        "--output", out_filter, "--ngram", "3", "--mode", "filter",
+        "--engine", "fuzzy", "--fuzzy-threshold", "0.8"])
+    job.main()
+    report = json.loads(capture[-1])
+    assert report["engine"] == "fuzzy"
+    assert report["contaminated_rows"] == len(want_bad)
+    clean_ids = {r["doc_id"]
+                 for r in spark.read.parquet(out_filter).collect()}
+    assert clean_ids == set(train_rows) - want_bad
+
+    out_flag = str(tmp_path / "flag_fuzzy")
+    monkeypatch.setattr(sys, "argv", [
+        "job", "--train", train_path, "--eval", eval_path,
+        "--output", out_flag, "--ngram", "3", "--mode", "flag",
+        "--engine", "fuzzy", "--fuzzy-threshold", "0.8"])
+    job.main()
+    got = {r["doc_id"]: r for r in spark.read.parquet(out_flag).collect()}
+    assert set(got) == want_bad
+    for r in got.values():
+        assert r["n_eval_matches"] >= 1 and r["max_sim"] >= 0.8
