@@ -590,14 +590,21 @@ def q_table_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(*_PROFILE_TABLE_COLS)
     prof = profile_table(li, _PROFILE_TABLE_COLS, delta=0.01)
     d = 0.01
-    ex = li.agg(
+    # exact apparatus in TWO separate aggregates: Spark's multi-distinct
+    # rewrite Expands the input 5x, and a percentile in the SAME agg is
+    # then evaluated over the expanded rows (measured 15-19 s vs ~4 s
+    # split at sf0.1)
+    ex_pct = li.agg(
         F.expr(f"percentile(l_quantity, array({0.5-d},{0.5+d},{0.95-d},"
                f"{0.95+d}))").alias("_wq"),
         F.expr(f"percentile(l_extendedprice, array({0.5-d},{0.5+d},"
                f"{0.95-d},{0.95+d}))").alias("_we"),
+    )
+    ex_dist = li.agg(
         *[F.count_distinct(F.col(c)).alias(f"_d_{c}")
           for c in _PROFILE_TABLE_COLS],
     )
+    ex = ex_pct.crossJoin(ex_dist)
     j = prof.crossJoin(F.broadcast(ex))
     win = (
         F.when(F.col("column") == "l_quantity", F.col("_wq"))
