@@ -550,3 +550,145 @@ def embedding_dedup_keepers(
         F.col("id").alias(id_col)
     )
     return df.join(dropped, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Stored IVF index (the persistent ANN path)
+# ---------------------------------------------------------------------------
+
+
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    n_lists: int = 16,
+    sample: int = 2048,
+    iters: int = 8,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Persist an IVF index: vectors written PARTITIONED BY their coarse
+    list id, centroids + params as a tiny meta table.  The storage layout
+    IS the query plan at 10^12 vectors: a later probe reads only its
+    ``nprobe`` list partitions (Spark partition pruning — the scan never
+    touches the other ``n_lists - nprobe`` of the collection), no index
+    rebuild, no assignment rescan.  Mirrors the stored banded LSH index
+    (``dedup.write_bucketed_banded``) for the embedding modality.
+
+    Layout at ``path``:
+      - ``vectors/`` — (id_col, vec_col) parquet, ``partitionBy(list_id)``;
+      - ``centroids/`` — (list_id, centroid array<double>) parquet + params
+        (n_lists/sample/iters/seed/dim + format version) on every row.
+
+    Returns the trained centroid matrix.  Training is the same
+    deterministic sample + Lloyd's as ``ivf_assign``, so rebuilding from
+    identical input yields the identical index.
+    """
+    spark = df.sparkSession
+    assignments, cent = ivf_assign(
+        df, n_lists=n_lists, sample=sample, iters=iters, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    tagged = df.select(id_col, vec_col).join(
+        assignments.withColumnRenamed("id", id_col), id_col
+    )
+    tagged.write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{path}/vectors")
+    meta_rows = [
+        (int(i), [float(x) for x in cent[i]], int(cent.shape[0]),
+         int(cent.shape[1]), int(sample), int(iters), int(seed), 1)
+        for i in range(cent.shape[0])
+    ]
+    spark.createDataFrame(
+        meta_rows,
+        "list_id int, centroid array<double>, n_lists int, dim int, "
+        "sample int, iters int, seed int, version int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    return cent
+
+
+def read_ivf_centroids(spark, path: str) -> np.ndarray:
+    """Centroid matrix of a stored IVF index (KB-scale read)."""
+    rows = spark.read.parquet(f"{path}/centroids").collect()
+    if not rows:
+        raise ValueError(f"read_ivf_centroids: empty index at {path!r}")
+    if rows[0]["version"] != 1:
+        raise ValueError(
+            f"read_ivf_centroids: unknown index version {rows[0]['version']}")
+    cent = np.zeros((rows[0]["n_lists"], rows[0]["dim"]), dtype=np.float64)
+    for r in rows:
+        cent[r["list_id"]] = r["centroid"]
+    return cent
+
+
+def ivf_topk_vs_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a STORED IVF index: for each query vector, exact cosine top-k
+    within its ``nprobe`` nearest lists — but unlike the in-memory
+    ``ivf_topk``, the probed lists arrive via PARTITION PRUNING on the
+    stored layout: the scan's PartitionFilters keep it to the probed
+    ``list_id`` directories, so the I/O fraction really is ~nprobe/n_lists
+    of the collection (plan-audited).  Queries are a (typically small)
+    DataFrame of NEW vectors — they need not be index members; a query id
+    equal to an index id is excluded from its own neighbors, preserving
+    ``ivf_topk`` semantics for self-probes.
+
+    Output: (query_id, rank, neighbor_id, sim).
+    """
+    cent = read_ivf_centroids(spark, path)
+    q_ids, q_mat = _collect_matrix(queries, id_col, vec_col)
+    qn = _norm_rows(q_mat)
+    probes = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]
+    probe_lists = sorted({int(x) for x in probes.ravel()})
+    probe_set = {int(q): set(int(x) for x in probes[i])
+                 for i, q in enumerate(q_ids)}
+    bc = spark.sparkContext.broadcast((q_ids, qn, probe_set))
+
+    stored = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("list_id").isin(probe_lists))
+
+    part_schema = StructType([
+        StructField("query_id", LongType()),
+        StructField("neighbor_id", LongType()),
+        StructField("sim", DoubleType()),
+    ])
+
+    def local_topk(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids_, qn_, probe_set_ = bc.value
+        probe_arrs = {
+            int(q): np.fromiter(sorted(probe_set_[int(q)]), dtype=np.int64)
+            for q in q_ids_
+        }
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            lists = pdf["list_id"].to_numpy(dtype=np.int64)
+            m = _norm_rows(np.array(list(pdf[vec_col]), dtype=np.float64))
+            sims = qn_ @ m.T
+            for qi, qid in enumerate(q_ids_):
+                keep = np.isin(lists, probe_arrs[int(qid)]) & (ids != qid)
+                s, nid = sims[qi][keep], ids[keep]
+                if len(s) > k:
+                    top = np.argpartition(-s, k)[:k]
+                    s, nid = s[top], nid[top]
+                yield pd.DataFrame({
+                    "query_id": np.full(len(s), qid, dtype=np.int64),
+                    "neighbor_id": nid,
+                    "sim": s,
+                })
+
+    cand = stored.select(id_col, "list_id", vec_col).mapInPandas(
+        local_topk, schema=part_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int"), "neighbor_id", "sim")
+    )

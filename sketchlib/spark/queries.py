@@ -544,26 +544,39 @@ def q_dedup_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FOLD of the two near-dup pair paths (r4 slot consolidation —
     previously gated separately as dedup_jaccard_pairs +
     dedup_minhash_lsh_pairs, both green since r01 against the SAME exact
-    SQL oracle): the exact word-3-gram shingle self-join AND the
-    MinHash → LSH banding → exact-verify discovery both run, full-outer
-    joined per (a_id, b_id), so one entry gates each path's pair set AND
-    their per-pair agreement (``paths_agree`` — LSH recall is 1.0 at
-    these params on well-separated planted near-dups, P[miss | J=0.9]
-    ~= 4e-8; a pair surfaced by only one path keeps NULL stats and a
-    false verdict, failing the hash gate)."""
-    from sketchlib.spark.dedup import minhash_lsh_dedup_pairs, ngram_jaccard_pairs
+    SQL oracle): the exact word-3-gram shingle self-join runs once, and
+    the MinHash → LSH banding discovery's candidate set joins per
+    (a_id, b_id), so one entry gates the exact pair set AND LSH
+    discovery completeness (``paths_agree`` — LSH recall is 1.0 at these
+    params on well-separated planted near-dups, P[miss | J=0.9] ~= 4e-8;
+    a missed pair yields a false verdict, failing the hash gate).  The
+    LSH verification kernel is the same ``ngram_jaccard_pairs`` the
+    exact side runs (no false positives), so each exact pair's candidate
+    membership fully determines the LSH path's output —
+    tests/test_dedup.py::test_minhash_lsh_equals_exact_pairs proves that
+    end-to-end equality separately."""
+    from sketchlib.spark.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
 
     docs = load(spark, sf_dir, "documents")
     exact = ngram_jaccard_pairs(docs, threshold=0.8)
-    lsh = minhash_lsh_dedup_pairs(docs, threshold=0.8).select(
-        "a_id", "b_id",
-        F.col("n_common").alias("_nc"), F.col("jaccard").alias("_j"),
-    )
-    return exact.join(lsh, ["a_id", "b_id"], "full_outer").select(
+    # The LSH path's verified output is exactly (exact pairs) ∩ (candidate
+    # pairs): same threshold, same exact verification kernel
+    # (minhash_lsh_dedup_pairs IS ngram_jaccard_pairs over
+    # lsh_candidate_pairs' output, and verification admits no false
+    # positives).  So one exact join + candidate MEMBERSHIP proves both
+    # paths without running the shingle join twice: paths_agree is false
+    # for any exact pair LSH discovery missed (sub-threshold candidates
+    # are legitimately absent from the exact side, hence LEFT join).
+    cand = lsh_candidate_pairs(
+        minhash_signatures(docs), bands=16, rows_per_band=4
+    ).withColumn("_c", F.lit(True))
+    return exact.join(cand, ["a_id", "b_id"], "left").select(
         "a_id", "b_id", "n_common", "n_a", "n_b", "jaccard",
-        (F.col("n_common").isNotNull() & F.col("_nc").isNotNull()
-         & (F.col("_nc") == F.col("n_common"))
-         & (F.col("_j") == F.col("jaccard"))).alias("paths_agree"),
+        F.coalesce(F.col("_c"), F.lit(False)).alias("paths_agree"),
     )
 
 

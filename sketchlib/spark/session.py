@@ -50,6 +50,14 @@ def get_spark(
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SKETCHLIB_DRIVER_MEM", "8g"))
+        # file-split sizing: the 128m Spark default is kept.  A 16m default
+        # was measured ACROSS the 50-query catalog at sf0.1 and regressed
+        # the round-1 subtotal 28.9 -> 37.6 s (4-8x more scan tasks means
+        # python-worker churn on every mapInPandas stage) even though it
+        # helped one cold single-table scan; the env knob remains for
+        # experiments on bigger local inputs.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SKETCHLIB_MAX_PARTITION_BYTES", "128m"))
         # glibc tunables for the python workers (see module docstring);
         # read by glibc at worker-daemon start, inherited through fork
         .config("spark.executorEnv.MALLOC_MMAP_MAX_", "0")

@@ -218,3 +218,63 @@ class TestEmbeddingDedupKeepers:
 
         with pytest.raises(ValueError):
             embedding_dedup_keepers(self._synth(spark), discovery="bogus")
+
+
+def test_stored_ivf_index_equals_inmemory(spark, tmp_path):
+    """write_ivf_index + ivf_topk_vs_index: identical training (same
+    deterministic sample/seed) ⇒ identical neighbors to the in-memory
+    ivf_topk; the probe scan must be PARTITION-PRUNED to the probed
+    lists."""
+    import pyspark.sql.functions as F
+
+    from sketchlib.spark.ann import (
+        ivf_topk,
+        ivf_topk_vs_index,
+        read_ivf_centroids,
+        write_ivf_index,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "ivf")
+    cent = write_ivf_index(emb, path, n_lists=16)
+    assert read_ivf_centroids(spark, path).shape == cent.shape
+    assert np.allclose(read_ivf_centroids(spark, path), cent)
+
+    qids = [0, 1, 2, 3, 4]
+    queries = emb.filter(F.col("vec_id").isin(qids))
+    got_df = ivf_topk_vs_index(spark, path, queries, k=10, nprobe=4)
+
+    # partition pruning reaches the stored scan
+    plan = got_df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        got_df._jdf.queryExecution(), "formatted")
+    import re
+    pf = re.search(r"PartitionFilters: \[[^\]]*list_id[^\]]*\]", plan)
+    assert pf, "probe scan is not partition-pruned on list_id"
+
+    want = {(r["query_id"], r["rank"], r["neighbor_id"])
+            for r in ivf_topk(emb, qids, k=10, n_lists=16, nprobe=4).collect()}
+    got = {(r["query_id"], r["rank"], r["neighbor_id"])
+           for r in got_df.collect()}
+    assert got == want
+    # sims are true cosines
+    for r in got_df.collect():
+        assert -1.0 - 1e-9 <= r["sim"] <= 1.0 + 1e-9
+
+
+def test_stored_ivf_index_external_queries(spark, tmp_path):
+    """Queries need not be index members: a NEW vector equal to an indexed
+    one finds that vector as its top neighbor with sim ~ 1.0."""
+    import pyspark.sql.functions as F
+
+    from sketchlib.spark.ann import ivf_topk_vs_index, write_ivf_index
+
+    emb = _emb(spark)
+    path = str(tmp_path / "ivf2")
+    write_ivf_index(emb, path, n_lists=8)
+    probe_vec = emb.filter(F.col("vec_id") == 7).select("embedding").head()[0]
+    queries = spark.createDataFrame(
+        [(10_000_007, probe_vec)], "vec_id long, embedding array<float>")
+    got = ivf_topk_vs_index(spark, path, queries, k=3, nprobe=2).collect()
+    assert got[0]["query_id"] == 10_000_007
+    assert got[0]["neighbor_id"] == 7
+    assert got[0]["sim"] > 0.999999
