@@ -110,6 +110,12 @@ def main() -> int:
                          "BENCH/soak_sigkernel_d4.json — signs in one "
                          "zero-Exchange Arrow projection, each token "
                          "hashed once, ~2x the signature stage)")
+    ap.add_argument("--normalize-keys", action="store_true",
+                    help="canonicalize the exact-dedup content key "
+                         "(textops.normalize_text_expr: case-fold + "
+                         "whitespace-collapse + trim) so trivial crawl "
+                         "variants of the same page hash identically; "
+                         "near-dup shingling keeps the raw text")
     ap.add_argument("--url-col", default=None,
                     help="URL column; enables canonical-URL dedup as the "
                          "stage-0 pre-pass (cheapest dedup first: crawl "
@@ -256,7 +262,13 @@ def main() -> int:
         def dedup():
             edges = []
             if args.dedup in ("exact", "both"):
-                ek = exact_dedup_keepers(docs, idc, txt)
+                if args.normalize_keys:
+                    from sketchlib.spark.textops import normalize_text_expr
+
+                    d2 = docs.withColumn("_nkey", normalize_text_expr(txt))
+                    ek = exact_dedup_keepers(d2, idc, "_nkey")
+                else:
+                    ek = exact_dedup_keepers(docs, idc, txt)
                 edges.append(
                     ek.filter(F.col(idc) != F.col("keeper_id")).select(
                         F.col("keeper_id").alias("a_id"),
@@ -278,6 +290,8 @@ def main() -> int:
         docs = run_stage(3, "dedup", {
             "mode": args.dedup, "threshold": args.threshold,
             "ngram": args.ngram, "num_perm": args.num_perm,
+            # omitted when False so pre-flag checkpoints stay resumable
+            **({"normalize_keys": True} if args.normalize_keys else {}),
             # "xxh" is omitted so checkpoints from the pre-poly era (when
             # xxh was both the default and unfingerprinted) stay resumable
             # under an explicit --sig-kernel xxh; any other kernel —

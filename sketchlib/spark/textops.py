@@ -1903,3 +1903,81 @@ def frequent_phrases(
                 "est_lower")
         .orderBy(*keys, F.desc("n_docs"), "phrase")
     )
+
+
+# ---------------------------------------------------------------------------
+# Text canonicalization (dedup-key prep) + within-doc line dedup
+# ---------------------------------------------------------------------------
+
+
+def normalize_text_expr(
+    col,
+    lower: bool = True,
+    strip_punct: bool = False,
+    collapse_ws: bool = True,
+    trim: bool = True,
+):
+    """Dedup-KEY text canonicalization (the C4/CCNet-style normalization
+    applied before hashing/shingling, so trivial crawl variants — case,
+    whitespace runs, optionally punctuation — collapse to one key):
+
+    1. ``lower``     — case-fold;
+    2. ``strip_punct`` — drop every char outside ``[\\w\\s]`` (ASCII
+       word/space classes — Java and RE2 agree on these without unicode
+       flags);
+    3. ``collapse_ws`` — any whitespace run becomes one space;
+    4. ``trim``      — strip leading/trailing space.
+
+    Pure codegen (``lower``/``regexp_replace``/``trim``) restricted to
+    the Java∩RE2 regex subset, so a DuckDB mirror reproduces the BYTES
+    exactly (pytest proves mirror equality over an edge battery).  This
+    produces the canonical KEY — compose with ``exact_dedup_keepers`` /
+    shingling, don't ship it as display text.  Unicode NFC/accent
+    folding is deliberately absent: Spark has no built-in normalizer and
+    a Python UDF would put the dedup hot path on the slow lane; do
+    codepoint normalization at ingestion.  NULL propagates as NULL."""
+    c = F.col(col) if isinstance(col, str) else col
+    if lower:
+        c = F.lower(c)
+    if strip_punct:
+        c = F.regexp_replace(c, r"[^\w\s]+", "")
+    if collapse_ws:
+        c = F.regexp_replace(c, r"\s+", " ")
+    if trim:
+        c = F.trim(c)
+    return c
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_norm",
+    **opts,
+) -> DataFrame:
+    """``normalize_text_expr`` as a DataFrame op: adds ``out_col``."""
+    return df.withColumn(out_col, normalize_text_expr(text_col, **opts))
+
+
+def dedup_lines_within_doc(
+    df: DataFrame,
+    text_col: str = "text",
+    sep: str = "\n",
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """WITHIN-document repeated-line removal (the intra-doc half of the
+    C4 boilerplate rules; ``paragraph_dedup`` is the cross-doc half):
+    keep each line's FIRST occurrence, drop later repeats of the same
+    line inside the same document.  ``array_distinct`` preserves
+    first-occurrence order, so the rebuild is one codegen projection —
+    no shuffle, no Python, stream-safe.  Adds (out_col, n_lines,
+    n_dup_lines); NULL text passes through with NULL/zero counts."""
+    lines = F.split(F.col(text_col), F.lit(sep))
+    kept = F.array_distinct(lines)
+    return df.select(
+        "*",
+        F.when(F.col(text_col).isNotNull(),
+               F.array_join(kept, sep)).alias(out_col),
+        F.coalesce(F.size(lines), F.lit(0)).cast("long").alias("n_lines"),
+        F.coalesce(F.size(lines) - F.size(kept), F.lit(0))
+        .cast("long").alias("n_dup_lines"),
+    )

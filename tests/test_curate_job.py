@@ -255,3 +255,46 @@ def test_curate_job_sig_kernel_poly(spark, tmp_path, monkeypatch):
     # distinct doc and survives
     assert out_k["xxh"] == out_k["poly"] == set(range(10)) | {500}
     assert fps["xxh"] != fps["poly"]
+
+
+def test_curate_job_normalize_keys(spark, tmp_path, monkeypatch):
+    """--normalize-keys: case/whitespace variants of one page hash to one
+    exact-dedup key (min-id keeper survives); without the flag all
+    variants survive; the flag enters the stage fingerprint so toggling
+    it re-runs dedup."""
+    sys.path.insert(0, "jobs")
+    import curate_corpus as job
+
+    capture = []
+    monkeypatch.setattr("builtins.print", lambda s: capture.append(s))
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    rows = [
+        (1, "en", base),
+        (2, "en", base.upper()),
+        (3, "en", "  " + base.replace(" ", "   ") + " "),
+        (4, "en", " ".join(f"other{i}" for i in range(30))),
+    ]
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, text string").write.parquet(src)
+    wd, out = str(tmp_path / "wd"), str(tmp_path / "curated")
+    argv = ["--input", src, "--workdir", wd, "--output", out,
+            "--dedup", "exact", "--normalize-keys"]
+
+    rc = _run(monkeypatch, job, argv)
+    assert rc == 0
+    got = {r["doc_id"] for r in
+           spark.read.parquet(out).select("doc_id").collect()}
+    assert got == {1, 4}
+
+    # toggling the flag off re-keys the dedup stage and keeps all docs
+    rc = _run(monkeypatch, job,
+              ["--input", src, "--workdir", wd, "--output", out,
+               "--dedup", "exact", "--resume"])
+    m = json.loads(capture[-1])
+    assert not m["stages"]["dedup"]["skipped"]
+    got2 = {r["doc_id"] for r in
+            spark.read.parquet(out).select("doc_id").collect()}
+    assert got2 == {1, 2, 3, 4}

@@ -355,3 +355,74 @@ def test_frequent_phrases_boilerplate_miner(spark):
     assert per["de"]["phrase"] == boiler and per["de"]["n_docs"] == 30
     for lang in ("en", "de"):
         assert (per[lang]["phrase"], per[lang]["n_docs"]) == want_lang[lang]
+
+
+def test_normalize_text_matches_duckdb_mirror(spark):
+    """normalize_text_expr restricted to the Java∩RE2 subset: DuckDB
+    reproduces the canonical KEY bytes exactly, all flag combos."""
+    import itertools
+
+    import duckdb
+
+    from sketchlib.spark.textops import normalize_text
+
+    rows = [
+        (0, "Hello   World"),
+        (1, "  HELLO\tworld \n again  "),
+        (2, "punct, here! (lots); of: it?"),
+        (3, "MiXeD CaSeé and 中文 chars"),
+        (4, ""),
+        (5, None),
+        (6, "a  b\tc\nd\re"),
+        (7, "already normal"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    for lower, punct in itertools.product([True, False], repeat=2):
+        got = {r["id"]: r["text_norm"] for r in normalize_text(
+            df, lower=lower, strip_punct=punct).collect()}
+        e = "text"
+        if lower:
+            e = f"lower({e})"
+        if punct:
+            e = f"regexp_replace({e}, '[^\\w\\s]+', '', 'g')"
+        e = f"trim(regexp_replace({e}, '\\s+', ' ', 'g'))"
+        want = dict(con.execute(f"SELECT id, {e} FROM t").fetchall())
+        assert got == want, (lower, punct)
+
+
+def test_dedup_lines_within_doc(spark):
+    """First occurrence kept, later repeats dropped; counts exact; NULL
+    passes through; DuckDB order-preserving mirror agrees byte-for-byte."""
+    import duckdb
+
+    from sketchlib.spark.textops import dedup_lines_within_doc
+
+    rows = [
+        (0, "a\nb\na\nc\nb"),
+        (1, "only\none\nof\neach"),
+        (2, "x\nx\nx"),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: (r["text_clean"], r["n_lines"], r["n_dup_lines"])
+           for r in dedup_lines_within_doc(df).collect()}
+    assert got[0] == ("a\nb\nc", 5, 2)
+    assert got[1] == ("only\none\nof\neach", 4, 0)
+    assert got[2] == ("x", 3, 2)
+    assert got[3] == ("", 1, 0)
+    assert got[4] == (None, 0, 0)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = dict(con.execute("""
+        SELECT id, array_to_string(
+          list_filter(l, (x, i) -> list_position(l, x) = i), chr(10))
+        FROM (SELECT id, str_split(text, chr(10)) AS l FROM t)
+    """).fetchall())
+    for i, (clean, _n, _d) in got.items():
+        assert clean == want[i]
