@@ -478,6 +478,7 @@ def profile_table(
     delta: float = 0.01,
     discrete: bool = False,
     hll_p: int = 14,
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """Schema-driven ONE-PASS table profiler — the "describe my 100-TB
     table" operator.  Every selected column gets type-appropriate
@@ -502,6 +503,10 @@ def profile_table(
     extraction runs on C KB-scale sketch rows, never on the data: the
     scan cost is ONE pass regardless of how many columns are profiled
     (the dedicated single-sketch path would cost 2C scans).
+
+    ``keys``: optional grouping columns — the per-GROUP profile (one row
+    per group x column, keys prepended) from the same single pass; the
+    sketch shuffle then carries one KB row per (group x spec).
     """
     from pyspark.sql.types import NumericType
 
@@ -512,8 +517,13 @@ def profile_table(
         tdigest_quantiles_udf,
     )
 
+    keys = list(keys or [])
     fields = {f.name: f for f in df.schema.fields}
-    cols = list(columns) if columns is not None else list(fields)
+    cols = (list(columns) if columns is not None
+            else [c for c in fields if c not in keys])
+    overlap = [c for c in cols if c in keys]
+    if overlap:
+        raise ValueError(f"profile_table: columns {overlap} are also keys")
     unknown = [c for c in cols if c not in fields]
     if unknown:
         raise ValueError(f"profile_table: unknown columns {unknown}")
@@ -534,8 +544,8 @@ def profile_table(
     # upstream, and the whole operator stays one lazy plan
     specs.append({"name": "_rows", "col": "_ones", "kind": "cms",
                   "params": {"width": 4, "depth": 1}})
-    staged = df.select(*cols).withColumn("_ones", F.lit(1))
-    wide = profile_pivot(profile_aggregate(staged, [], specs), [], specs)
+    staged = df.select(*keys, *cols).withColumn("_ones", F.lit(1))
+    wide = profile_pivot(profile_aggregate(staged, keys, specs), keys, specs)
 
     @F.pandas_udf("double")
     def _hll_est(blobs: pd.Series) -> pd.Series:
@@ -578,6 +588,6 @@ def profile_table(
             q95.alias("q95"),
         ))
     return (
-        wide.select(F.explode(F.array(*structs)).alias("_r"))
-        .select("_r.*")
+        wide.select(*keys, F.explode(F.array(*structs)).alias("_r"))
+        .select(*keys, "_r.*")
     )

@@ -169,3 +169,40 @@ def test_ann_empty(spark):
 
     vecs = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert topk_neighbors(vecs, [1, 2], k=3).count() == 0
+
+
+def test_profile_table_empty(edocs):
+    """Keyless: the documented global-agg convention — one defined row per
+    column, all-zero facts, NULL quantiles.  Grouped: zero rows."""
+    from sketchlib.spark.sketch_ops import profile_table
+
+    got = {r["column"]: r for r in
+           profile_table(edocs, ["n_chars", "source"]).collect()}
+    assert set(got) == {"n_chars", "source"}
+    for r in got.values():
+        assert (r["n_rows"], r["n_vals"], r["n_nulls"]) == (0, 0, 0)
+        assert r["est_distinct"] == 0.0
+        assert r["q50"] is None and r["q95"] is None
+    assert profile_table(
+        edocs, ["n_chars"], keys=["lang"]).collect() == []
+
+
+def test_fuzzy_decontam_empty_sides(spark, edocs):
+    from sketchlib.spark.dedup import fuzzy_decontam_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g")], "doc_id long, text string")
+    e = edocs.select("doc_id", "text")
+    assert fuzzy_decontam_pairs(docs, e).collect() == []
+    assert fuzzy_decontam_pairs(e, docs).collect() == []
+    assert fuzzy_decontam_pairs(e, e).collect() == []
+
+
+def test_normalize_and_line_dedup_empty(edocs):
+    from sketchlib.spark.textops import (
+        dedup_lines_within_doc,
+        normalize_text,
+    )
+
+    assert normalize_text(edocs).collect() == []
+    assert dedup_lines_within_doc(edocs).collect() == []

@@ -195,3 +195,36 @@ def test_hashed_sketches_never_ingest_null(spark):
     prof = profile_aggregate(df, ["k"], spec).collect()[0]
     ded = sketch_aggregate(nn, ["k"], "v", "hll", {"p": 14}).collect()[0]
     assert bytes(prof["sketch"]) == bytes(ded["sketch"])
+
+
+def test_profile_table_per_key(spark):
+    """keys= gives the per-GROUP schema-driven profile from one pass; each
+    group's row equals the keyless profile of that group's slice."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.sketch_ops import profile_table
+
+    df = spark.createDataFrame(
+        [("a" if i % 3 else "b", float(i),
+          None if i % 5 == 0 else f"s{i % 4}") for i in range(1, 301)],
+        "grp string, v double, s string",
+    )
+    per_key = {(r["grp"], r["column"]): r for r in profile_table(
+        df, ["v", "s"], discrete=True, keys=["grp"]).collect()}
+    assert set(k[0] for k in per_key) == {"a", "b"}
+    for g in ("a", "b"):
+        flat = {r["column"]: r for r in profile_table(
+            df.filter(F.col("grp") == g).select("v", "s"),
+            ["v", "s"], discrete=True).collect()}
+        for c in ("v", "s"):
+            got, want = per_key[(g, c)], flat[c]
+            for f in ("n_rows", "n_vals", "n_nulls", "est_distinct",
+                      "q50", "q95"):
+                assert got[f] == want[f], (g, c, f)
+    # columns defaulting excludes the keys
+    cols = {r["column"] for r in profile_table(
+        df, keys=["grp"], discrete=True).collect()}
+    assert cols == {"v", "s"}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="also keys"):
+        profile_table(df, ["grp", "v"], keys=["grp"])
