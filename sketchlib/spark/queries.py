@@ -3136,10 +3136,48 @@ FROM ({_MEDIA_META_SQL}) m LEFT JOIN ({_MEDIA_FRAMES_SQL}) f USING (media_id)
 def q_ann_ivf_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Folds ann_ivf_topk + ann_ivf_recall: the full-probe IVF top-k rows
     (≡ brute force, hash-exact) carrying the partial-probe recall@10 ≥ 0.5
-    verdict boolean from the nprobe=4 run."""
+    verdict boolean from the nprobe=4 run, plus — round-4 — the STORED
+    index verdict: ``stored_equals_inmemory`` is true iff a
+    ``write_ivf_index`` built in a scratch dir, probed partition-pruned
+    via ``ivf_topk_vs_index`` with the SAME params, returns exactly the
+    in-memory nprobe=4 run's (query, rank, neighbor) set AND the probe
+    plan carries a ``list_id`` PartitionFilter (training is
+    deterministic, so the equality is driver-hashable)."""
+    import re
+    import shutil
+    import tempfile
+
+    from sketchlib.spark.ann import (
+        ivf_topk,
+        ivf_topk_vs_index,
+        write_ivf_index,
+    )
+
     full = q_ann_ivf_topk(spark, sf_dir)
     gate = q_ann_ivf_recall(spark, sf_dir).select("recall_ge_half")
-    return full.crossJoin(F.broadcast(gate))
+
+    emb = load(spark, sf_dir, "embeddings")
+    qids = list(range(8))
+    tmp = tempfile.mkdtemp(prefix="sketchlib_ivf_gate_")
+    try:
+        write_ivf_index(emb, tmp, n_lists=16)
+        stored_df = ivf_topk_vs_index(
+            spark, tmp, emb.filter(F.col("vec_id").isin(qids)),
+            k=10, nprobe=4)
+        plan = stored_df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            stored_df._jdf.queryExecution(), "formatted")
+        pruned = bool(
+            re.search(r"PartitionFilters: \[[^\]]*list_id", plan))
+        stored = {(r["query_id"], r["rank"], r["neighbor_id"])
+                  for r in stored_df.collect()}
+        mem = {(r["query_id"], r["rank"], r["neighbor_id"])
+               for r in ivf_topk(emb, qids, k=10, n_lists=16,
+                                 nprobe=4).collect()}
+        ok = pruned and stored == mem
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return full.crossJoin(F.broadcast(gate)).withColumn(
+        "stored_equals_inmemory", F.lit(bool(ok)))
 
 
 def q_hll_users_union(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4137,7 +4175,10 @@ FROM documents GROUP BY lang
     "text_doc_features": _doc_features_sql(),
     "rollup_hourly_daily": _ROLLUP_FOLD_SQL,
     "media_meta_frames": _MEDIA_FOLD_SQL,
-    "ann_ivf_topk_recall": f"SELECT t.*, TRUE AS recall_ge_half FROM ({_ANN_TOPK_SQL}) t",
+    "ann_ivf_topk_recall": (
+        f"SELECT t.*, TRUE AS recall_ge_half, "
+        f"TRUE AS stored_equals_inmemory FROM ({_ANN_TOPK_SQL}) t"
+    ),
     # --- round-4 second-wave folds ---
     "td_quantiles_cdf_by_lang": f"""
 SELECT q.*, c.cdf_200, c.cdf_500, c.cdf_1000
