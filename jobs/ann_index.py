@@ -8,6 +8,11 @@ probe forever with partition-pruned scans.
         [--n-lists 1024] [--sample 65536] [--id-col vec_id] \
         [--vec-col embedding]
 
+    # append: assign NEW vectors with the stored centroids (no retrain,
+    # no rescan of existing vectors) and append to their list partitions
+    spark-submit ... jobs/ann_index.py append \
+        --input s3://.../embeddings_day2/ --index /warehouse/ann_ivf
+
     # probe: top-k neighbors for a table of query vectors
     spark-submit ... jobs/ann_index.py probe \
         --index /warehouse/ann_ivf --queries s3://.../new_vectors/ \
@@ -32,7 +37,7 @@ import time
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["build", "probe"])
+    ap.add_argument("mode", choices=["build", "append", "probe"])
     ap.add_argument("--index", required=True)
     ap.add_argument("--input")
     ap.add_argument("--queries")
@@ -51,7 +56,21 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
     t0 = time.time()
 
-    if args.mode == "build":
+    if args.mode == "append":
+        if not args.input:
+            ap.error("append requires --input")
+        from sketchlib.spark.ann import append_to_ivf_index
+
+        df = spark.read.parquet(args.input)
+        append_to_ivf_index(df, args.index,
+                            id_col=args.id_col, vec_col=args.vec_col)
+        report = {
+            "mode": "append",
+            "n_appended": df.count(),
+            "n_vectors": spark.read.parquet(f"{args.index}/vectors").count(),
+            "index": args.index,
+        }
+    elif args.mode == "build":
         if not args.input:
             ap.error("build requires --input")
         from sketchlib.spark.ann import write_ivf_index

@@ -692,3 +692,50 @@ def ivf_topk_vs_index(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("rank").cast("int"), "neighbor_id", "sim")
     )
+
+
+def append_to_ivf_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally grow a stored IVF index: NEW vectors are assigned
+    with the index's STORED centroids (no retrain, no rescan of existing
+    vectors — the incremental contract mirrored from the banded-LSH
+    index) and appended to their list partitions.  Tomorrow's embeddings
+    join yesterday's index at the cost of one scan of the NEW batch;
+    probes see the union immediately.
+
+    The coarse quantizer is intentionally frozen: centroid drift under a
+    shifting corpus is an OBSERVABLE (feed per-batch assignment
+    similarity digests to the KS drift monitor), and re-training is an
+    explicit rebuild — silent retrain would orphan the existing
+    partition layout.
+    """
+    spark = df.sparkSession
+    cent = read_ivf_centroids(spark, path)
+    bc = spark.sparkContext.broadcast(cent)
+
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("list_id", IntegerType()),
+    ])
+
+    def assign_fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            m = _norm_rows(np.array(list(pdf[vec_col]), dtype=np.float64))
+            yield pd.DataFrame({
+                "id": ids,
+                "list_id": np.argmax(m @ c.T, axis=1).astype(np.int32),
+            })
+
+    assignments = df.select(id_col, vec_col).mapInPandas(
+        assign_fn, schema=schema)
+    tagged = df.select(id_col, vec_col).join(
+        assignments.withColumnRenamed("id", id_col), id_col
+    )
+    tagged.write.mode("append").partitionBy("list_id").parquet(
+        f"{path}/vectors")

