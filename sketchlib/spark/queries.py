@@ -3200,7 +3200,14 @@ def q_hll_users_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sketchlib.spark.sketch_ops import sketch_aggregate, sketch_merge
 
     ev = load(spark, sf_dir, "events")
-    per_type = sketch_aggregate(ev, ["event_type"], "user_id", "hll", {"p": 14})
+    # 3 scans total (was 5): the per-type sketch rows are KB-scale, so
+    # caching them lets the union-law merge reuse the build instead of
+    # rescanning; ROLLUP computes the per-type AND global exact distincts
+    # in one pass; only the direct global build keeps its own scan — the
+    # law ("union of per-type == direct build, byte-identical") needs the
+    # two sides built independently.
+    per_type = sketch_aggregate(
+        ev, ["event_type"], "user_id", "hll", {"p": 14}).cache()
 
     from pyspark.sql.pandas.functions import pandas_udf
     from pyspark.sql.types import DoubleType
@@ -3212,9 +3219,10 @@ def q_hll_users_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.Series([HLL.deserialize(bytes(b)).estimate() for b in s])
 
     approx = per_type.select("event_type", est("sketch").alias("_est"))
-    exact = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_exact")
-    )
+    exacts = ev.rollup("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.grouping("event_type").alias("_g")).cache()
+    exact = exacts.filter(F.col("_g") == 0)
     per_rows = exact.join(F.broadcast(approx), "event_type").select(
         "event_type",
         "n_exact",
@@ -3225,9 +3233,9 @@ def q_hll_users_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     u_blob = bytes(unioned.collect()[0]["sketch"])
     d_blob = bytes(direct.collect()[0]["sketch"])
     u_est = HLL.deserialize(u_blob).estimate()
-    gate = ev.agg(F.countDistinct("user_id").alias("n_exact_all")).select(
-        "n_exact_all",
-        (F.abs(F.lit(u_est) / F.col("n_exact_all") - 1.0) < 0.02)
+    gate = exacts.filter(F.col("_g") == 1).select(
+        F.col("n_exact").alias("n_exact_all"),
+        (F.abs(F.lit(u_est) / F.col("n_exact") - 1.0) < 0.02)
         .alias("union_within_2pct"),
         F.lit(u_blob == d_blob).alias("union_equals_direct"),
     )
