@@ -1064,6 +1064,70 @@ def decontam_bench() -> None:
     }))
 
 
+def fuzzydecontam_bench() -> None:
+    """Fuzzy (near-dup) decontamination throughput over the ~1M-page slice
+    (same slice/split convention as --decontam: 1/8 hash sample, ~1% eval):
+    dedup.fuzzy_decontam_pairs at Jaccard >= 0.8, xxh vs poly signature
+    kernels, at 8 and CPUS cores (discovery = sign both sides + broadcast
+    banded-eval join; verification only touches candidates).  The eval
+    split is verbatim-disjoint, so measured cost is the discovery
+    machinery — the scale-relevant part.  One JSON line."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.dedup import fuzzy_decontam_pairs
+    from sketchlib.spark.session import get_spark
+
+    path = os.path.join(BENCH_DIR, f"pages_{BENCH_ROWS}.parquet")
+    ensure_pages(path, BENCH_ROWS)
+    out = {"cpus_levels": [2, 8, int(CPUS)], "kernels": {}}
+    n_train = None
+    for kernel in ("xxh", "poly"):
+        levels = {}
+        for cpus in (2, 8, int(CPUS)):
+            spark = get_spark(f"fuzzydecontam-{kernel}-{cpus}", cpus=cpus)
+            spark.sparkContext.setLogLevel("ERROR")
+            pages = spark.read.parquet(path).select("url", "text").filter(
+                F.abs(F.xxhash64("url")) % 8 == 0
+            ).withColumn("doc_id", F.xxhash64("url"))
+            train = pages.filter(F.abs(F.col("doc_id")) % 97 != 0)
+            ev = pages.filter(F.abs(F.col("doc_id")) % 97 == 0)
+
+            def run():
+                # the operator caches its candidate frame; identical
+                # logical plans would HIT that cache across reps and
+                # skip the signature build — clear it so every rep pays
+                # the full discovery cost
+                spark.catalog.clearCache()
+                return fuzzy_decontam_pairs(
+                    train, ev, threshold=0.8, ngram=5,
+                    hashed_shingles=True, kernel=kernel,
+                ).count()
+
+            n_pairs = run()  # warm
+            best = float("inf")
+            for _ in range(1 if cpus == 2 else 2):
+                t0 = time.time()
+                run()
+                best = min(best, time.time() - t0)
+            if n_train is None:
+                n_train = train.count()
+            spark.stop()
+            levels[str(cpus)] = {"sec": round(best, 2),
+                                 "docs_per_sec": round(n_train / best, 1)}
+        two, lo, hi = levels["2"], levels["8"], levels[str(CPUS)]
+        eff28 = (lo["docs_per_sec"] / two["docs_per_sec"]) / 4.0
+        eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (int(CPUS) / 8)
+        out["kernels"][kernel] = {**levels,
+                                  "eff_2_to_8": round(eff28, 3),
+                                  "eff_8_to_cpus": round(eff, 3),
+                                  "n_pairs": n_pairs}
+    out["train_rows"] = n_train
+    with open(os.path.join(REPO, "BENCH", "fuzzydecontam_1m.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+
 def incdedup_bench() -> None:
     """Incremental near-dup throughput over a ~1M-page slice (1/8 hash
     sample of the bench pages): build the banded-LSH index of the
@@ -1710,7 +1774,8 @@ def sigkernel_bench() -> None:
 _MODES = (
     "--scaling", "--compare-builtin", "--sketches", "--quantilecmp",
     "--frequent",
-    "--joins", "--profile", "--decontam", "--rangepart", "--lmquality",
+    "--joins", "--profile", "--decontam", "--fuzzydecontam",
+    "--rangepart", "--lmquality",
     "--incdedup", "--spandedup", "--curate", "--sigkernel",
     "--measure-build",
 )
@@ -1736,6 +1801,8 @@ if __name__ == "__main__":
         profile_bench()
     elif len(sys.argv) > 1 and sys.argv[1] == "--decontam":
         decontam_bench()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--fuzzydecontam":
+        fuzzydecontam_bench()
     elif len(sys.argv) > 1 and sys.argv[1] == "--joins":
         joins_bench()
     elif len(sys.argv) > 1 and sys.argv[1] == "--rangepart":

@@ -88,6 +88,10 @@ def main() -> None:
                          "(embedded-benchmark detection); pair it with a "
                          "low-threshold banding via --fuzzy-bands")
     ap.add_argument("--fuzzy-bands", type=int, default=16)
+    ap.add_argument("--fuzzy-kernel", default="xxh", choices=["xxh", "poly"],
+                    help="fuzzy engine: signature kernel (poly = the "
+                         "zero-Exchange Arrow kernel; both sides always "
+                         "share one family)")
     ap.add_argument("--num-perm", type=int, default=64)
     args = ap.parse_args()
 
@@ -115,6 +119,7 @@ def main() -> None:
             broadcast_eval=not args.no_broadcast_eval,
             measure=args.fuzzy_measure,
             hashed_shingles=args.hashed,
+            kernel=args.fuzzy_kernel,
         )
         # per-train-doc match stats; docs with no row are clean (unlike
         # the exact engine's flag mode, which emits a row per train doc)

@@ -1357,6 +1357,7 @@ def fuzzy_decontam_pairs(
     max_bucket_size: int | None = None,
     measure: str = "jaccard",
     hashed_shingles: bool = False,
+    kernel: str = "xxh",
 ) -> DataFrame:
     """NEAR-DUPLICATE test-set decontamination (asymmetric LSH): every
     (train doc, eval doc) pair whose word-``ngram`` similarity is >=
@@ -1393,11 +1394,16 @@ def fuzzy_decontam_pairs(
     Output: (train_id, eval_id, n_common, n_train, n_eval, <measure>).
     Ids may overlap between the two corpora — pairs are keyed by role,
     never by ``a<b`` ordering.  Downstream: ``groupBy(train_id)`` for
-    doc flags, or anti-join the keeper set.
+    doc flags, or anti-join the keeper set.  ``kernel="poly"`` signs both
+    sides with the polynomial Arrow kernel (see ``minhash_signatures``);
+    both sides always share one family — signatures from different
+    kernels never mix.
     """
     rpb = num_perm // bands
-    sig_t = minhash_signatures(train, id_col, text_col, ngram, num_perm)
-    sig_e = minhash_signatures(eval_df, id_col, text_col, ngram, num_perm)
+    sig_t = minhash_signatures(train, id_col, text_col, ngram, num_perm,
+                               kernel=kernel)
+    sig_e = minhash_signatures(eval_df, id_col, text_col, ngram, num_perm,
+                               kernel=kernel)
     bt = banded_signatures(sig_t, id_col, bands, rpb)
     be = banded_signatures(sig_e, id_col, bands, rpb).select(
         F.col(id_col).alias("eval_id"), "band", "bh"

@@ -863,3 +863,22 @@ def test_fuzzy_decontam_id_overlap_and_containment(spark):
     got_j = fuzzy_decontam_pairs(
         train, ev, threshold=0.99, bands=64, num_perm=64).collect()
     assert got_j == []
+
+
+def test_fuzzy_decontam_poly_kernel_matches_xxh(spark):
+    """kernel="poly" signs both sides in the polynomial family; verified
+    output is identical to the xxh kernel's (candidates differ family-
+    wise, exact verification makes the result equal at recall ~1)."""
+    import pyspark.sql.functions as F
+
+    from sketchlib.spark.dedup import fuzzy_decontam_pairs
+
+    docs = _docs(spark).select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    ev = docs.filter(F.col("doc_id") % 5 == 0)
+    a = {(r["train_id"], r["eval_id"], r["jaccard"]) for r in
+         fuzzy_decontam_pairs(train, ev, threshold=0.8).collect()}
+    b = {(r["train_id"], r["eval_id"], r["jaccard"]) for r in
+         fuzzy_decontam_pairs(train, ev, threshold=0.8,
+                              kernel="poly").collect()}
+    assert a == b and len(a) > 0
