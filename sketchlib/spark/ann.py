@@ -739,3 +739,52 @@ def append_to_ivf_index(
     )
     tagged.write.mode("append").partitionBy("list_id").parquet(
         f"{path}/vectors")
+
+
+def assignment_sim_digest(
+    df: DataFrame,
+    path: str,
+    keys: list[str] | None = None,
+    delta: float = 0.01,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The stored-IVF CENTROID-DRIFT observable: per (optional keys)
+    group, a t-digest of each vector's cosine similarity to its nearest
+    stored centroid.  A batch drawn from the distribution the quantizer
+    was trained on scores high assignment similarity; as the corpus
+    drifts, the similarity distribution slides down — store one digest
+    per ingest batch/epoch and feed consecutive pairs to the KS/PSI
+    drift monitors (``tdigest_ops.tdigest_ks_udf``,
+    ``queries.td_ks_drift_by_lang`` pattern) to decide when the index
+    needs an explicit rebuild.  This is why ``append_to_ivf_index``
+    freezes the quantizer: drift is an observable, not a silent retrain.
+
+    One scan of the NEW batch (broadcast centroids, one matmul per Arrow
+    batch, similarities flow straight into the digest partials); output
+    is the standard (keys..., digest) sketch row — KB-scale, storable,
+    mergeable, and compatible with every digest query UDF."""
+    from sketchlib.spark.tdigest_ops import tdigest_aggregate
+
+    spark = df.sparkSession
+    cent = read_ivf_centroids(spark, path)
+    bc = spark.sparkContext.broadcast(cent)
+    keys = list(keys or [])
+
+    key_fields = [df.schema[k] for k in keys]
+    schema = StructType(
+        [StructField(f.name, f.dataType, True) for f in key_fields]
+        + [StructField("sim", DoubleType())]
+    )
+
+    def sim_fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for pdf in batches:
+            m = _norm_rows(np.array(list(pdf[vec_col]), dtype=np.float64))
+            sims = (m @ c.T).max(axis=1)
+            out = {k: pdf[k] for k in keys}
+            out["sim"] = sims
+            yield pd.DataFrame(out, columns=keys + ["sim"])
+
+    sims = df.select(*keys, vec_col).mapInPandas(sim_fn, schema=schema)
+    return tdigest_aggregate(sims, keys, "sim", delta=delta)

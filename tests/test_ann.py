@@ -324,3 +324,46 @@ def test_ivf_index_incremental_append(spark, tmp_path):
     b = {(r["query_id"], r["rank"], r["neighbor_id"]) for r in
          ivf_topk_vs_index(spark, path2, qdf, k=5, nprobe=4).collect()}
     assert a == b
+
+
+def test_assignment_sim_digest_detects_drift(spark, tmp_path):
+    """In-distribution batches score high assignment similarity; an
+    off-distribution batch scores lower, and the KS between the two
+    stored digests flags it — the stored-index rebuild trigger."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from sketchlib.spark.ann import assignment_sim_digest, write_ivf_index
+    from sketchlib.tdigest.core import (
+        bytes_to_centroids,
+        ks_of_centroids,
+        quantiles_of_centroids,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "ivf_drift")
+    write_ivf_index(emb, path, n_lists=8)
+
+    # in-distribution: the index's own vectors
+    d_in = assignment_sim_digest(emb, path).collect()[0]["digest"]
+    # drifted: deterministic pseudo-random unit vectors, unrelated to the
+    # trained lists (dim matches the table)
+    dim = len(emb.select("embedding").head()[0])
+    rng = np.random.default_rng(7)
+    drifted = [(int(i), [float(x) for x in rng.normal(size=dim)])
+               for i in range(300)]
+    ddf = spark.createDataFrame(drifted, "vec_id long, embedding array<float>")
+    d_out = assignment_sim_digest(ddf, path).collect()[0]["digest"]
+
+    m_in, n_in = bytes_to_centroids(bytes(d_in))
+    m_out, n_out = bytes_to_centroids(bytes(d_out))
+    q50_in = quantiles_of_centroids(m_in, n_in, [0.5])[0]
+    q50_out = quantiles_of_centroids(m_out, n_out, [0.5])[0]
+    assert q50_in > q50_out  # drifted batch assigns worse
+    ks = ks_of_centroids(m_in, n_in, m_out, n_out)
+    assert ks > 0.3  # the monitor flags the drift
+
+    # per-key grouping works and yields one digest per group
+    emb2 = emb.withColumn("grp", (F.col("vec_id") % 2).cast("string"))
+    rows = assignment_sim_digest(emb2, path, keys=["grp"]).collect()
+    assert {r["grp"] for r in rows} == {"0", "1"}
