@@ -201,3 +201,56 @@ def test_digest_timeline_moving_average(spark):
 
     with _pt.raises(ValueError):
         digest_timeline(digs, ["k"], "epoch", ma_window=1)
+
+
+def test_drift_monitor_flags_ann_centroid_drift(spark, tmp_path, monkeypatch):
+    """Cross-family composition: assignment-similarity digests from the
+    stored IVF index (ann.assignment_sim_digest) are standard digest rows,
+    so the drift-monitor job consumes them unchanged — an
+    off-distribution embedding batch trips the KS gate (exit 2), an
+    in-distribution one does not."""
+    import numpy as np
+
+    sys.path.insert(0, "jobs")
+    import drift_monitor as job
+
+    from sketchlib.spark.ann import assignment_sim_digest, write_ivf_index
+
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    capture = []
+    monkeypatch.setattr("builtins.print", lambda s: capture.append(s))
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(emb, idx, n_lists=8)
+
+    def epoch(df, out):
+        assignment_sim_digest(df, idx).select(
+            F.lit("emb").alias("key"), "digest"
+        ).write.parquet(out)
+
+    base = str(tmp_path / "epoch_base")
+    same = str(tmp_path / "epoch_same")
+    epoch(emb, base)
+    epoch(emb, same)
+    dim = len(emb.select("embedding").head()[0])
+    rng = np.random.default_rng(11)
+    drifted_rows = [(int(i), [float(x) for x in rng.normal(size=dim)])
+                    for i in range(300)]
+    drift = str(tmp_path / "epoch_drift")
+    epoch(spark.createDataFrame(
+        drifted_rows, "vec_id long, embedding array<float>"), drift)
+
+    out0 = str(tmp_path / "rep0")
+    rc = _run(monkeypatch, job, [
+        "--left", base, "--right", same, "--key-cols", "key",
+        "--ks-threshold", "0.1", "--output", out0], capture)
+    assert rc == 0 and json.loads(capture[-1])["n_drifted"] == 0
+
+    out1 = str(tmp_path / "rep1")
+    rc = _run(monkeypatch, job, [
+        "--left", base, "--right", drift, "--key-cols", "key",
+        "--ks-threshold", "0.1", "--output", out1], capture)
+    rep = json.loads(capture[-1])
+    assert rc == 2 and rep["n_drifted"] == 1
+    assert rep["max_ks"] > 0.3
