@@ -228,3 +228,25 @@ def test_profile_table_per_key(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="also keys"):
         profile_table(df, ["grp", "v"], keys=["grp"])
+
+
+def test_profile_table_dtype_coverage(spark):
+    """Schema-driven spec routing across the odd dtypes: decimals are
+    NumericType (digest path), booleans/dates/timestamps take the
+    HLL+CMS path — exact facts for every one."""
+    import datetime
+    from decimal import Decimal
+
+    from sketchlib.spark.sketch_ops import profile_table
+
+    rows = [(Decimal(i), i % 2 == 0, datetime.date(2026, 1, 1 + i % 28))
+            for i in range(1, 201)]
+    df = spark.createDataFrame(rows, "d decimal(10,2), b boolean, dt date")
+    out = {r["column"]: r for r in
+           profile_table(df, discrete=True).collect()}
+    assert out["d"]["n_vals"] == 200 and out["d"]["q50"] == 100.0
+    assert abs(out["d"]["est_distinct"] - 200) <= max(4, 0.02 * 200)
+    assert out["b"]["n_vals"] == 200 and out["b"]["q50"] is None
+    assert abs(out["b"]["est_distinct"] - 2) <= 2
+    assert out["dt"]["n_vals"] == 200
+    assert abs(out["dt"]["est_distinct"] - 28) <= 2
