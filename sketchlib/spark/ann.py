@@ -644,6 +644,10 @@ def ivf_topk_vs_index(
     """
     cent = read_ivf_centroids(spark, path)
     q_ids, q_mat = _collect_matrix(queries, id_col, vec_col)
+    if q_mat.shape[1] != cent.shape[1]:
+        raise ValueError(
+            f"ivf_topk_vs_index: query dim {q_mat.shape[1]} != index dim "
+            f"{cent.shape[1]} at {path!r}")
     qn = _norm_rows(q_mat)
     probes = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]
     probe_lists = sorted({int(x) for x in probes.ravel()})
@@ -715,6 +719,11 @@ def append_to_ivf_index(
     """
     spark = df.sparkSession
     cent = read_ivf_centroids(spark, path)
+    first = df.select(vec_col).head()
+    if first is not None and len(first[0]) != cent.shape[1]:
+        raise ValueError(
+            f"append_to_ivf_index: vector dim {len(first[0])} != index "
+            f"dim {cent.shape[1]} at {path!r}")
     bc = spark.sparkContext.broadcast(cent)
 
     schema = StructType([

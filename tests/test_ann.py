@@ -367,3 +367,24 @@ def test_assignment_sim_digest_detects_drift(spark, tmp_path):
     emb2 = emb.withColumn("grp", (F.col("vec_id") % 2).cast("string"))
     rows = assignment_sim_digest(emb2, path, keys=["grp"]).collect()
     assert {r["grp"] for r in rows} == {"0", "1"}
+
+
+def test_stored_ivf_dim_mismatch_raises(spark, tmp_path):
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from sketchlib.spark.ann import (
+        append_to_ivf_index,
+        ivf_topk_vs_index,
+        write_ivf_index,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "ivf_dim")
+    write_ivf_index(emb, path, n_lists=4)
+    bad = spark.createDataFrame(
+        [(1, [0.1, 0.2, 0.3])], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="dim"):
+        ivf_topk_vs_index(spark, path, bad, k=2, nprobe=2)
+    with _pytest.raises(ValueError, match="dim"):
+        append_to_ivf_index(bad, path)
