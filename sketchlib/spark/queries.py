@@ -2358,7 +2358,12 @@ def q_td_ks_drift_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "lang",
             tdigest_count_udf("digest").cast("long").alias("n_docs"),
-            tdigest_ks_udf("digest", "_gdigest").alias("ks_global"),
+            # rounded to 6 decimals on BOTH sides (same discipline as
+            # psi/jsd below): KS from discrete digests is exact, so the
+            # round loses nothing, but an unrounded max-of-differences
+            # double is the one term a foreign engine's libm / summation
+            # order can flip at the value-hash gate (r04 verdict #1)
+            F.round(tdigest_ks_udf("digest", "_gdigest"), 6).alias("ks_global"),
             F.col("_pj")[0].alias("psi_global"),
             F.col("_pj")[1].alias("jsd_global"),
         )
@@ -2424,7 +2429,7 @@ WITH d AS (
 )
 SELECT s.k AS lang,
        CAST(max(s.n) AS BIGINT) AS n_docs,
-       max(abs(s.cum / s.n - sa.cuma / sa.na)) AS ks_global,
+       round(max(abs(s.cum / s.n - sa.cuma / sa.na)), 6) AS ks_global,
        max(pj.psi_global) AS psi_global,
        max(pj.jsd_global) AS jsd_global
 FROM s JOIN sa ON s.v = sa.v JOIN pj ON pj.k = s.k
