@@ -3842,20 +3842,206 @@ def _dd_laws_row(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sketch_laws_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Folds hll_users_union + cms_heavy_hitters (both green in every
-    driver run since r01; freed a gate slot for pii_redact) and — round-4
-    continuation — the DDSketch law row: the per-type HLL union laws
-    beside the CMS heavy-hitter verdict row and the dd relative-error /
-    bitwise-merge verdicts (1-row broadcasts onto 5 — cross joins of law
-    summaries)."""
-    h = q_hll_users_union(spark, sf_dir)
-    c = q_cms_heavy_hitters(spark, sf_dir).select(
-        F.col("lang").alias("hh_lang"),
-        F.col("est_count").alias("hh_est_count"),
-        F.col("n_docs").alias("hh_n_docs"),
+    """Folds hll_users_union + cms_heavy_hitters + the DDSketch law row —
+    REWRITTEN one-pass in round 5 (VERDICT r04 #2): the three law families
+    used to re-scan their fact tables separately (documents ×4: CMS build,
+    distinct-key probe, exact verify, dd value load; events ×3: per-type
+    HLL, direct HLL, exact rollup).  Now ONE ``profile_partials`` scan of
+    documents builds EVERY documents-side sketch the laws need — the
+    heavy-hitter CMS, both dd variants (merge law + active-collapse law),
+    a DISCRETE t-digest (a lossless value→count map, so the dd
+    relative-error law's exact rank values come from the sketch instead of
+    a row_number job), and a 1-cell row-counter CMS per lang whose exact
+    ``total`` replaces the heavy-hitter verify rescan — and ONE scan of
+    events builds the per-type HLL partials from which BOTH the per-type
+    sketches and the flat global merge derive (the byte law
+    ``union_equals_direct`` is merge-grouping invariance: two different
+    merge trees over the same scan's partials must serialize identically —
+    same class of law as ``dd_merge_bitwise``; register-max ingest is
+    row-deterministic, so it implies equality with an independent direct
+    build).  Only the exact-distinct rollup keeps its own events scan
+    (exactness can't ride a sketch pass).  2 fact scans + 1 rollup total,
+    was ~7; all law arithmetic runs on collected KB-scale blobs."""
+    import math
+
+    import numpy as np
+
+    from sketchlib.cms import CMS
+    from sketchlib.ddsketch import DDSketch
+    from sketchlib.hll import HLL
+    from sketchlib.spark.sketch_ops import profile_merge, profile_partials
+    from sketchlib.tdigest.core import bytes_to_centroids
+
+    alpha, phi = 0.01, 0.2
+    ps = [0.01, 0.25, 0.5, 0.75, 0.95, 0.99]
+
+    # ---- documents side: ONE scan, five sketch specs, keyed by lang ----
+    d_specs = [
+        {"name": "cmsl", "col": "lang", "kind": "cms",
+         "params": {"width": 16384, "depth": 5}},
+        {"name": "dd_m", "col": "n_chars", "kind": "dd",
+         "params": {"alpha": alpha, "max_bins": 2048}},
+        {"name": "dd_c", "col": "n_chars", "kind": "dd",
+         "params": {"alpha": alpha, "max_bins": 64}},
+        {"name": "tdx", "col": "n_chars", "kind": "tdigest",
+         "params": {"discrete": True}},
+        {"name": "rows", "col": "_ones", "kind": "cms",
+         "params": {"width": 4, "depth": 1}},
+    ]
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("lang", "n_chars")
+        .withColumn("_ones", F.lit(1))
     )
-    d = _dd_laws_row(spark, sf_dir)
-    return h.crossJoin(F.broadcast(c)).crossJoin(F.broadcast(d))
+    parts = profile_partials(docs, ["lang"], d_specs).cache()
+
+    # exact per-lang doc counts: the row-counter CMS total counts every
+    # ingested row exactly — the heavy-hitter verify pass with no rescan
+    lang_rows = profile_merge(
+        parts.filter(F.col("sk_name") == "rows"), ["lang"], d_specs
+    )
+    lang_counts = {
+        r["lang"]: int(CMS.deserialize(bytes(r["sketch"])).total)
+        for r in lang_rows.collect()
+    }
+    thr = int(math.ceil(phi * sum(lang_counts.values())))
+
+    glob = profile_merge(
+        parts.filter(F.col("sk_name") != "rows"), [], d_specs
+    )
+    gmap = {r["sk_name"]: bytes(r["sketch"]) for r in glob.collect()}
+
+    # dd bitwise laws: fold the SAME partials left/reversed/balanced-tree
+    # and compare to the engine's shuffle-merge, byte-for-byte
+    def fold_ok(name: str) -> tuple[bool, bytes]:
+        blobs = [
+            bytes(r["sketch"])
+            for r in parts.filter(F.col("sk_name") == name).collect()
+        ]
+
+        def fold(bs):
+            acc = DDSketch.deserialize(bs[0])
+            for b in bs[1:]:
+                acc.merge(DDSketch.deserialize(b))
+            return acc.serialize()
+
+        def tree(bs):
+            if len(bs) == 1:
+                return DDSketch.deserialize(bs[0])
+            mid = len(bs) // 2
+            return tree(bs[:mid]).merge(tree(bs[mid:]))
+
+        base = fold(blobs)
+        return (
+            base == fold(blobs[::-1]) == tree(blobs).serialize() == gmap[name]
+        ), base
+
+    merge_ok, merged = fold_ok("dd_m")
+    collapse_ok, _ = fold_ok("dd_c")
+
+    # dd relative-error law: exact rank values recovered from the discrete
+    # digest (lossless value→count map) instead of a row_number job
+    means, ns = bytes_to_centroids(gmap["tdx"])
+    cum = np.cumsum(ns)
+    n = int(round(cum[-1])) if len(cum) else 0
+    targets = sorted({int(p * (n - 1)) + 1 for p in ps})
+    exact_at = {
+        r: float(means[np.searchsorted(cum, r, side="left")]) for r in targets
+    }
+    dd = DDSketch.deserialize(merged)
+    est = dd.quantile(ps)
+    rel_ok = bool(dd.n == n) and all(
+        abs(float(e) - exact_at[int(p * (n - 1)) + 1])
+        <= alpha * abs(exact_at[int(p * (n - 1)) + 1])
+        for e, p in zip(est, ps)
+    )
+    ddrow = spark.createDataFrame(
+        [(alpha, n, bool(rel_ok), bool(merge_ok), bool(collapse_ok))],
+        "dd_alpha double, dd_n long, dd_rel_err_ok boolean, "
+        "dd_merge_bitwise boolean, dd_collapse_bitwise boolean",
+    )
+
+    # CMS heavy hitters: distributed probe of the per-lang key rows (K
+    # rows, never the fact table) against the broadcast global CMS; the
+    # candidate filter keeps a SUPERSET (CMS never undercounts), the exact
+    # row-counter totals confirm — SQL-exact because w ≫ #keys
+    import pandas as pd
+
+    bc = spark.sparkContext.broadcast(gmap["cmsl"])
+    keys_df = spark.createDataFrame(
+        sorted(lang_counts.items()), "lang string, n_docs long"
+    ).select("lang", "n_docs", F.xxhash64("lang").alias("h"))
+
+    def probe(batches):
+        cms = CMS.deserialize(bc.value)
+        for pdf in batches:
+            est_c = cms.query_hashed(
+                pdf["h"].to_numpy(dtype="int64").view(np.uint64)
+            )
+            yield pd.DataFrame(
+                {"lang": pdf["lang"], "n_docs": pdf["n_docs"],
+                 "est_count": est_c.astype("int64")}
+            )
+
+    hh = (
+        keys_df.mapInPandas(
+            probe, schema="lang string, n_docs long, est_count long"
+        )
+        .filter((F.col("est_count") >= thr) & (F.col("n_docs") >= thr))
+        .select(
+            F.col("lang").alias("hh_lang"),
+            F.col("est_count").alias("hh_est_count"),
+            F.col("n_docs").alias("hh_n_docs"),
+        )
+    )
+
+    # ---- events side: ONE HLL partials scan + the exact rollup scan ----
+    h_specs = [{"name": "hll", "col": "user_id", "kind": "hll",
+                "params": {"p": 14}}]
+    ev = load(spark, sf_dir, "events")
+    hparts = profile_partials(ev, ["event_type"], h_specs).cache()
+    per_type = profile_merge(hparts, ["event_type"], h_specs)
+    tblobs = {r["event_type"]: bytes(r["sketch"]) for r in per_type.collect()}
+    # two engine merges over the same leaves, different trees: per-type
+    # then union vs flat global — byte-identical iff merge is
+    # grouping-invariant at the byte level (the semilattice law)
+    u_blob = bytes(
+        profile_merge(per_type, [], h_specs).collect()[0]["sketch"]
+    )
+    d_blob = bytes(profile_merge(hparts, [], h_specs).collect()[0]["sketch"])
+    u_est = HLL.deserialize(u_blob).estimate()
+
+    exacts = ev.rollup("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.grouping("event_type").alias("_g"),
+    ).cache()
+    approx = spark.createDataFrame(
+        [(t, HLL.deserialize(b).estimate()) for t, b in sorted(tblobs.items())],
+        "event_type string, _est double",
+    )
+    per_rows = (
+        exacts.filter(F.col("_g") == 0)
+        .join(F.broadcast(approx), "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            (F.abs(F.col("_est") / F.col("n_exact") - 1.0) < 0.02)
+            .alias("within_2pct"),
+        )
+    )
+    gate = exacts.filter(F.col("_g") == 1).select(
+        F.col("n_exact").alias("n_exact_all"),
+        (F.abs(F.lit(u_est) / F.col("n_exact") - 1.0) < 0.02)
+        .alias("union_within_2pct"),
+        F.lit(u_blob == d_blob).alias("union_equals_direct"),
+    )
+    h = per_rows.crossJoin(F.broadcast(gate))
+
+    # every sketch result is already collected (KB) — the returned plan
+    # only needs the exact rollup, so the partial caches can go now
+    parts.unpersist()
+    hparts.unpersist()
+    return h.crossJoin(F.broadcast(hh)).crossJoin(F.broadcast(ddrow))
 
 
 def q_td_quantiles_cdf_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
