@@ -132,6 +132,7 @@ def main() -> None:
         #                       + dedup_minhash_lsh_pairs (r4 fold)
         "dedup_exact_keepers", "dedup_neardup_pairs", "dedup_simhash_hamming",
         # ann_exact_cosine <- ann_topk_cosine + emb_cosine_pairs (r4 fold)
+        #                   + emb_signlsh_precision (r5 fold)
         "ann_exact_cosine", "media_meta_frames",
         "pipeline_clean_corpus", "ann_ivf_topk_recall",
         # td_tpch_digests <- td_weighted_lineitem

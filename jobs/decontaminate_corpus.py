@@ -160,7 +160,13 @@ def main() -> None:
 
     if args.mode == "flag":
         stats.write.mode("overwrite").parquet(args.output)
-        n_total = spark.read.parquet(args.output).count()
+        if args.engine == "fuzzy":
+            # fuzzy stats only contain MATCHED docs (exact/bloom emit one
+            # row per train doc), so the written table's row count is the
+            # contaminated count, not the corpus size (ADVICE r04)
+            n_total = train.count()
+        else:
+            n_total = spark.read.parquet(args.output).count()
         n_bad = contaminated.count()
     else:
         # contaminated ids are a tiny fraction of the corpus — broadcast

@@ -270,11 +270,37 @@ def poly_window_fold(values, offsets, n: int, lens=None, min_one=None):
     return out, woffs
 
 
+#: per-process reusable scratch buffers for ``_poly_all_window_sums``,
+#: keyed by role (block size / "acc" / "tmp"), grown to the largest batch
+#: seen and then reused.  Spark Python workers are single-threaded per
+#: process, so a module-level cache is safe there; the kernel is NOT
+#: thread-safe across concurrent calls in one process (no Spark path does
+#: that).  Rationale (BENCH/poly_buffer_reuse.json): the doubling kernel's
+#: fresh temporaries are ~6 buffers x batch-bytes per call, and at high
+#: worker counts the page-fault/zeroing rate is the bottleneck the r04
+#: malloc tuning already flagged — reusing warm buffers measured 1.4x per
+#: call at 8 workers and 1.9-2.9x at 32 (mean-of-best / mean-of-median,
+#: interleaved A/B, 4M tokens, n=8).  Memory cost: a few
+#: largest-batch-sized uint64 arrays per worker, bounded by Arrow batch
+#: size.
+_POLY_SCRATCH: dict = {}
+
+
+def _poly_scratch(key, n: int) -> np.ndarray:
+    a = _POLY_SCRATCH.get(key)
+    if a is None or len(a) < n:
+        a = _POLY_SCRATCH[key] = np.empty(n, dtype=np.uint64)
+    return a[:n]
+
+
 def _poly_all_window_sums(vals: np.ndarray, n: int) -> np.ndarray:
     """``sum_{j<n} vals[g+j] * P**j mod 2**64`` for every start position
     ``g`` in ``[0, len(vals)-n]`` — pairwise doubling (block sums of
     power-of-two sizes, then one shifted combine per set bit of ``n``):
-    O(log n) vectorized passes over the buffer, no gathers."""
+    O(log n) vectorized passes over the buffer, no gathers.  All
+    intermediates live in ``_POLY_SCRATCH`` (see note there): the returned
+    array ALIASES scratch and is only valid until the next call — callers
+    must copy or consume it immediately (``poly_window_fold`` does)."""
     with np.errstate(over="ignore"):
         blocks = {1: vals}
         p_pow = {1: _GOLDEN}  # P**size per block size
@@ -282,7 +308,10 @@ def _poly_all_window_sums(vals: np.ndarray, n: int) -> np.ndarray:
         while size * 2 <= n:
             prev = blocks[size]
             m = len(prev) - size
-            blocks[size * 2] = prev[:m] + p_pow[size] * prev[size:size + m]
+            out = _poly_scratch(size * 2, m)
+            np.multiply(prev[size:size + m], p_pow[size], out=out)
+            np.add(out, prev[:m], out=out)
+            blocks[size * 2] = out
             p_pow[size * 2] = p_pow[size] * p_pow[size]
             size *= 2
         L = len(vals) - n + 1
@@ -293,7 +322,13 @@ def _poly_all_window_sums(vals: np.ndarray, n: int) -> np.ndarray:
             if not (n & b):
                 continue
             part = blocks[b][offset:offset + L]
-            acc = pw * part if acc is None else acc + pw * part
+            if acc is None:
+                acc = _poly_scratch("acc", L)
+                np.multiply(part, pw, out=acc)
+            else:
+                tmp = _poly_scratch("tmp", L)
+                np.multiply(part, pw, out=tmp)
+                np.add(acc, tmp, out=acc)
             pw = pw * p_pow[b]
             offset += b
     return acc

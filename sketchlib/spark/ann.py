@@ -40,6 +40,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from sketchlib.spark.shipping import ensure_on_workers
+
 
 def _norm_rows(mat: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -67,6 +69,7 @@ def topk_neighbors(
     excluded).  Output: (query_id, rank, neighbor_id) with rank 1..k by
     descending cosine, ties broken by ascending neighbor id."""
     spark = df.sparkSession
+    ensure_on_workers(spark)
     qdf = df.filter(F.col(id_col).isin(query_ids))
     q_ids, q_mat = _collect_matrix(qdf, id_col, vec_col)
     qn = _norm_rows(q_mat)
@@ -137,6 +140,7 @@ def cosine_pairs_exact(
     discovery operator.
     """
     spark = df.sparkSession
+    ensure_on_workers(spark)
 
     blocked = df.select(
         F.col(id_col).alias("id"),
@@ -224,6 +228,7 @@ def ivf_assign(
     assignment is one scan.  Lists then become the partition key for
     ``ivf_topk`` probing."""
     spark = df.sparkSession
+    ensure_on_workers(spark)
     # deterministic but id-unbiased sample: order by a hash of the id (ties
     # broken by id), not by the id itself
     samp = (
@@ -279,6 +284,7 @@ def ivf_topk(
     recall/scan-fraction trade (scan fraction ~ nprobe/n_lists).  Exact
     distances within probed lists; recall measured in tests."""
     spark = df.sparkSession
+    ensure_on_workers(spark)
     assignments, cent = ivf_assign(df, n_lists=n_lists, id_col=id_col,
                                    vec_col=vec_col)
     qdf = df.filter(F.col(id_col).isin(query_ids))
@@ -346,6 +352,7 @@ def signrandom_signatures(
     executor.  One matmul per Arrow batch."""
     planes = np.random.default_rng(seed).standard_normal((n_bits, dim))
     spark = df.sparkSession
+    ensure_on_workers(spark)
     bc = spark.sparkContext.broadcast(planes)
     weights = (1 << np.arange(n_bits, dtype=np.uint64)).astype(np.uint64)
 
@@ -444,6 +451,7 @@ def signrandom_lsh_pairs(
     ``max_bucket_size`` unless explicitly given."""
     from sketchlib.spark.dedup import _cap_buckets
 
+    ensure_on_workers(df.sparkSession)
     if bands == "auto":
         n = n_rows if n_rows is not None else df.count()
         bands, default_cap = signlsh_auto_bands(n, n_bits)
@@ -585,6 +593,7 @@ def write_ivf_index(
     identical input yields the identical index.
     """
     spark = df.sparkSession
+    ensure_on_workers(spark)
     assignments, cent = ivf_assign(
         df, n_lists=n_lists, sample=sample, iters=iters, seed=seed,
         id_col=id_col, vec_col=vec_col,
@@ -629,6 +638,8 @@ def ivf_topk_vs_index(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_rows: int = 65536,
+    max_chunks: int = 64,
 ) -> DataFrame:
     """Probe a STORED IVF index: for each query vector, exact cosine top-k
     within its ``nprobe`` nearest lists — but unlike the in-memory
@@ -640,23 +651,23 @@ def ivf_topk_vs_index(
     equal to an index id is excluded from its own neighbors, preserving
     ``ivf_topk`` semantics for self-probes.
 
+    The query side is CHUNKED (VERDICT r04 #4): at most ``max_query_rows``
+    query vectors are held on the driver / broadcast at once — a larger
+    probe batch streams through ``toLocalIterator`` in chunks, each probed
+    independently (per-query results are independent, so the union equals
+    one big probe — neighbors/ranks exactly, sims to BLAS-gemm ulps)
+    with its own partition-pruned scan.
+    Beyond ``max_chunks`` chunks the plan union would dominate: that is a
+    bulk k-NN join, not a probe — raise and point at ``ivf_topk`` over a
+    distributed plan.  Query ids must be unique across the batch (already
+    assumed by the per-id probe sets).  An EMPTY queries frame returns an
+    empty result (empty inputs must flow, not crash — repo convention).
+
     Output: (query_id, rank, neighbor_id, sim).
     """
     cent = read_ivf_centroids(spark, path)
-    q_ids, q_mat = _collect_matrix(queries, id_col, vec_col)
-    if q_mat.shape[1] != cent.shape[1]:
-        raise ValueError(
-            f"ivf_topk_vs_index: query dim {q_mat.shape[1]} != index dim "
-            f"{cent.shape[1]} at {path!r}")
-    qn = _norm_rows(q_mat)
-    probes = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]
-    probe_lists = sorted({int(x) for x in probes.ravel()})
-    probe_set = {int(q): set(int(x) for x in probes[i])
-                 for i, q in enumerate(q_ids)}
-    bc = spark.sparkContext.broadcast((q_ids, qn, probe_set))
-
-    stored = spark.read.parquet(f"{path}/vectors").filter(
-        F.col("list_id").isin(probe_lists))
+    ensure_on_workers(spark)
+    out_schema = "query_id long, rank int, neighbor_id long, sim double"
 
     part_schema = StructType([
         StructField("query_id", LongType()),
@@ -664,38 +675,93 @@ def ivf_topk_vs_index(
         StructField("sim", DoubleType()),
     ])
 
-    def local_topk(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        q_ids_, qn_, probe_set_ = bc.value
-        probe_arrs = {
-            int(q): np.fromiter(sorted(probe_set_[int(q)]), dtype=np.int64)
-            for q in q_ids_
-        }
-        for pdf in batches:
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
-            lists = pdf["list_id"].to_numpy(dtype=np.int64)
-            m = _norm_rows(np.array(list(pdf[vec_col]), dtype=np.float64))
-            sims = qn_ @ m.T
-            for qi, qid in enumerate(q_ids_):
-                keep = np.isin(lists, probe_arrs[int(qid)]) & (ids != qid)
-                s, nid = sims[qi][keep], ids[keep]
-                if len(s) > k:
-                    top = np.argpartition(-s, k)[:k]
-                    s, nid = s[top], nid[top]
-                yield pd.DataFrame({
-                    "query_id": np.full(len(s), qid, dtype=np.int64),
-                    "neighbor_id": nid,
-                    "sim": s,
-                })
+    def probe_chunk(q_ids: np.ndarray, q_mat: np.ndarray) -> DataFrame:
+        if q_mat.shape[1] != cent.shape[1]:
+            raise ValueError(
+                f"ivf_topk_vs_index: query dim {q_mat.shape[1]} != index "
+                f"dim {cent.shape[1]} at {path!r}")
+        qn = _norm_rows(q_mat)
+        probes = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]
+        probe_lists = sorted({int(x) for x in probes.ravel()})
+        probe_set = {int(q): set(int(x) for x in probes[i])
+                     for i, q in enumerate(q_ids)}
+        bc = spark.sparkContext.broadcast((q_ids, qn, probe_set))
 
-    cand = stored.select(id_col, "list_id", vec_col).mapInPandas(
-        local_topk, schema=part_schema)
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", F.col("rank").cast("int"), "neighbor_id", "sim")
-    )
+        stored = spark.read.parquet(f"{path}/vectors").filter(
+            F.col("list_id").isin(probe_lists))
+
+        def local_topk(
+            batches: Iterable[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            q_ids_, qn_, probe_set_ = bc.value
+            probe_arrs = {
+                int(q): np.fromiter(sorted(probe_set_[int(q)]),
+                                    dtype=np.int64)
+                for q in q_ids_
+            }
+            for pdf in batches:
+                ids = pdf[id_col].to_numpy(dtype=np.int64)
+                lists = pdf["list_id"].to_numpy(dtype=np.int64)
+                m = _norm_rows(np.array(list(pdf[vec_col]),
+                                        dtype=np.float64))
+                sims = qn_ @ m.T
+                for qi, qid in enumerate(q_ids_):
+                    keep = np.isin(lists, probe_arrs[int(qid)]) & (ids != qid)
+                    s, nid = sims[qi][keep], ids[keep]
+                    if len(s) > k:
+                        top = np.argpartition(-s, k)[:k]
+                        s, nid = s[top], nid[top]
+                    yield pd.DataFrame({
+                        "query_id": np.full(len(s), qid, dtype=np.int64),
+                        "neighbor_id": nid,
+                        "sim": s,
+                    })
+
+        cand = stored.select(id_col, "list_id", vec_col).mapInPandas(
+            local_topk, schema=part_schema)
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("sim"), F.asc("neighbor_id"))
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", F.col("rank").cast("int"),
+                    "neighbor_id", "sim")
+        )
+
+    n = queries.count()
+    if n == 0:
+        return spark.createDataFrame([], out_schema)
+    if n <= max_query_rows:
+        q_ids, q_mat = _collect_matrix(queries, id_col, vec_col)
+        return probe_chunk(q_ids, q_mat)
+    n_chunks = -(-n // max_query_rows)
+    if n_chunks > max_chunks:
+        raise ValueError(
+            f"ivf_topk_vs_index: {n} query vectors = {n_chunks} chunks of "
+            f"{max_query_rows} (> max_chunks={max_chunks}); that is a bulk "
+            f"k-NN join, not a probe batch — use ivf_topk on a distributed "
+            f"plan, or raise max_query_rows/max_chunks explicitly")
+    out: DataFrame | None = None
+    buf_ids: list[int] = []
+    buf_vecs: list = []
+
+    def flush() -> DataFrame:
+        return probe_chunk(
+            np.array(buf_ids, dtype=np.int64),
+            np.array(buf_vecs, dtype=np.float64),
+        )
+
+    for row in queries.select(id_col, vec_col).toLocalIterator():
+        buf_ids.append(row[0])
+        buf_vecs.append(row[1])
+        if len(buf_ids) == max_query_rows:
+            df_c = flush()
+            out = df_c if out is None else out.unionByName(df_c)
+            buf_ids, buf_vecs = [], []
+    if buf_ids:
+        df_c = flush()
+        out = df_c if out is None else out.unionByName(df_c)
+    return out
 
 
 def append_to_ivf_index(
@@ -703,6 +769,7 @@ def append_to_ivf_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    skip_existing: bool = False,
 ) -> None:
     """Incrementally grow a stored IVF index: NEW vectors are assigned
     with the index's STORED centroids (no retrain, no rescan of existing
@@ -711,6 +778,15 @@ def append_to_ivf_index(
     join yesterday's index at the cost of one scan of the NEW batch;
     probes see the union immediately.
 
+    DELIVERY CONTRACT (ADVICE r04): the default is exactly-once — the
+    CALLER must not replay a batch, or its vectors are duplicated in the
+    index (parquet append is not idempotent).  For at-least-once callers
+    (a retried job step, a replayed queue) pass ``skip_existing=True``:
+    the new batch is anti-joined against the index's stored ids first — a
+    column-pruned id-only scan of the index, so the cost is one shuffle of
+    ids, never vectors.  Vector dim is validated per Arrow batch inside
+    the assigner (every row passes through it), not just on the first row.
+
     The coarse quantizer is intentionally frozen: centroid drift under a
     shifting corpus is an OBSERVABLE (feed per-batch assignment
     similarity digests to the KS drift monitor), and re-training is an
@@ -718,13 +794,23 @@ def append_to_ivf_index(
     partition layout.
     """
     spark = df.sparkSession
+    ensure_on_workers(spark)
     cent = read_ivf_centroids(spark, path)
+    # friendly driver-side early check (one tiny job, raises a plain
+    # ValueError before any write starts); the per-batch check in
+    # assign_fn below still covers every row of a ragged input
     first = df.select(vec_col).head()
     if first is not None and len(first[0]) != cent.shape[1]:
         raise ValueError(
             f"append_to_ivf_index: vector dim {len(first[0])} != index "
             f"dim {cent.shape[1]} at {path!r}")
     bc = spark.sparkContext.broadcast(cent)
+
+    if skip_existing:
+        existing = spark.read.parquet(f"{path}/vectors").select(
+            F.col(id_col).alias("_eid"))
+        df = df.join(
+            existing, df[id_col] == existing["_eid"], "left_anti")
 
     schema = StructType([
         StructField("id", LongType()),
@@ -735,7 +821,14 @@ def append_to_ivf_index(
         c = bc.value
         for pdf in batches:
             ids = pdf[id_col].to_numpy(dtype=np.int64)
-            m = _norm_rows(np.array(list(pdf[vec_col]), dtype=np.float64))
+            if len(ids) == 0:
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if m.shape[1] != c.shape[1]:
+                raise ValueError(
+                    f"append_to_ivf_index: vector dim {m.shape[1]} != "
+                    f"index dim {c.shape[1]} at {path!r}")
+            m = _norm_rows(m)
             yield pd.DataFrame({
                 "id": ids,
                 "list_id": np.argmax(m @ c.T, axis=1).astype(np.int32),
@@ -776,6 +869,7 @@ def assignment_sim_digest(
     from sketchlib.spark.tdigest_ops import tdigest_aggregate
 
     spark = df.sparkSession
+    ensure_on_workers(spark)
     cent = read_ivf_centroids(spark, path)
     bc = spark.sparkContext.broadcast(cent)
     keys = list(keys or [])

@@ -40,6 +40,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from sketchlib.spark.shipping import ensure_on_workers
+
 from sketchlib.spark.textops import with_tokens
 
 # Shingle identity and the minhash family both live in the FULL 64-bit
@@ -227,6 +229,7 @@ def poly_shingle_values(df: DataFrame, text_col: str = "text",
                 [pa.array(win.view(np.int64))], names=["shingle"]
             )
 
+    ensure_on_workers(staged.sparkSession)
     return staged.mapInArrow(windows, schema="shingle long")
 
 
@@ -513,6 +516,7 @@ def _minhash_signatures_poly(df: DataFrame, id_col: str, text_col: str,
                 names=[id_col, "sig"],
             )
 
+    ensure_on_workers(staged.sparkSession)
     return staged.mapInArrow(sign, schema=out_schema)
 
 
@@ -754,6 +758,7 @@ def _bloom_prune_banded(small: DataFrame, big: DataFrame,
                 names=names,
             )
 
+    ensure_on_workers(staged.sparkSession)
     return staged.mapInArrow(probe, schema=out_schema)
 
 
@@ -1252,6 +1257,7 @@ def bloom_decontam_flags(
                 arrays + [pa.array(seg)], names=out_fields + ["contaminated"]
             )
 
+    ensure_on_workers(staged.sparkSession)
     return staged.mapInArrow(probe, schema=out_schema)
 
 
@@ -1341,6 +1347,7 @@ def bloom_overlap_stats(
                                     "contaminated"],
             )
 
+    ensure_on_workers(staged.sparkSession)
     return staged.mapInArrow(probe, schema=out_schema)
 
 
@@ -1358,6 +1365,7 @@ def fuzzy_decontam_pairs(
     measure: str = "jaccard",
     hashed_shingles: bool = False,
     kernel: str = "xxh",
+    eager: bool = True,
 ) -> DataFrame:
     """NEAR-DUPLICATE test-set decontamination (asymmetric LSH): every
     (train doc, eval doc) pair whose word-``ngram`` similarity is >=
@@ -1398,6 +1406,16 @@ def fuzzy_decontam_pairs(
     sides with the polynomial Arrow kernel (see ``minhash_signatures``);
     both sides always share one family — signatures from different
     kernels never mix.
+
+    Caching contract (ADVICE r04): the verify stage persists the
+    candidate set and both candidate shingle frames.  With the default
+    ``eager=True`` the (small — contamination-sized) result is
+    ``localCheckpoint``-ed and every intermediate cache is unpersisted
+    before returning, so repeated calls in a long-lived session leak
+    nothing.  ``eager=False`` returns the fully-lazy plan instead and the
+    three persisted frames live until ``spark.catalog.clearCache()`` —
+    use it only when the caller composes the result into a larger plan
+    and manages the session's cache itself.
     """
     rpb = num_perm // bands
     sig_t = minhash_signatures(train, id_col, text_col, ngram, num_perm,
@@ -1447,13 +1465,18 @@ def fuzzy_decontam_pairs(
         sim = F.col("n_common") / F.col("n_eval")
     else:
         raise ValueError(f"unknown measure {measure!r}")
-    return (
+    out = (
         common.join(n_t, "train_id")
         .join(F.broadcast(n_e), "eval_id")
         .withColumn(measure, sim)
         .filter(F.col(measure) >= threshold)
         .select("train_id", "eval_id", "n_common", "n_train", "n_eval", measure)
     )
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        for d in (cand, sh_t, sh_e):
+            d.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

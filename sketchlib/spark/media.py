@@ -44,6 +44,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from sketchlib.spark.shipping import ensure_on_workers
+
 MAGICS = {b"IMG0": "image", b"AUD0": "audio", b"VID0": "video"}
 HEADER_LEN = 16
 
@@ -93,6 +95,7 @@ def sniff_media_meta(df: DataFrame, id_col: str = "media_id",
                 "payload_bytes": np.array(sizes, dtype=np.int64),
             })
 
+    ensure_on_workers(df.sparkSession)
     return df.select(id_col, payload_col).mapInPandas(sniff, schema=META_SCHEMA)
 
 
@@ -293,6 +296,7 @@ def media_features(df: DataFrame, dim: int = 8, fake: bool | None = None,
             yield pd.DataFrame({"media_id": ids, "features": vecs,
                                 "decode_ok": np.array(oks, dtype=bool)})
 
+    ensure_on_workers(df.sparkSession)
     return df.select(id_col, payload_col).mapInPandas(feats, schema=FEATURES_SCHEMA)
 
 
@@ -320,6 +324,7 @@ def synth_media_from_docs(df: DataFrame) -> DataFrame:
                 payloads.append(pack_media(k, w, h, d, text.encode("utf-8")))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
+    ensure_on_workers(df.sparkSession)
     return df.select("doc_id", "text").mapInPandas(build, schema=out_schema)
 
 
@@ -357,4 +362,5 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
                 "ts_ms": np.array(tss, dtype=np.int32),
             })
 
+    ensure_on_workers(df.sparkSession)
     return df.select(id_col, payload_col).mapInPandas(frames, schema=FRAMES_SCHEMA)

@@ -792,20 +792,44 @@ def q_ann_exact_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fold of the two long-green exact-cosine gates (r01 `ann_topk_cosine`
     + `emb_cosine_pairs`, both green since CORRECTNESS_r01): top-10
     neighbors of 8 query vectors UNION the >=0.45 near-dup pair set, tagged
-    by kind.  Folding frees a driver-gate slot for `emb_dedup_groups`."""
+    by kind.  Round-5 fold (VERDICT r04 #3): also subsumes
+    `emb_signlsh_precision` (green since r02) — its 1-row precision
+    verdict broadcasts onto every pair/topk row, freeing a gate slot for
+    `text_normalize_dedup`.  The fold is cheaper than the two standalone
+    queries were: the exact >=0.45 pair set (the expensive block-matmul
+    plan) is computed ONCE and cached (ids-only, KB), feeding both the
+    pair rows and the precision full-outer join."""
+    from sketchlib.spark.ann import cosine_pairs_exact, signrandom_lsh_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    exact = cosine_pairs_exact(emb, threshold=0.45).cache()
     topk = q_ann_topk_cosine(spark, sf_dir).select(
         F.lit("topk").alias("kind"),
         F.col("query_id").cast("long").alias("a_id"),
         F.col("neighbor_id").cast("long").alias("b_id"),
         F.col("rank").cast("int").alias("rank"),
     )
-    pairs = q_emb_cosine_pairs(spark, sf_dir).select(
+    pairs = exact.select(
         F.lit("pair").alias("kind"),
         F.col("a_id").cast("long").alias("a_id"),
         F.col("b_id").cast("long").alias("b_id"),
         F.lit(None).cast("int").alias("rank"),
     )
-    return topk.unionByName(pairs)
+    # scale-path exactness law (was emb_signlsh_precision): every pair the
+    # sign-LSH discovery emits must appear in the exact pair set
+    lsh = signrandom_lsh_pairs(emb, threshold=0.45, dim=64).withColumn(
+        "in_lsh", F.lit(1)
+    )
+    prec = (
+        exact.withColumn("in_exact", F.lit(1))
+        .join(lsh, ["a_id", "b_id"], "full_outer")
+        .agg(
+            F.count("in_exact").alias("n_exact_pairs"),
+            (F.count(F.when(F.col("in_exact").isNull(), 1)) == 0)
+            .alias("lsh_precision_1"),
+        )
+    )
+    return topk.unionByName(pairs).crossJoin(F.broadcast(prec))
 
 
 def q_emb_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2171,6 +2195,27 @@ FROM documents GROUP BY lang
 """
 
 
+def q_td_prank_merge_laws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 fold (VERDICT r04 #8 slot mechanics): td_prank_by_lang +
+    td_merge_laws, both green in every driver run since r03 — the 5-row
+    merge-law verdict table broadcasts onto the 500 per-doc p_rank rows on
+    lang, freeing a gate slot for `td_sliding_windows`.  Each side keeps
+    its own semantics: per-doc discrete p_rank == SQL ``cume_dist()``
+    EXACT, and the four north-rule merge-law booleans ride every row of
+    that doc's lang."""
+    base = q_td_prank_by_lang(spark, sf_dir)
+    laws = q_td_merge_laws(spark, sf_dir)
+    return base.join(F.broadcast(laws), "lang")
+
+
+_PRANK_MERGE_LAWS_SQL = f"""
+SELECT p.doc_id, p.lang, p.prank, m.n_docs,
+       m.merge_commutative, m.union_assoc,
+       m.engine_equals_driver_fold, m.exact_layout_invariant
+FROM ({_PRANK_SQL}) p JOIN ({_MERGE_LAWS_SQL}) m ON m.lang = p.lang
+"""
+
+
 # filled in by q_bloom_join_prune for inspection/benchmarking:
 # {"orders_total": n, "candidates": n, "filter_bytes": n} of the last run
 LAST_BLOOM_JOIN_STATS: dict[str, int] = {}
@@ -3489,6 +3534,114 @@ FROM q LEFT JOIN ks ON ks.k = q.k AND ks.day = q.day
 """
 
 
+def q_td_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window digests from stored tumbling digests
+    (``tdigest_ops.sliding_from_tumbling``) — the storage-side "trailing
+    p99 every slide" operator, previously proved only by a pytest
+    byte-equality law (VERDICT r04 #8): tumbling DISCRETE digests of event
+    value at day grain are built ONCE, then each trailing-3-day window is
+    derived by a pure-JVM byte concat of the ≤3 stored KB blobs (RANGE
+    window frame — gaps contribute nothing, so ``n_slides`` < k across
+    them).  Production cost at 100 TB: one digest build + a window over
+    KB sketch rows, ZERO fact rescans per sliding window.
+
+    Gated three ways per (event_type, anchor day): (a) discrete-exact n /
+    p50 / p95 of the trailing window vs the oracle's nearest-rank window
+    SQL; (b) ``n_slides`` vs the oracle's stored-day count; (c) the
+    canonicalized-concat ≡ direct-build byte law as a verdict boolean —
+    the direct side re-aggregates each event into its ≤k anchor windows
+    (explode + semi-join on stored anchors; the LAW side only, the
+    production path never rescans)."""
+    from sketchlib.spark.tdigest_ops import (
+        sliding_from_tumbling,
+        tdigest_compress_udf,
+    )
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_type", F.to_date("ts").alias("day"), "value")
+        .filter(F.col("value").isNotNull())
+    )
+    dig = tdigest_aggregate(ev, ["event_type", "day"], "value", discrete=True)
+    sld = sliding_from_tumbling(
+        dig, ["event_type"], k=3, slide_seconds=86400, window_col="day"
+    )
+    canon = tdigest_compress_udf(delta=0.01, discrete=True)
+    q = tdigest_quantiles_udf([0.5, 0.95], discrete=True)
+    base = sld.select(
+        "event_type",
+        F.col("slide_end_start").alias("day"),
+        "n_slides",
+        canon("sliding_digest").alias("_c"),
+    )
+    # direct-build law side: each event contributes to the ≤k anchors
+    # whose trailing window contains its day; anchors exist only where a
+    # tumbling digest was stored
+    anchors = ev.withColumn(
+        "anchor", F.explode(F.array(*[F.date_add("day", i) for i in range(3)]))
+    )
+    stored = dig.select("event_type", F.col("day").alias("anchor"))
+    direct = tdigest_aggregate(
+        anchors.join(F.broadcast(stored), ["event_type", "anchor"],
+                     "left_semi"),
+        ["event_type", "anchor"], "value", discrete=True,
+    )
+    return (
+        base.join(
+            direct.select(
+                "event_type",
+                F.col("anchor").alias("day"),
+                F.col("digest").alias("_d"),
+            ),
+            ["event_type", "day"],
+        )
+        .select(
+            "event_type",
+            "day",
+            tdigest_count_udf("_c").cast("long").alias("n"),
+            q("_c")[0].alias("p50"),
+            q("_c")[1].alias("p95"),
+            "n_slides",
+            (F.col("_c") == F.col("_d")).alias("concat_equals_direct"),
+        )
+    )
+
+
+_SLIDING_SQL = """
+WITH d AS (
+  SELECT event_type AS k, CAST(ts AS DATE) AS day, value AS v
+  FROM events WHERE value IS NOT NULL
+), days AS (
+  SELECT DISTINCT k, day FROM d
+), win AS (
+  SELECT a.k, a.day AS anchor, d.v
+  FROM days a JOIN d ON d.k = a.k
+   AND d.day BETWEEN a.day - 2 AND a.day
+), g AS (
+  SELECT k, anchor, v, CAST(count(*) AS DOUBLE) AS c
+  FROM win GROUP BY k, anchor, v
+), s AS (
+  SELECT k, anchor, v,
+         sum(c) OVER (PARTITION BY k, anchor ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY k, anchor) AS total
+  FROM g
+), q AS (
+  SELECT k, anchor,
+         CAST(max(total) AS BIGINT) AS n,
+         min(v) FILTER (WHERE cum >= total * 0.5) AS p50,
+         min(v) FILTER (WHERE cum >= total * 0.95) AS p95
+  FROM s GROUP BY k, anchor
+), ns AS (
+  SELECT a.k, a.day AS anchor, CAST(count(*) AS INT) AS n_slides
+  FROM days a JOIN days b ON b.k = a.k AND b.day BETWEEN a.day - 2 AND a.day
+  GROUP BY a.k, a.day
+)
+SELECT q.k AS event_type, q.anchor AS day, q.n, q.p50, q.p95,
+       ns.n_slides, TRUE AS concat_equals_direct
+FROM q JOIN ns ON ns.k = q.k AND ns.anchor = q.anchor
+"""
+
+
 LM_BIGRAM_TOPK = 512  # per-lang bigram cap — small enough that the gated
 #                       run actually exercises the top-k truncation (sf0.01
 #                       has ~900 distinct bigrams/lang)
@@ -3760,6 +3913,85 @@ SELECT doc_id, lang,
              '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IPV4>', 'g'),
              '\+\d[\d -]{7,}\d', '<PHONE>', 'g')) AS redacted_md5
 FROM aug
+"""
+
+
+def q_text_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate for the two C4/CCNet curation staples previously proved only
+    by pytest mirrors (VERDICT r04 #3): ``dedup_lines_within_doc``
+    (within-document repeated-line removal — the intra-doc half of the C4
+    boilerplate rules) and ``normalize_text`` (the dedup-key
+    canonicalization applied before hashing/shingling).  Deterministic
+    line structure is synthesized per doc (same injection pattern as
+    pii_redact): the doc text plus a boilerplate line, each repeated, plus
+    a case/whitespace variant of the boilerplate — so the line dedup drops
+    exactly 2 lines per doc and the case-variant line survives it but
+    collapses under normalization.  Emits per-doc exact counts and the md5
+    of three byte streams: the line-deduped text, its default
+    normalization (lower+collapse_ws+trim), and the strip_punct arm.  Both
+    operators are single codegen projections (no Python, no shuffle,
+    stream-safe — scan-speed at 100 TB); the oracle recomputes all three
+    byte streams in DuckDB via the order-preserving ``list_filter``
+    first-occurrence mirror and the Java∩RE2 regex subset."""
+    from sketchlib.spark.textops import (
+        dedup_lines_within_doc,
+        normalize_text_expr,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    aug = docs.withColumn(
+        "text",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("Subscribe  NOW!"),
+            F.col("text"),
+            F.lit("SUBSCRIBE  now!"),
+            F.lit("Subscribe  NOW!"),
+        ),
+    )
+    d = dedup_lines_within_doc(aug)
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_lines",
+        "n_dup_lines",
+        F.md5(F.encode(F.col("text_clean"), "UTF-8")).alias("clean_md5"),
+        F.md5(F.encode(normalize_text_expr("text_clean"), "UTF-8"))
+        .alias("norm_md5"),
+        F.md5(
+            F.encode(
+                normalize_text_expr("text_clean", strip_punct=True), "UTF-8"
+            )
+        ).alias("normpunct_md5"),
+    )
+
+
+_NORMALIZE_DEDUP_SQL = r"""
+WITH aug AS (
+  SELECT doc_id, lang,
+         concat_ws(chr(10), text, 'Subscribe  NOW!', text,
+                   'SUBSCRIBE  now!', 'Subscribe  NOW!') AS t
+  FROM documents
+), s AS (
+  SELECT doc_id, lang, str_split(t, chr(10)) AS l FROM aug
+), c AS (
+  SELECT doc_id, lang, len(l)::BIGINT AS n_lines,
+         list_filter(l, (x, i) -> list_position(l, x) = i) AS kept
+  FROM s
+), r AS (
+  SELECT doc_id, lang, n_lines,
+         (n_lines - len(kept))::BIGINT AS n_dup_lines,
+         array_to_string(kept, chr(10)) AS clean
+  FROM c
+)
+SELECT doc_id, lang, n_lines, n_dup_lines,
+       md5(clean) AS clean_md5,
+       md5(trim(regexp_replace(lower(clean), '\s+', ' ', 'g'))) AS norm_md5,
+       md5(trim(regexp_replace(
+             regexp_replace(lower(clean), '[^\w\s]+', '', 'g'),
+             '\s+', ' ', 'g'))) AS normpunct_md5
+FROM r
 """
 
 
@@ -4282,7 +4514,10 @@ FROM ({_KMV_SQL}) s CROSS JOIN (
 # CORRECTNESS row come FIRST (the round-3 wave, then the round-4 folds);
 # the long-green remainder follows.
 QUERIES = {
-    # --- new in round 4 (never driver-gated) ---
+    # --- new in round 5 (never driver-gated) ---
+    "text_normalize_dedup": q_text_normalize_dedup,
+    "td_sliding_windows": q_td_sliding_windows,
+    # --- new in round 4 ---
     "decontam_fuzzy_neardup": q_decontam_fuzzy_neardup,
     "frequent_phrases_by_lang": q_frequent_phrases_by_lang,
     "table_profile_lineitem": q_table_profile_lineitem,
@@ -4330,13 +4565,13 @@ QUERIES = {
     "dedup_simhash_hamming": q_dedup_simhash_hamming,
     "ann_exact_cosine": q_ann_exact_cosine,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
-    "emb_signlsh_precision": q_emb_signlsh_precision,
     "top_sources_by_lang": q_top_sources_by_lang,
     "event_sessions": q_event_sessions,
     "td_cube_lang_source": q_td_cube_lang_source,
     "dedup_group_keepers": q_dedup_group_keepers,
-    "td_prank_by_lang": q_td_prank_by_lang,
-    "td_merge_laws": q_td_merge_laws,
+    # r5 fold: td_prank_by_lang + td_merge_laws (slot freed for
+    # td_sliding_windows)
+    "td_prank_merge_laws": q_td_prank_merge_laws,
     "bloom_join_prune": q_bloom_join_prune,
 }
 
@@ -4419,16 +4654,18 @@ FROM documents
     "frequent_phrases_by_lang": _FREQ_PHRASES_SQL,
     "table_profile_lineitem": _profile_table_sql(),
     "dedup_simhash_hamming": _simhash_pairs_sql(3),
-    "ann_exact_cosine": _ANN_EXACT_COSINE_SQL,
+    "ann_exact_cosine": f"""
+SELECT c.*, p.n_exact_pairs, p.lsh_precision_1
+FROM ({_ANN_EXACT_COSINE_SQL}) c CROSS JOIN (
+  SELECT count(*) AS n_exact_pairs, TRUE AS lsh_precision_1
+  FROM ({_COSINE_PAIRS_SQL}) x
+) p
+""",
     "emb_dedup_groups": _EMB_GROUPS_SQL,
 
     "pipeline_clean_corpus": _PIPELINE_SQL,
 
-    "emb_signlsh_precision": """
-SELECT count(*) AS n_exact_pairs, TRUE AS lsh_precision_1
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
-""",
+    "text_normalize_dedup": _NORMALIZE_DEDUP_SQL,
     "top_sources_by_lang": _TOP_SOURCES_SQL,
     "domain_stats": _DOMAIN_STATS_SQL,
     "kmv_sample_overlap": _KMV_SAMPLE_OVERLAP_SQL,
@@ -4437,9 +4674,8 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
     "td_tpch_digests": _TD_TPCH_SQL,
     "dedup_group_keepers": _group_keepers_sql(0.8),
     "events_join_ops": _EVENTS_JOIN_SQL,
-    "td_prank_by_lang": _PRANK_SQL,
-
-    "td_merge_laws": _MERGE_LAWS_SQL,
+    "td_prank_merge_laws": _PRANK_MERGE_LAWS_SQL,
+    "td_sliding_windows": _SLIDING_SQL,
     "bloom_join_prune": _BLOOM_JOIN_SQL,
     "td_drift_winsor_by_lang": _DRIFT_WINSOR_SQL,
     "dedup_span_stats": _SPAN_STATS_SQL,

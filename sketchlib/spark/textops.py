@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from sketchlib.spark.shipping import ensure_on_workers
+
 #: tiny fixed "function word" list used for the stopword-ratio quality
 #: signal (the synthetic corpus vocabulary includes these fillers).
 STOPWORDS = ["a", "the", "and", "of", "to", "in"]
@@ -771,6 +773,7 @@ def _apply_score_kernel(df, get_model, id_col, text_col, lang_col, scale):
             yield res
 
     cols = [id_col] + ([lang_col] if lang_col else []) + [text_col]
+    ensure_on_workers(df.sparkSession)
     return df.select(*cols).mapInPandas(score_batches, schema)
 
 
@@ -1220,6 +1223,7 @@ def _apply_bigram_kernel(df, get_model, id_col, text_col, lang_col, scale, bq):
             yield res
 
     cols = [id_col] + ([lang_col] if lang_col else []) + [text_col]
+    ensure_on_workers(df.sparkSession)
     return df.select(*cols).mapInPandas(score_batches, schema)
 
 
@@ -1658,6 +1662,7 @@ def _apply_ngram_kernel(df, get_model, id_col, text_col, lang_col, scale, bq):
             yield res
 
     cols = [id_col] + ([lang_col] if lang_col else []) + [text_col]
+    ensure_on_workers(df.sparkSession)
     return df.select(*cols).mapInPandas(score_batches, schema)
 
 

@@ -326,6 +326,83 @@ def test_ivf_index_incremental_append(spark, tmp_path):
     assert a == b
 
 
+def test_stored_ivf_probe_chunked_queries(spark, tmp_path):
+    """max_query_rows chunking (VERDICT r04 #4): a probe batch spanning a
+    chunk boundary returns the identical (query, rank, neighbor) result
+    as the single-chunk probe — per-query results are independent; sims
+    agree to 1e-12 (BLAS gemm blocking varies with the query-matrix
+    shape, so the dot products are not bitwise-stable across chunk
+    sizes).  An empty queries frame flows as an empty result with the
+    right schema; past max_chunks the probe raises with guidance instead
+    of unioning an unbounded plan."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from sketchlib.spark.ann import ivf_topk_vs_index, write_ivf_index
+
+    emb = _emb(spark)
+    path = str(tmp_path / "ivf_chunk")
+    write_ivf_index(emb, path, n_lists=8)
+    queries = emb.filter(F.col("vec_id") < 7)  # 7 queries
+
+    def rows(df):
+        return sorted(
+            ((r["query_id"], r["rank"], r["neighbor_id"]), r["sim"])
+            for r in df.collect()
+        )
+
+    one = rows(ivf_topk_vs_index(spark, path, queries, k=5, nprobe=3))
+    # max_query_rows=3 -> chunks of 3 + 3 + 1, one spanning the boundary
+    chunked = rows(ivf_topk_vs_index(
+        spark, path, queries, k=5, nprobe=3, max_query_rows=3))
+    assert [k for k, _ in one] == [k for k, _ in chunked]
+    assert all(abs(a - b) < 1e-12
+               for (_, a), (_, b) in zip(one, chunked))
+
+    empty = queries.filter(F.col("vec_id") < 0)
+    out = ivf_topk_vs_index(spark, path, empty, k=5, nprobe=3)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "rank", "neighbor_id", "sim"]
+
+    with _pytest.raises(ValueError, match="bulk k-NN"):
+        ivf_topk_vs_index(spark, path, queries, k=5, nprobe=3,
+                          max_query_rows=1, max_chunks=2)
+
+
+def test_ivf_append_skip_existing_idempotent(spark, tmp_path):
+    """skip_existing=True makes a replayed append a no-op (anti-join on
+    the index's stored ids, id-only scan): at-least-once callers can't
+    duplicate vectors; a mixed batch lands only its genuinely-new ids."""
+    import pyspark.sql.functions as F
+
+    from sketchlib.spark.ann import append_to_ivf_index, write_ivf_index
+
+    emb = _emb(spark)
+    old = emb.filter(F.col("vec_id") % 3 != 0)
+    new = emb.filter(F.col("vec_id") % 3 == 0)
+    path = str(tmp_path / "ivf_replay")
+    write_ivf_index(old, path, n_lists=8)
+    append_to_ivf_index(new, path)
+    n1 = spark.read.parquet(f"{path}/vectors").count()
+    assert n1 == emb.count()
+
+    # replayed batch: exact no-op under skip_existing
+    append_to_ivf_index(new, path, skip_existing=True)
+    assert spark.read.parquet(f"{path}/vectors").count() == n1
+
+    # mixed batch: one new id + replays -> exactly one row lands
+    fresh_vec = emb.select("embedding").head()[0]
+    mixed = new.select("vec_id", "embedding").limit(2).unionByName(
+        spark.createDataFrame(
+            [(7_000_001, fresh_vec)],
+            "vec_id long, embedding array<float>"))
+    append_to_ivf_index(mixed, path, skip_existing=True)
+    stored = spark.read.parquet(f"{path}/vectors")
+    assert stored.count() == n1 + 1
+    assert stored.filter(F.col("vec_id") == 7_000_001).count() == 1
+
+
 def test_assignment_sim_digest_detects_drift(spark, tmp_path):
     """In-distribution batches score high assignment similarity; an
     off-distribution batch scores lower, and the KS between the two
