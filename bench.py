@@ -74,6 +74,47 @@ def flagship_throughput(spark, sf_dir: str, reps: int = 2) -> tuple[float, int]:
     return best, n
 
 
+def calibration_probe(reps: int = 5) -> dict:
+    """Same-session host-speed probe (VERDICT r04 #6): a fixed
+    single-thread numpy workload — the production poly window fold plus
+    the xxh64 mix over 2M tokens — timed best-of-``reps`` in THIS
+    process.  ``BENCH/calibration_ref.json`` stores the score measured in
+    the session that produced the committed quiet-window headline;
+    emitting probe, reference, and their ratio inside the bench JSON lets
+    the next reader normalize headline totals for the host's
+    tens-of-minutes noisy-neighbor drift without spelunking BENCH/
+    (r03->r04 comparisons were repeatedly confounded by it).
+    ``host_speed_ratio`` > 1 means this window is SLOWER than the
+    reference window by that factor."""
+    import numpy as np
+
+    from sketchlib.hashing import poly_window_fold, xxh64_long
+
+    rng = np.random.default_rng(42)
+    vals = rng.integers(0, 2**63, size=2_000_000, dtype=np.int64).view(
+        np.uint64)
+    offs = np.arange(0, 2_000_001, 1000, dtype=np.int64)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        poly_window_fold(vals, offs, 8)
+        xxh64_long(vals, np.uint64(42))
+        best = min(best, time.perf_counter() - t0)
+    cal = {"cpu_probe_ms": round(best * 1e3, 2)}
+    try:
+        with open(os.path.join(REPO, "BENCH", "calibration_ref.json")) as f:
+            ref = json.load(f)
+        cal["ref_cpu_probe_ms"] = ref["cpu_probe_ms"]
+        cal["host_speed_ratio"] = round(
+            best * 1e3 / ref["cpu_probe_ms"], 3)
+        for k in ("recorded_quiet_best_sec", "recorded_round"):
+            if k in ref:
+                cal[k] = ref[k]
+    except (OSError, KeyError, ValueError, ZeroDivisionError):
+        pass
+    return cal
+
+
 def main() -> None:
     from sketchlib.spark.session import get_spark
 
@@ -156,6 +197,9 @@ def main() -> None:
         "sf": _sf_of(SF_DIR),
         "docs_per_sec": round(n_docs / build_sec, 1),
         "cpus": CPUS,
+        # same-session host-speed probe + stored quiet-window reference:
+        # normalize headline totals for host drift (VERDICT r04 #6)
+        "calibration": calibration_probe(),
     }
     # headline large-input numbers from the committed scaling run (BENCH/):
     # the sf-dir tables are tiny (overhead-dominated), so the meaningful

@@ -585,10 +585,27 @@ def sliding_from_tumbling(
     """
     from pyspark.sql import Window
 
+    from pyspark.sql.types import DateType
+
+    # DATE-grain windows order on an integer day index (datediff from
+    # epoch): unix_timestamp(date) is midnight in the SESSION timezone, and
+    # across a 25-hour DST fall-back day the epoch gap (90000 s) would push
+    # day t-k+1 out of a seconds-based RANGE frame.  Timestamp grains keep
+    # the seconds frame (their stored values are the actual slide starts).
+    if isinstance(df.schema[window_col].dataType, DateType):
+        if slide_seconds % 86400 != 0:
+            raise ValueError(
+                f"sliding_from_tumbling: date-typed {window_col!r} needs a "
+                f"whole-day slide_seconds, got {slide_seconds}")
+        order_expr = F.datediff(F.col(window_col), F.lit("1970-01-01"))
+        frame_lo = -(k - 1) * (slide_seconds // 86400)
+    else:
+        order_expr = F.unix_timestamp(F.col(window_col))
+        frame_lo = -(k - 1) * slide_seconds
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.unix_timestamp(F.col(window_col)))
-        .rangeBetween(-(k - 1) * slide_seconds, 0)
+        .orderBy(order_expr)
+        .rangeBetween(frame_lo, 0)
     )
     blobs = F.collect_list(digest_col).over(w)
     return df.select(

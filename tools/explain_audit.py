@@ -535,10 +535,45 @@ def main():
 
     train = docs.filter(F.col("doc_id") % 5 != 0)
     ev = docs.filter(F.col("doc_id") % 5 == 0)
-    p = plan_of(fuzzy_decontam_pairs(train, ev, threshold=0.8))
+    # eager=False: the default localCheckpoints the result (cache-release
+    # contract), which would collapse the audited plan to a checkpoint scan
+    p = plan_of(fuzzy_decontam_pairs(train, ev, threshold=0.8, eager=False))
     check("fuzzy decontam broadcast eval side", p,
           must=[r"BroadcastExchange"],
           must_not=[r"hashpartitioning\(band"])
+
+    # 6f. text normalization + within-doc line dedup: pure codegen
+    # projections — no Python stage, no Exchange anywhere (scan-speed,
+    # stream-safe)
+    from sketchlib.spark.queries import q_text_normalize_dedup
+
+    p = plan_of(q_text_normalize_dedup(spark, sf_dir))
+    check("normalize+line-dedup pure codegen", p,
+          must=[r"codegen id"],
+          must_not=[r"ArrowEvalPython|BatchEvalPython|MapInPandas",
+                    r"Exchange"])
+
+    # 6g. sliding-from-tumbling derivation: given a STORED digest table,
+    # the trailing-k window is a pure-JVM collect_list+concat over sketch
+    # rows — no Python stage (the build of the stored table is separate)
+    import tempfile as _tf
+
+    from sketchlib.spark.tdigest_ops import sliding_from_tumbling
+
+    _sl_dir = _tf.mkdtemp() + "/dig"
+    ev_days = docs.sparkSession.read.parquet(f"{sf_dir}/events.parquet")
+    tdigest_aggregate(
+        ev_days.select("event_type", F.to_date("ts").alias("day"), "value"),
+        ["event_type", "day"], "value", discrete=True,
+    ).write.parquet(_sl_dir)
+    stored_dig = spark.read.parquet(_sl_dir)
+    p = plan_of(sliding_from_tumbling(
+        stored_dig, ["event_type"], k=3, slide_seconds=86400,
+        window_col="day"))
+    check("sliding windows: pure-JVM concat over stored digests", p,
+          must=[r"Window"],
+          must_not=[r"ArrowEvalPython|BatchEvalPython|MapInPandas",
+                    r"Scan parquet[^\n]*documents"])
 
     # 7. checkpoint resume: anti-join against completed parts is broadcast
     from sketchlib.spark.checkpoint import TDigestCheckpointer
