@@ -156,7 +156,13 @@ def main() -> int:
 
     from sketchlib.spark.tdigest_ops import tdigest_psi_jsd_udf
 
+    from sketchlib.spark.tdigest_ops import tdigest_w1_udf
+
     ks = tdigest_ks_udf("digest_l", "digest_r").alias("ks")
+    # W1 reports drift in VALUE units (how far the mass moved) next to
+    # KS's largest-CDF-gap — e.g. a uniform shift saturates KS but W1
+    # equals the shift size
+    w1 = tdigest_w1_udf("digest_l", "digest_r").alias("w1")
     # PSI/JSD bin on the SECOND argument's quantile grid: pass the LEFT
     # (baseline) side there, per PSI convention (expected = baseline)
     pj = tdigest_psi_jsd_udf()("digest_r", "digest_l")
@@ -166,6 +172,7 @@ def main() -> int:
     report = joined.select(
         *keys,
         ks,
+        w1,
         pj[0].alias("psi"),
         pj[1].alias("jsd"),
         F.col("count_l").alias("count_left"),

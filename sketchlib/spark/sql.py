@@ -121,6 +121,26 @@ def register_sql_functions(spark: SparkSession, delta: float = 0.01) -> None:
                 out.append(float(ks_of_centroids(ma, na, mb, nb)))
         return pd.Series(out, dtype="float64")
 
+    @pandas_udf(DoubleType())
+    def tdigest_w1(dig_a: pd.Series, dig_b: pd.Series) -> pd.Series:
+        """1-Wasserstein distance between two digest columns — the SQL form
+        of ``tdigest_ops.tdigest_w1_udf`` (drift in VALUE units).  NULL
+        when either side is NULL or holds zero centroids."""
+        from sketchlib.tdigest.core import w1_of_centroids
+
+        out = []
+        for a, b in zip(dig_a, dig_b):
+            if a is None or b is None or len(a) == 0 or len(b) == 0:
+                out.append(None)
+                continue
+            ma, na = bytes_to_centroids(bytes(a))
+            mb, nb = bytes_to_centroids(bytes(b))
+            if len(ma) == 0 or len(mb) == 0:
+                out.append(None)
+            else:
+                out.append(float(w1_of_centroids(ma, na, mb, nb)))
+        return pd.Series(out, dtype="float64")
+
     @pandas_udf(ArrayType(DoubleType()))
     def tdigest_psi_jsd(dig_a: pd.Series, dig_b: pd.Series) -> pd.Series:
         """array<double> [psi, jsd] between two digest columns — the SQL
@@ -205,6 +225,7 @@ def register_sql_functions(spark: SparkSession, delta: float = 0.01) -> None:
     spark.udf.register("tdigest_cdf", tdigest_cdf)
     spark.udf.register("tdigest_trimmed_mean", tdigest_trimmed_mean)
     spark.udf.register("tdigest_ks", tdigest_ks)
+    spark.udf.register("tdigest_w1", tdigest_w1)
     spark.udf.register("tdigest_psi_jsd", tdigest_psi_jsd)
     spark.udf.register("tdigest_winsor_bound", tdigest_winsor_bound)
     spark.udf.register("tdigest_size", tdigest_size)

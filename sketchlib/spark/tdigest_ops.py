@@ -380,6 +380,31 @@ def tdigest_ks_udf(dig_a: pd.Series, dig_b: pd.Series) -> pd.Series:
     return pd.Series(out, dtype="float64")
 
 
+@pandas_udf(DoubleType())
+def tdigest_w1_udf(dig_a: pd.Series, dig_b: pd.Series) -> pd.Series:
+    """1-Wasserstein (earth-mover) distance between two digest columns per
+    row (``w1_of_centroids``): the drift monitor in VALUE units — how far
+    the mass moved, where KS reports only the largest CDF gap.  Exact when
+    both digests are discrete; NULL if either side is empty (same contract
+    as ``tdigest_ks_udf``).  Post-aggregation only (runs on sketch rows).
+    Gate users should wrap in ``F.round(..., 6)`` — the ks_global lesson:
+    a foreign engine's sum order can flip final ulps at a value-hash."""
+    from sketchlib.tdigest.core import w1_of_centroids
+
+    out = []
+    for a, b in zip(dig_a, dig_b):
+        if a is None or b is None or len(a) == 0 or len(b) == 0:
+            out.append(None)
+        else:
+            ma, na = bytes_to_centroids(bytes(a))
+            mb, nb = bytes_to_centroids(bytes(b))
+            if len(ma) == 0 or len(mb) == 0:
+                out.append(None)
+            else:
+                out.append(w1_of_centroids(ma, na, mb, nb))
+    return pd.Series(out, dtype="float64")
+
+
 def tdigest_psi_jsd_udf(bins: int = 10, eps: float = 1e-6, ndigits: int = 9):
     """array<double> [psi, jsd]: Population Stability Index and
     Jensen–Shannon divergence between two digest columns per row

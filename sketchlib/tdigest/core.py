@@ -450,6 +450,46 @@ def ks_of_centroids(
     return float(np.max(np.abs(ca / na[-1] - cb / nb[-1])))
 
 
+def w1_of_centroids(
+    means_a: np.ndarray,
+    ns_a: np.ndarray,
+    means_b: np.ndarray,
+    ns_b: np.ndarray,
+) -> float:
+    """1-Wasserstein (earth-mover) distance between two digests:
+    ``∫ |F_a(x) − F_b(x)| dx`` under the same step-CDF convention as
+    ``ks_of_centroids`` — the drift monitor that reports HOW FAR the mass
+    moved in VALUE units, where KS reports only the largest CDF gap and
+    PSI/JSD only bin-mass divergence (a uniform +10-char shift of every
+    document moves W1 by exactly 10 while KS saturates).
+
+    Both step CDFs are constant between union support points, so the
+    integral is the finite sum ``Σ_i |F_a(p_i) − F_b(p_i)| · (p_{i+1} −
+    p_i)`` over the sorted union support.  With DISCRETE digests this is
+    the exact W1 of the underlying data, computed from two stored KB
+    sketches with zero fact rescans; with compressed digests each side
+    contributes its rank-error bound times its value range.  Empty on
+    either side → NaN; identical digests → 0.0 exactly.
+
+    Float determinism: evaluated pointwise as ``(ca/na − cb/nb)`` times an
+    exact value gap then summed ascending — a SQL engine spelling the same
+    sum over the same union grid in value order reproduces it; gate rows
+    should still round to 6 decimals (the ks_global lesson: arbitrary-order
+    SQL SUM can differ in final ulps)."""
+    if len(means_a) == 0 or len(means_b) == 0:
+        return float("nan")
+    na = np.cumsum(ns_a)
+    nb = np.cumsum(ns_b)
+    pts = np.union1d(means_a, means_b)
+    if len(pts) == 1:
+        return 0.0
+    ca = np.concatenate(([0.0], na))[np.searchsorted(means_a, pts, side="right")]
+    cb = np.concatenate(([0.0], nb))[np.searchsorted(means_b, pts, side="right")]
+    gaps = np.diff(pts)
+    f = ca / na[-1] - cb / nb[-1]
+    return float(np.sum(np.abs(f[:-1]) * gaps))
+
+
 def psi_jsd_of_centroids(
     means_a: np.ndarray,
     ns_a: np.ndarray,

@@ -210,6 +210,73 @@ def test_ks_empty_side_is_nan():
     assert np.isnan(ks_of_centroids(m, n, e, e))
 
 
+def _brute_w1(a: np.ndarray, b: np.ndarray) -> float:
+    """∫|Fa−Fb|dx over the union support, from raw data (numpy only)."""
+    pts = np.union1d(a, b)
+    fa = np.searchsorted(np.sort(a), pts, side="right") / len(a)
+    fb = np.searchsorted(np.sort(b), pts, side="right") / len(b)
+    return float(np.sum(np.abs(fa[:-1] - fb[:-1]) * np.diff(pts)))
+
+
+def test_w1_discrete_equals_brute_force():
+    from sketchlib.tdigest.core import w1_of_centroids
+
+    rng = np.random.default_rng(21)
+    a = rng.integers(0, 500, 20_000).astype(float)
+    b = (rng.integers(0, 500, 30_000) + rng.integers(0, 50, 30_000)).astype(float)
+    da, db = MergingDigest(discrete=True), MergingDigest(discrete=True)
+    da.update_batch(a), db.update_batch(b)
+    da.compress(), db.compress()
+    ma, na = da._means, da._ns
+    mb, nb = db._means, db._ns
+    w1 = w1_of_centroids(ma, na, mb, nb)
+    assert w1 == _brute_w1(a, b)
+    # laws: self-distance 0 exactly, symmetry
+    assert w1_of_centroids(ma, na, ma, na) == 0.0
+    assert w1_of_centroids(mb, nb, ma, na) == w1
+    # translation property: W1(X, X+c) == c (the value-units semantics KS
+    # lacks — a uniform shift saturates KS at 1 but W1 reports the shift)
+    dc = MergingDigest(discrete=True)
+    dc.update_batch(a + 600.0)  # disjoint supports: KS saturates at 1
+    dc.compress()
+    shift = w1_of_centroids(ma, na, dc._means, dc._ns)
+    assert abs(shift - 600.0) < 1e-9, shift
+    from sketchlib.tdigest.core import ks_of_centroids
+
+    # the contrast W1 exists for: KS says only "fully drifted" (1.0),
+    # W1 says HOW FAR (600 value units)
+    assert ks_of_centroids(ma, na, dc._means, dc._ns) == 1.0
+    # single-point equal digests: zero distance, no empty-diff crash
+    one = np.array([5.0]), np.array([3.0])
+    assert w1_of_centroids(one[0], one[1], one[0], one[1]) == 0.0
+
+
+def test_w1_empty_side_is_nan():
+    from sketchlib.tdigest.core import w1_of_centroids
+
+    e = np.empty(0)
+    m = np.array([1.0, 2.0])
+    n = np.array([3.0, 4.0])
+    assert np.isnan(w1_of_centroids(e, e, m, n))
+    assert np.isnan(w1_of_centroids(m, n, e, e))
+
+
+def test_w1_compressed_close_to_exact():
+    from sketchlib.tdigest.core import w1_of_centroids
+
+    rng = np.random.default_rng(22)
+    a = rng.normal(0, 1, 100_000)
+    b = rng.normal(0.15, 1, 100_000)
+    exact = _brute_w1(a, b)
+    da, db = MergingDigest(delta=0.01), MergingDigest(delta=0.01)
+    da.update_batch(a), db.update_batch(b)
+    da.compress(), db.compress()
+    approx = w1_of_centroids(da._means, da._ns, db._means, db._ns)
+    # each side's CDF error <= delta over a ~8-sigma value range
+    assert abs(approx - exact) <= 0.02 * 8, (approx, exact)
+    assert abs(approx - exact) / max(exact, 1e-9) < 0.35
+
+
 def test_ks_compressed_within_summed_delta():
     from sketchlib.tdigest.core import ks_of_centroids
 

@@ -89,9 +89,14 @@ def test_drift_monitor_end_to_end(spark, tmp_path, monkeypatch):
     assert rows[hot]["psi"] > 0.25 and rows[hot]["jsd"] > 0.05
     assert rows[gone]["drifted"] and rows[gone]["ks"] is None
     assert rows[gone]["psi"] is None and rows[gone]["jsd"] is None
+    # W1 carries the drift in VALUE units: tripling moves mass ~2x the
+    # baseline mean n_chars — far above zero; calm/gone behave like ks
+    assert rows[hot]["w1"] > 100.0
+    assert rows[gone]["w1"] is None
     calm = [l for l in langs if l not in (hot, gone)]
     assert all(not rows[l]["drifted"] and rows[l]["ks"] == 0.0 for l in calm)
     assert all(rows[l]["psi"] == 0.0 and rows[l]["jsd"] == 0.0 for l in calm)
+    assert all(rows[l]["w1"] == 0.0 for l in calm)
     assert rep["n_drifted"] == 2
 
     # -- PSI gate: a KS threshold too loose to fire, PSI threshold fires ------

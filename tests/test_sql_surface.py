@@ -247,6 +247,50 @@ def test_sql_tdigest_ks_and_winsor_bound(spark):
     assert sql_rows == df_rows and len(sql_rows) >= 3
     assert all(0.0 <= v <= 1.0 for v in sql_rows.values())
 
+    # W1 drift (value units) from SQL: equals the UDF path exactly AND a
+    # DuckDB spelling of the same union-grid step-CDF integral
+    from sketchlib.spark.tdigest_ops import tdigest_w1_udf
+
+    w1_df = {
+        r["lang"]: r["w1"]
+        for r in j.select(
+            "lang", tdigest_w1_udf("digest", "gdigest").alias("w1")
+        ).collect()
+    }
+    w1_sql = {
+        r["lang"]: r["w1"]
+        for r in spark.sql(
+            "SELECT lang, tdigest_w1(digest, gdigest) AS w1 FROM ks_sql"
+        ).collect()
+    }
+    assert w1_sql == w1_df and all(v >= 0.0 for v in w1_sql.values())
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    oracle = dict(con.execute("""
+        WITH d AS (SELECT lang, CAST(n_chars AS DOUBLE) v FROM documents
+                   WHERE n_chars IS NOT NULL),
+        pts AS (SELECT DISTINCT v FROM d),
+        grid AS (SELECT k.lang, p.v FROM (SELECT DISTINCT lang FROM d) k,
+                 pts p),
+        fa AS (SELECT g.lang, g.v,
+                 (SELECT count(*) FROM d WHERE d.lang = g.lang AND d.v <= g.v)
+                   / (SELECT count(*) FROM d WHERE d.lang = g.lang)::DOUBLE
+                   AS f,
+                 (SELECT count(*) FROM d WHERE d.v <= g.v)
+                   / (SELECT count(*) FROM d)::DOUBLE AS fg,
+                 lead(g.v) OVER (PARTITION BY g.lang ORDER BY g.v) AS nxt
+               FROM grid g)
+        SELECT lang, round(sum(abs(f - fg) * (nxt - v)), 6) FROM fa
+        WHERE nxt IS NOT NULL GROUP BY lang
+    """).fetchall())
+    got = {k: round(v, 6) for k, v in w1_sql.items()}
+    assert got == oracle, (got, oracle)
+
     # winsor bounds: discrete-mode quantiles are exact data values
     b = spark.sql("""
         SELECT lang,
