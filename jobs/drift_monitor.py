@@ -103,7 +103,7 @@ def main() -> int:
                 if args.psi_threshold > 0 else ks_gate)
         report = digest_timeline(
             digs, keys, args.epoch_col, ps=ps, discrete=args.discrete,
-            ma_window=args.ma_window, psi_jsd=True,
+            ma_window=args.ma_window, psi_jsd=True, w1=True,
         ).withColumn("drifted", F.coalesce(gate, F.lit(False)))
         report.write.mode("overwrite").parquet(args.output)
         out = spark.read.parquet(args.output)

@@ -480,7 +480,9 @@ def streaming_drift_monitor(
     shuffle is added — and the same ``tdigest_ks_udf`` /
     ``tdigest_psi_jsd_udf`` scalar projections the batch job uses.
 
-    Output: (keys..., window_start, window_end, n, ks, psi, jsd, drifted).
+    Output: (keys..., window_start, window_end, n, ks, w1, psi, jsd,
+    drifted) — ``w1`` is the 1-Wasserstein distance (drift in VALUE
+    units) beside KS's largest CDF gap; both ride the same sketch rows.
     A window whose key has NO baseline row IS drift (count it the way the
     batch job counts appeared keys); otherwise drifted = ks > ks_threshold
     (or psi > psi_threshold when one is set).  With ``discrete=True`` and
@@ -498,6 +500,7 @@ def streaming_drift_monitor(
         tdigest_count_udf,
         tdigest_ks_udf,
         tdigest_psi_jsd_udf,
+        tdigest_w1_udf,
     )
 
     build = streaming_tdigest_final if final else streaming_tdigest
@@ -513,6 +516,7 @@ def streaming_drift_monitor(
             if psi_threshold > 0 else ks_gate)
     return (
         joined.withColumn("ks", tdigest_ks_udf("digest", "_bdigest"))
+        .withColumn("w1", tdigest_w1_udf("digest", "_bdigest"))
         .withColumn("psi", pj[0])
         .withColumn("jsd", pj[1])
         .select(
@@ -521,6 +525,7 @@ def streaming_drift_monitor(
             "window_end",
             tdigest_count_udf("digest").cast("long").alias("n"),
             "ks",
+            "w1",
             "psi",
             "jsd",
             F.when(F.col("_bdigest").isNull(), F.lit(True))

@@ -652,6 +652,7 @@ def digest_timeline(
     digest_col: str = "digest",
     ma_window: int = 0,
     psi_jsd: bool = False,
+    w1: bool = False,
 ) -> DataFrame:
     """Windowed-trend report over a STORED per-epoch digest table: for each
     key, order the epochs and report per epoch the ingested count, the
@@ -675,7 +676,10 @@ def digest_timeline(
 
     Output columns: ``keys..., epoch_col, n, <ptag>, delta_<ptag> per
     requested quantile, ks_prev`` where ``<ptag>`` is e.g. ``p5`` for 0.5,
-    ``p95`` for 0.95; ``psi_jsd=True`` appends ``psi_prev`` / ``jsd_prev``
+    ``p95`` for 0.95; ``w1=True`` appends ``w1_prev`` (1-Wasserstein vs
+    the previous stored epoch — drift in VALUE units, the monitor that
+    keeps growing where KS saturates); ``psi_jsd=True`` appends
+    ``psi_prev`` / ``jsd_prev``
     (PSI and Jensen-Shannon divergence vs the previous stored epoch,
     binned on the previous epoch's decile grid — baseline = expected, per
     PSI convention).  The first stored epoch of each key has NULL deltas
@@ -716,6 +720,8 @@ def digest_timeline(
         *qcols,
         tdigest_ks_udf("_dig", "_prev").alias("ks_prev"),
     ]
+    if w1:
+        cols.append(tdigest_w1_udf("_dig", "_prev").alias("w1_prev"))
     if psi_jsd:
         out = base.withColumn("_pj", tdigest_psi_jsd_udf()("_dig", "_prev"))
         return out.select(

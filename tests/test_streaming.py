@@ -603,6 +603,7 @@ def test_streaming_drift_monitor_matches_batch(spark, tmp_path):
         tdigest_aggregate,
         tdigest_ks_udf,
         tdigest_psi_jsd_udf,
+        tdigest_w1_udf,
     )
 
     src = str(tmp_path / "src")
@@ -651,6 +652,7 @@ def test_streaming_drift_monitor_matches_batch(spark, tmp_path):
         .select(
             "lang", "window_start",
             tdigest_ks_udf("digest", "_b").alias("ks"),
+            tdigest_w1_udf("digest", "_b").alias("w1"),
             pj("digest", "_b").alias("_pj"),
         ).collect()
     }
@@ -659,9 +661,11 @@ def test_streaming_drift_monitor_matches_batch(spark, tmp_path):
         got = latest[k]
         if k[0] == "de":  # no baseline row -> NULL stats, flagged
             assert got["ks"] is None and got["psi"] is None
+            assert got["w1"] is None
             assert got["drifted"]
         else:
             assert got["ks"] == r["ks"]  # bit-identical digests + same UDF
+            assert got["w1"] == r["w1"]
             assert (got["psi"], got["jsd"]) == tuple(r["_pj"])
             # en windows vs the full-en baseline: KS gate (0.99) can't
             # fire; drift iff PSI says so
