@@ -1671,3 +1671,147 @@ def duplicate_span_stats(
             ).otherwise(F.lit(0.0)).alias("dup_frac"),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span: int = 20,
+    min_docs: int = 2,
+    keep_first: bool = False,
+    broadcast_dups: bool = False,
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """The REMOVAL half of the ExactSubstr family (Lee et al. 2022):
+    ``duplicate_span_stats`` measures cross-document duplicate-span
+    coverage; this rebuilds each document WITHOUT the covered tokens — a
+    repeat of length L >= ``span`` flags L−span+1 overlapping windows
+    whose union is exactly the L repeated tokens, so the whole repeated
+    passage is excised while surrounding text survives.
+
+    ``keep_first=False`` (default) removes every occurrence — the
+    quote/licence-block/syndication boilerplate convention (like
+    ``paragraph_dedup``).  ``keep_first=True`` keeps the copy in the span
+    hash's MIN-id document (every occurrence there), the
+    content-preserving convention: exactly one document retains the
+    passage.
+
+    Output: (id, out_col, n_tokens, dup_tokens, n_kept_tokens).  A doc
+    with nothing to remove keeps its ORIGINAL text bytes verbatim; a
+    touched doc is rebuilt as its kept tokens single-space-joined (the
+    whitespace-tokenizer round trip — compose with ``normalize_text``
+    upstream if byte-stable whitespace matters).  NULL/short docs pass
+    through untouched with zero counts.
+
+    Scale design — identical to the stats op: span text never shuffles
+    (one chained-xxhash64 int64 per position); flagged starts come back
+    per doc as ONE sorted int array; overlapping starts are merged into
+    disjoint intervals by a JVM ``aggregate`` lambda and the rebuild is a
+    per-row ``filter``+``array_join`` projection over the merged
+    intervals — no Python anywhere, no second scan of the text.
+    """
+    from sketchlib.spark.textops import with_tokens
+
+    if span < 2:
+        raise ValueError("remove_duplicate_spans: span must be >= 2")
+    base = with_tokens(df.select(id_col, text_col), text_col)
+
+    def _h(th, i):
+        return F.xxhash64(*[F.element_at(th, i + k) for k in range(span)])
+
+    grams = (
+        base.filter(F.size("tokens") >= span)
+        .withColumn("_th", F.transform("tokens", lambda t: F.xxhash64(t)))
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tokens") - (span - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"), _h(F.col("_th"), i).alias("h")
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select(id_col, "g.pos", "g.h")
+    )
+    dup_h = (
+        grams.groupBy("h")
+        .agg(
+            F.countDistinct(id_col).alias("_nd"),
+            F.min(id_col).alias("_keeper"),
+        )
+        .filter(F.col("_nd") >= min_docs)
+        .select("h", "_keeper")
+    )
+    if broadcast_dups:
+        dup_h = F.broadcast(dup_h)
+    flagged = grams.join(dup_h, "h")
+    if keep_first:
+        flagged = flagged.filter(F.col(id_col) != F.col("_keeper"))
+    starts = flagged.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("pos")).alias("_starts")
+    )
+
+    # merge sorted starts into disjoint [lo, hi) intervals, JVM-side
+    iv_schema = "array<struct<lo:int,hi:int>>"
+    merged = F.aggregate(
+        F.col("_starts"),
+        F.expr(f"CAST(array() AS {iv_schema})"),
+        lambda acc, s: F.when(
+            (F.size(acc) == 0) | (s > F.element_at(acc, -1)["hi"]),
+            F.concat(
+                acc,
+                F.array(F.struct(
+                    s.cast("int").alias("lo"),
+                    (s + span).cast("int").alias("hi"),
+                )),
+            ),
+        ).otherwise(
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.struct(
+                    F.element_at(acc, -1)["lo"].alias("lo"),
+                    F.greatest(
+                        F.element_at(acc, -1)["hi"], (s + span).cast("int")
+                    ).alias("hi"),
+                )),
+            )
+        ),
+    )
+
+    n_tokens = F.greatest(F.coalesce(F.size("tokens"), F.lit(0)), F.lit(0))
+    joined = base.join(starts, id_col, "left").withColumn("_iv", merged)
+    covered = F.coalesce(
+        F.aggregate(
+            "_iv",
+            F.lit(0),
+            # clip hi to T+1: a window near the end never covers past T
+            lambda acc, iv: acc
+            + F.least(iv["hi"], n_tokens + 1) - iv["lo"],
+        ),
+        F.lit(0),
+    )
+    kept = F.filter(
+        F.zip_with(
+            F.col("tokens"),
+            F.sequence(F.lit(1), F.greatest(F.size("tokens"), F.lit(1))),
+            lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+        ),
+        lambda x: ~F.exists(
+            F.coalesce(F.col("_iv"), F.expr(f"CAST(array() AS {iv_schema})")),
+            lambda iv: (x["i"] >= iv["lo"]) & (x["i"] < iv["hi"]),
+        ),
+    )
+    rebuilt = F.array_join(F.transform(kept, lambda x: x["t"]), " ")
+    return joined.select(
+        id_col,
+        F.when(F.col("_iv").isNull() | (F.size("_iv") == 0),
+               F.col(text_col))
+        .when(F.col(text_col).isNotNull(), rebuilt)
+        .alias(out_col),
+        n_tokens.cast("long").alias("n_tokens"),
+        covered.cast("long").alias("dup_tokens"),
+        (n_tokens - covered).cast("long").alias("n_kept_tokens"),
+    )

@@ -556,6 +556,84 @@ def test_duplicate_span_stats_matches_python(spark):
     assert a == b
 
 
+def test_remove_duplicate_spans_matches_python(spark):
+    """remove_duplicate_spans (the ExactSubstr REMOVAL half) vs a python
+    oracle of the same definition, on the same planted corpus as the
+    stats test: the shared 25-token block is excised from both docs
+    (union of overlapping windows = the whole block), the 12-token block
+    only at span=10, clean/short/NULL docs keep their ORIGINAL bytes, and
+    keep_first=True retains every occurrence in the min-id owner."""
+    import numpy as np
+
+    from sketchlib.spark.dedup import (
+        duplicate_span_stats,
+        remove_duplicate_spans,
+    )
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(500)]
+
+    def words(n):
+        return list(rng.choice(vocab, n))
+
+    block25 = words(25)
+    block12 = words(12)
+    docs = {
+        0: words(30) + block25 + words(5),
+        1: block25 + words(40),
+        2: words(8) + block12 + words(3),
+        3: words(20) + block12,
+        4: words(50),
+        5: words(6) + words(6),
+        6: [],
+    }
+    rows = [(i, " ".join(t) if t else None) for i, t in docs.items()]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def oracle(span, keep_first):
+        grams = {}
+        for i, toks in docs.items():
+            for p in range(len(toks) - span + 1):
+                grams.setdefault(tuple(toks[p:p + span]), set()).add(i)
+        dup = {g: min(ids) for g, ids in grams.items() if len(ids) >= 2}
+        out = {}
+        for i, toks in docs.items():
+            covered = set()
+            for p in range(len(toks) - span + 1):
+                g = tuple(toks[p:p + span])
+                if g in dup and not (keep_first and dup[g] == i):
+                    covered.update(range(p, p + span))
+            kept = [t for j, t in enumerate(toks) if j not in covered]
+            clean = (" ".join(kept) if covered
+                     else (" ".join(toks) if toks else None))
+            out[i] = (clean, len(toks), len(covered),
+                      len(toks) - len(covered))
+        return out
+
+    for span in (10, 20):
+        for kf in (False, True):
+            got = {
+                r["doc_id"]: (r["text_clean"], r["n_tokens"],
+                              r["dup_tokens"], r["n_kept_tokens"])
+                for r in remove_duplicate_spans(
+                    df, span=span, keep_first=kf).collect()
+            }
+            want = oracle(span, kf)
+            assert got == want, (span, kf)
+
+    # coverage counts agree with the stats operator (same definition)
+    st = {r["doc_id"]: r["dup_tokens"]
+          for r in duplicate_span_stats(df, span=10).collect()}
+    rm = {r["doc_id"]: r["dup_tokens"]
+          for r in remove_duplicate_spans(df, span=10).collect()}
+    assert st == rm
+    # layout determinism
+    a = sorted(map(tuple, remove_duplicate_spans(df, span=10).collect()))
+    b = sorted(map(tuple, remove_duplicate_spans(
+        df.repartition(5), span=10).collect()))
+    assert a == b
+
+
 def test_ngram_containment_pairs_vs_python(spark):
     """measure="containment" vs a brute-force python oracle (max
     containment n_common/min(n_a,n_b) over 3-gram shingle SETS), and the

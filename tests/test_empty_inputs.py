@@ -198,6 +198,13 @@ def test_fuzzy_decontam_empty_sides(spark, edocs):
     assert fuzzy_decontam_pairs(e, e).collect() == []
 
 
+def test_remove_duplicate_spans_empty(edocs):
+    from sketchlib.spark.dedup import remove_duplicate_spans
+
+    assert remove_duplicate_spans(
+        edocs.select("doc_id", "text")).collect() == []
+
+
 def test_normalize_and_line_dedup_empty(edocs):
     from sketchlib.spark.textops import (
         dedup_lines_within_doc,
