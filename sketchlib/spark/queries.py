@@ -732,10 +732,30 @@ def q_dedup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``dedup.duplicate_span_stats``).  Span text never shuffles — one
     chained-xxhash64 int64 per position; the oracle recomputes the same
     definition from gram CONTENT (hash collisions are the only divergence
-    mode, ~1e-13 at this scale)."""
-    from sketchlib.spark.dedup import duplicate_span_stats
+    mode, ~1e-13 at this scale).
 
-    return duplicate_span_stats(load(spark, sf_dir, "documents"), span=10)
+    Round-5 fold (strictly more work, same slot): the REMOVAL half
+    (``dedup.remove_duplicate_spans``) rides along — per doc, the md5 of
+    the rebuilt text with every covered token excised plus the kept-token
+    count; untouched docs must hash their ORIGINAL bytes verbatim.  The
+    oracle rebuilds the same bytes from gram content (per-doc covered
+    position list + order-preserving ``list_filter``), so the removal is
+    driver-gated byte-exactly, not just pytest-proved."""
+    from sketchlib.spark.dedup import (
+        duplicate_span_stats,
+        remove_duplicate_spans,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    st = duplicate_span_stats(docs, span=10)
+    rm = remove_duplicate_spans(docs, span=10).select(
+        "doc_id",
+        F.md5(
+            F.encode(F.coalesce("text_clean", F.lit("")), "UTF-8")
+        ).alias("clean_md5"),
+        "n_kept_tokens",
+    )
+    return st.join(rm, "doc_id")
 
 
 _SPAN_STATS_SQL = f"""
@@ -758,6 +778,24 @@ n AS (
 ), per AS (
   SELECT doc_id, count(*)::BIGINT AS n_dup_spans, sum(cov)::BIGINT AS dup_tokens
   FROM c GROUP BY doc_id
+), cps AS (  -- per-doc covered token positions (1-based, matches list_filter i)
+  SELECT doc_id, list(DISTINCT p) AS cov_pos
+  FROM (SELECT f.doc_id, f.pos + u2.o AS p
+        FROM f, UNNEST(range(0, 10)) AS u2(o))
+  GROUP BY doc_id
+), kept AS (
+  SELECT t.doc_id,
+         CASE WHEN cps.cov_pos IS NULL THEN coalesce(t.text, '')
+              -- coalesce: DuckDB's array_to_string of an EMPTY list is
+              -- NULL where Spark's array_join is '' (fully-covered docs)
+              ELSE coalesce(array_to_string(
+                list_filter(t.tk, (x, i) -> NOT list_contains(cps.cov_pos, i)),
+                ' '), '')
+         END AS clean,
+         (greatest(coalesce(len(t.tk), 0), 0)
+          - coalesce(len(cps.cov_pos), 0))::BIGINT AS n_kept_tokens
+  FROM (SELECT doc_id, text, {_TOKS} AS tk FROM documents) t
+  LEFT JOIN cps USING (doc_id)
 )
 SELECT n.doc_id, n.n_tokens,
        coalesce(per.n_dup_spans, 0)::BIGINT AS n_dup_spans,
@@ -765,8 +803,10 @@ SELECT n.doc_id, n.n_tokens,
        CASE WHEN n.n_tokens > 0
             THEN CAST(coalesce(per.dup_tokens, 0) AS DOUBLE)
                  / CAST(n.n_tokens AS DOUBLE)
-            ELSE 0.0 END AS dup_frac
-FROM n LEFT JOIN per USING (doc_id)
+            ELSE 0.0 END AS dup_frac,
+       md5(kept.clean) AS clean_md5,
+       kept.n_kept_tokens
+FROM n LEFT JOIN per USING (doc_id) JOIN kept USING (doc_id)
 """
 
 
