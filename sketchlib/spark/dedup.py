@@ -1682,6 +1682,7 @@ def remove_duplicate_spans(
     keep_first: bool = False,
     broadcast_dups: bool = False,
     out_col: str = "text_clean",
+    with_stats: bool = False,
 ) -> DataFrame:
     """The REMOVAL half of the ExactSubstr family (Lee et al. 2022):
     ``duplicate_span_stats`` measures cross-document duplicate-span
@@ -1697,7 +1698,11 @@ def remove_duplicate_spans(
     content-preserving convention: exactly one document retains the
     passage.
 
-    Output: (id, out_col, n_tokens, dup_tokens, n_kept_tokens).  A doc
+    Output: (id, out_col, n_tokens, dup_tokens, n_kept_tokens);
+    ``with_stats=True`` appends the ``duplicate_span_stats`` columns
+    (``n_dup_spans``, ``dup_frac``) from the SAME single gram pass — the
+    flagged-start set is already in hand, so measuring and removing
+    together costs one scan where calling both operators costs two.  A doc
     with nothing to remove keeps its ORIGINAL text bytes verbatim; a
     touched doc is rebuilt as its kept tokens single-space-joined (the
     whitespace-tokenizer round trip — compose with ``normalize_text``
@@ -1805,7 +1810,7 @@ def remove_duplicate_spans(
         ),
     )
     rebuilt = F.array_join(F.transform(kept, lambda x: x["t"]), " ")
-    return joined.select(
+    cols = [
         id_col,
         F.when(F.col("_iv").isNull() | (F.size("_iv") == 0),
                F.col(text_col))
@@ -1814,4 +1819,14 @@ def remove_duplicate_spans(
         n_tokens.cast("long").alias("n_tokens"),
         covered.cast("long").alias("dup_tokens"),
         (n_tokens - covered).cast("long").alias("n_kept_tokens"),
-    )
+    ]
+    if with_stats:
+        cols += [
+            F.coalesce(F.size("_starts"), F.lit(0)).cast("long")
+            .alias("n_dup_spans"),
+            F.when(
+                n_tokens > 0,
+                covered / n_tokens.cast("double"),
+            ).otherwise(F.lit(0.0)).alias("dup_frac"),
+        ]
+    return joined.select(*cols)

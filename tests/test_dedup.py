@@ -627,6 +627,15 @@ def test_remove_duplicate_spans_matches_python(spark):
     rm = {r["doc_id"]: r["dup_tokens"]
           for r in remove_duplicate_spans(df, span=10).collect()}
     assert st == rm
+    # with_stats: the single-pass form reproduces the full stats output
+    st_full = {r["doc_id"]: (r["n_tokens"], r["n_dup_spans"],
+                             r["dup_tokens"], r["dup_frac"])
+               for r in duplicate_span_stats(df, span=10).collect()}
+    ws = {r["doc_id"]: (r["n_tokens"], r["n_dup_spans"],
+                        r["dup_tokens"], r["dup_frac"])
+          for r in remove_duplicate_spans(
+              df, span=10, with_stats=True).collect()}
+    assert ws == st_full
     # layout determinism
     a = sorted(map(tuple, remove_duplicate_spans(df, span=10).collect()))
     b = sorted(map(tuple, remove_duplicate_spans(
