@@ -435,37 +435,6 @@ FROM events
 """
 
 
-def q_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ distinct user_id per event_type, gated by a bounded-error
-    verdict: |estimate/exact - 1| < 2% (σ ≈ 0.81% at p=14; the estimator is
-    deterministic for a fixed dataset, so the boolean is driver-hashable —
-    the DuckDB oracle asserts TRUE per key alongside the exact count)."""
-    from sketchlib.hll import HLL
-    from sketchlib.spark.sketch_ops import sketch_aggregate
-
-    ev = load(spark, sf_dir, "events")
-    sk = sketch_aggregate(ev, ["event_type"], "user_id", "hll", {"p": 14})
-
-    from pyspark.sql.pandas.functions import pandas_udf
-    from pyspark.sql.types import DoubleType
-
-    @pandas_udf(DoubleType())
-    def est(s):
-        import pandas as pd
-
-        return pd.Series([HLL.deserialize(bytes(b)).estimate() for b in s])
-
-    approx = sk.select("event_type", est("sketch").alias("_est"))
-    exact = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_exact")
-    )
-    return exact.join(F.broadcast(approx), "event_type").select(
-        "event_type",
-        "n_exact",
-        (F.abs(F.col("_est") / F.col("n_exact") - 1.0) < 0.02).alias("within_2pct"),
-    )
-
-
 def q_kll_nearest_rank_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KLL in oracle mode (k large enough that no compaction triggers at
     test scale): weighted nearest-rank quantiles, exactly SQL-checkable."""
@@ -1059,32 +1028,6 @@ FROM (
         FROM documents GROUP BY {grp})
 ) GROUP BY {', '.join(dim_cols) if dim_cols else 'ALL'}""")
     return "\nUNION ALL\n".join(blocks)
-
-
-def q_emb_signlsh_precision(spark: SparkSession, sf_dir: str,
-                            dim: int = 64) -> DataFrame:
-    """Gate the ANN *scale path*'s exactness law: sign-LSH discovery
-    verifies candidates exactly, so its precision is 1.0 by construction —
-    every pair it emits must appear in the exact >= threshold pair set.
-    (Recall follows the banding curve and is pytest-measured; it is NOT
-    1.0 at this threshold and can't be SQL-gated.)  Emits the exact pair
-    count plus the subset verdict; the oracle asserts TRUE."""
-    from sketchlib.spark.ann import cosine_pairs_exact, signrandom_lsh_pairs
-
-    emb = load(spark, sf_dir, "embeddings")
-    # dim is a parameter (testdata embeddings are 64-wide); array<float>
-    # carries no length in the schema, and probing a row just to learn it
-    # would cost a Spark job at plan-build time
-    # one pass over each side: full-outer join marks membership, a single
-    # aggregation derives both the exact-pair count and the precision
-    # verdict (the expensive block-matmul plan executes ONCE)
-    exact = cosine_pairs_exact(emb, threshold=0.45).withColumn("in_exact", F.lit(1))
-    lsh = signrandom_lsh_pairs(emb, threshold=0.45, dim=dim).withColumn("in_lsh", F.lit(1))
-    j = exact.join(lsh, ["a_id", "b_id"], "full_outer")
-    return j.agg(
-        F.count("in_exact").alias("n_exact_pairs"),
-        (F.count(F.when(F.col("in_exact").isNull(), 1)) == 0).alias("lsh_precision_1"),
-    )
 
 
 def q_top_sources_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3284,57 +3227,6 @@ def _ivf_stored_gate(spark: SparkSession, sf_dir: str) -> bool:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def q_hll_users_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Folds hll_users_by_type + hll_union_users: per-event-type HLL user
-    counts with the 2% error gate, plus the semilattice laws (union of the
-    SAME per-type sketches estimates the global count within 2% and is
-    byte-identical to a direct global build) as constant verdict columns."""
-    from sketchlib.hll import HLL
-    from sketchlib.spark.sketch_ops import sketch_aggregate, sketch_merge
-
-    ev = load(spark, sf_dir, "events")
-    # 3 scans total (was 5): the per-type sketch rows are KB-scale, so
-    # caching them lets the union-law merge reuse the build instead of
-    # rescanning; ROLLUP computes the per-type AND global exact distincts
-    # in one pass; only the direct global build keeps its own scan — the
-    # law ("union of per-type == direct build, byte-identical") needs the
-    # two sides built independently.
-    per_type = sketch_aggregate(
-        ev, ["event_type"], "user_id", "hll", {"p": 14}).cache()
-
-    from pyspark.sql.pandas.functions import pandas_udf
-    from pyspark.sql.types import DoubleType
-
-    @pandas_udf(DoubleType())
-    def est(s):
-        import pandas as pd
-
-        return pd.Series([HLL.deserialize(bytes(b)).estimate() for b in s])
-
-    approx = per_type.select("event_type", est("sketch").alias("_est"))
-    exacts = ev.rollup("event_type").agg(
-        F.countDistinct("user_id").alias("n_exact"),
-        F.grouping("event_type").alias("_g")).cache()
-    exact = exacts.filter(F.col("_g") == 0)
-    per_rows = exact.join(F.broadcast(approx), "event_type").select(
-        "event_type",
-        "n_exact",
-        (F.abs(F.col("_est") / F.col("n_exact") - 1.0) < 0.02).alias("within_2pct"),
-    )
-    unioned = sketch_merge(per_type.select("sketch"), [], "hll", {"p": 14})
-    direct = sketch_aggregate(ev, [], "user_id", "hll", {"p": 14})
-    u_blob = bytes(unioned.collect()[0]["sketch"])
-    d_blob = bytes(direct.collect()[0]["sketch"])
-    u_est = HLL.deserialize(u_blob).estimate()
-    gate = exacts.filter(F.col("_g") == 1).select(
-        F.col("n_exact").alias("n_exact_all"),
-        (F.abs(F.lit(u_est) / F.col("n_exact") - 1.0) < 0.02)
-        .alias("union_within_2pct"),
-        F.lit(u_blob == d_blob).alias("union_equals_direct"),
-    )
-    return per_rows.crossJoin(F.broadcast(gate))
-
-
 _HLL_FOLD_SQL = """
 WITH t AS (
   SELECT event_type, count(DISTINCT user_id) AS n_exact, TRUE AS within_2pct
@@ -4036,84 +3928,6 @@ SELECT doc_id, lang, n_lines, n_dup_lines,
              '\s+', ' ', 'g'))) AS normpunct_md5
 FROM r
 """
-
-
-def _dd_laws_row(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One verdict row for the DDSketch family (sketchlib/ddsketch.py):
-
-    * ``dd_rel_err_ok`` — the paper's relative-error guarantee: the
-      DISTRIBUTED dd build's quantile estimates at 6 probe points are
-      within α of the exact value at rank ⌊q·(n−1)⌋ (exact side computed
-      in-plan via row_number — a law gate, not a production path);
-    * ``dd_merge_bitwise`` — folding one set of partial sketches
-      left/reversed/balanced-tree yields byte-identical blobs, and the
-      engine's shuffle-merge equals the driver fold byte-for-byte;
-    * ``dd_collapse_bitwise`` — same byte law with max_bins=64, i.e. with
-      the collapsing-lowest path ACTIVE (the boundary is a function of
-      the bucket-key set alone, so collapse∘merge still commutes).
-
-    Partials are ≤8 KB-scale blobs — driver-side folding has the same
-    license as q_td_merge_laws."""
-    from pyspark.sql import Window
-
-    from sketchlib.ddsketch import DDSketch
-    from sketchlib.spark.sketch_ops import sketch_merge, sketch_partials
-
-    alpha = 0.01
-    ps = [0.01, 0.25, 0.5, 0.75, 0.95, 0.99]
-    vals = (
-        load(spark, sf_dir, "documents")
-        .where(F.col("n_chars").isNotNull())
-        .select(F.col("n_chars").cast("double").alias("v"))
-        .repartition(8)
-        .cache()  # one double per doc — KB-scale; read by 4 law jobs below
-    )
-    n = vals.count()
-    targets = sorted({int(p * (n - 1)) + 1 for p in ps})
-    exact_rows = (
-        vals.withColumn("rn", F.row_number().over(Window.orderBy("v")))
-        .where(F.col("rn").isin(targets))
-        .collect()
-    )
-    exact = {r["rn"]: r["v"] for r in exact_rows}
-
-    def fold_ok(params: dict) -> bool:
-        parts = sketch_partials(vals, [], "v", "dd", params)
-        blobs = [bytes(r["sketch"]) for r in parts.collect()]
-        engine = bytes(sketch_merge(parts, [], "dd", params).collect()[0]["sketch"])
-
-        def fold(bs):
-            acc = DDSketch.deserialize(bs[0])
-            for b in bs[1:]:
-                acc.merge(DDSketch.deserialize(b))
-            return acc.serialize()
-
-        def tree(bs):
-            if len(bs) == 1:
-                return DDSketch.deserialize(bs[0])
-            mid = len(bs) // 2
-            return tree(bs[:mid]).merge(tree(bs[mid:]))
-
-        base = fold(blobs)
-        return (
-            base == fold(blobs[::-1]) == tree(blobs).serialize() == engine
-        ), base
-
-    merge_ok, merged = fold_ok({"alpha": alpha, "max_bins": 2048})
-    collapse_ok, _ = fold_ok({"alpha": alpha, "max_bins": 64})
-    vals.unpersist()
-    dd = DDSketch.deserialize(merged)
-    est = dd.quantile(ps)
-    rel_ok = bool(dd.n == n) and all(
-        abs(float(e) - exact[int(p * (n - 1)) + 1])
-        <= alpha * abs(exact[int(p * (n - 1)) + 1])
-        for e, p in zip(est, ps)
-    )
-    return spark.createDataFrame(
-        [(alpha, n, bool(rel_ok), bool(merge_ok), bool(collapse_ok))],
-        "dd_alpha double, dd_n long, dd_rel_err_ok boolean, "
-        "dd_merge_bitwise boolean, dd_collapse_bitwise boolean",
-    )
 
 
 def q_sketch_laws_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
