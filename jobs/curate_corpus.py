@@ -39,6 +39,14 @@ boundaries land on durable storage):
 3. **dedup** — exact content-hash + MinHash/LSH near-dup evidence as an
    edge list, min-id connected components (``dedup.propagate_min_keeper``,
    same composition as jobs/dedup_corpus.py); non-keepers drop.
+3b. **spandedup** (with ``--span-dedup N``) — cross-document duplicate
+   SPAN removal (``dedup.remove_duplicate_spans``, the ExactSubstr
+   family): after doc-level dedup has dropped whole near-duplicates,
+   this REWRITES the survivors, excising every N-token window shared
+   with another surviving doc (quotes, licence blocks, syndicated
+   fragments); ``--span-keep-first`` retains each span in its min-id
+   owner.  Docs left with zero tokens drop.  Runs after doc dedup on
+   purpose: exact duplicates would otherwise make every span shared.
 4. **decontam** (with ``--eval-input``) — the eval corpus's hashed
    n-grams become ONE Bloom blob (``dedup.eval_ngram_bloom``, KB-MB
    scale, broadcast); training docs probing positive drop
@@ -121,6 +129,13 @@ def main() -> int:
                          "stage-0 pre-pass (cheapest dedup first: crawl "
                          "variants of one page collapse before any text "
                          "hashing)")
+    ap.add_argument("--span-dedup", type=int, default=None,
+                    help="remove cross-document duplicate token spans of "
+                         "this length after doc-level dedup "
+                         "(dedup.remove_duplicate_spans)")
+    ap.add_argument("--span-keep-first", action="store_true",
+                    help="keep each duplicated span in its min-id owner "
+                         "instead of removing every occurrence")
     ap.add_argument("--eval-input", default=None,
                     help="held-out eval corpus parquet; enables decontam")
     ap.add_argument("--decontam-ngram", type=int, default=8)
@@ -300,6 +315,28 @@ def main() -> int:
             **({"sig_kernel": args.sig_kernel}
                if args.sig_kernel != "xxh" else {}),
         }, dedup)
+
+    # ---- stage 3b: duplicate-span removal (optional) -----------------------
+    if args.span_dedup is not None:
+        def spandedup():
+            from sketchlib.spark.dedup import remove_duplicate_spans
+
+            keep = docs.columns
+            rm = remove_duplicate_spans(
+                docs, idc, txt, span=args.span_dedup,
+                keep_first=args.span_keep_first)
+            return (
+                docs.drop(txt)
+                .join(rm.select(idc, F.col("text_clean").alias(txt),
+                                "n_kept_tokens"), idc)
+                .filter(F.col("n_kept_tokens") > 0)
+                .select(*keep)
+            )
+
+        docs = run_stage(4, "spandedup", {
+            "span": args.span_dedup,
+            **({"keep_first": True} if args.span_keep_first else {}),
+        }, spandedup)
 
     # ---- stage 4: decontamination (optional) -------------------------------
     if args.eval_input is not None:

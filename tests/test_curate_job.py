@@ -298,3 +298,59 @@ def test_curate_job_normalize_keys(spark, tmp_path, monkeypatch):
     got2 = {r["doc_id"] for r in
             spark.read.parquet(out).select("doc_id").collect()}
     assert got2 == {1, 2, 3, 4}
+
+
+def test_curate_job_span_dedup_stage(spark, tmp_path, monkeypatch):
+    """--span-dedup N: after doc-level dedup, a shared N-token block is
+    excised from every survivor (default) or kept in the min-id owner
+    (--span-keep-first); a doc that is NOTHING BUT the shared block drops
+    (zero kept tokens); the stage enters the fingerprint chain (resume
+    skips it, toggling keep_first re-runs it)."""
+    sys.path.insert(0, "jobs")
+    import curate_corpus as job
+
+    capture = []
+    monkeypatch.setattr("builtins.print", lambda s: capture.append(s))
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+
+    block = " ".join(f"lic{i}" for i in range(12))
+
+    def words(seed, n):
+        return " ".join(f"tok{seed}x{i}" for i in range(n))
+
+    rows = [
+        (1, "en", words(1, 15) + " " + block),
+        (2, "en", block + " " + words(2, 15)),
+        (3, "en", words(3, 30)),          # clean
+        (4, "en", block),                  # only the block -> drops entirely
+    ]
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, text string").write.parquet(src)
+    wd, out = str(tmp_path / "wd"), str(tmp_path / "curated")
+    argv = ["--input", src, "--workdir", wd, "--output", out,
+            "--dedup", "exact", "--span-dedup", "10"]
+
+    rc = _run(monkeypatch, job, argv)
+    assert rc == 0
+    m1 = json.loads(capture[-1])
+    assert "spandedup" in m1["stages"] and not m1["stages"]["spandedup"]["skipped"]
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert set(got) == {1, 2, 3}           # doc 4 dropped (all covered)
+    assert "lic0" not in got[1] and "lic0" not in got[2]
+    assert got[1] == words(1, 15) and got[2] == words(2, 15)
+    assert got[3] == words(3, 30)          # untouched doc: verbatim bytes
+
+    # resume: identical args skip the stage
+    rc = _run(monkeypatch, job, argv + ["--resume"])
+    m2 = json.loads(capture[-1])
+    assert m2["stages"]["spandedup"]["skipped"]
+
+    # keep_first enters the fingerprint and flips the semantics: doc 1
+    # (min id among block owners) keeps the block, 2 loses it, 4 still
+    # drops (its block lives on in doc 1)
+    rc = _run(monkeypatch, job, argv + ["--resume", "--span-keep-first"])
+    m3 = json.loads(capture[-1])
+    assert not m3["stages"]["spandedup"]["skipped"]
+    got_kf = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert "lic0" in got_kf[1] and "lic0" not in got_kf[2]
