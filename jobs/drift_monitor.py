@@ -65,6 +65,11 @@ def main() -> int:
                     help="pair mode: also flag drift when PSI exceeds this "
                          "(0.1 watch / 0.25 act by convention); 0 = report "
                          "PSI/JSD but gate on KS only")
+    ap.add_argument("--w1-threshold", type=float, default=0.0,
+                    help="pair mode: also flag drift when the 1-Wasserstein "
+                         "distance exceeds this many VALUE units (e.g. a "
+                         "mean shift of that size); 0 = report w1 but do "
+                         "not gate on it")
     ap.add_argument("--discrete", action="store_true",
                     help="digests were built in discrete mode")
     args = ap.parse_args()
@@ -169,6 +174,8 @@ def main() -> int:
     ks_gate = F.col("ks") > F.lit(args.ks_threshold)
     gate = (ks_gate | (F.col("psi") > F.lit(args.psi_threshold))
             if args.psi_threshold > 0 else ks_gate)
+    if args.w1_threshold > 0:
+        gate = gate | (F.col("w1") > F.lit(args.w1_threshold))
     report = joined.select(
         *keys,
         ks,
@@ -195,6 +202,7 @@ def main() -> int:
         F.max("ks").alias("max_ks"),
         F.max("psi").alias("max_psi"),
         F.max("jsd").alias("max_jsd"),
+        F.max("w1").alias("max_w1"),
         F.sum(F.col("count_left").isNull().cast("long")).alias("new_keys"),
         F.sum(F.col("count_right").isNull().cast("long")).alias("gone_keys"),
     ).collect()[0]
@@ -204,10 +212,12 @@ def main() -> int:
         "max_ks": agg["max_ks"],
         "max_psi": agg["max_psi"],
         "max_jsd": agg["max_jsd"],
+        "max_w1": agg["max_w1"],
         "new_keys": int(agg["new_keys"] or 0),
         "gone_keys": int(agg["gone_keys"] or 0),
         "ks_threshold": args.ks_threshold,
         "psi_threshold": args.psi_threshold,
+        "w1_threshold": args.w1_threshold,
         "output": args.output,
     }))
     drifted = int(agg["n_drifted"] or 0)
